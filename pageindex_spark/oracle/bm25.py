@@ -1,0 +1,84 @@
+"""Pure-Python exhaustive BM25 oracle (SURVEY.md §5.2(1)).
+
+Replaces the reference's golden-file regression (manual diff of
+``/root/reference/results-original/*.json`` trees) with a computed golden:
+a single-process, zero-Spark reference implementation using the SAME
+extraction module and the SAME tokenizer as the engine. Pytest asserts the
+Spark engine reproduces its top-k docIDs AND scores rank-identically.
+
+Determinism contract:
+* float64 throughout;
+* per-document score accumulates query-term contributions in sorted unique
+  term order (the engine does the same, so sums are bit-comparable);
+* ties broken (score desc, url asc);
+* duplicate query terms are deduplicated (documented: query tf is 1).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from ..functions.extraction import extract_text
+from ..functions.tokenizer import BM25_B, BM25_K1, tokenize
+
+
+class OracleIndex:
+    """In-memory inverted index over (url, html-or-text) rows."""
+
+    def __init__(self, rows: list[tuple[str, object]], from_html: bool = False):
+        # rows: (url, html bytes) if from_html else (url, text str)
+        self.urls: list[str] = []
+        self.doc_len: list[int] = []
+        self.postings: dict[str, dict[int, int]] = {}
+        for url, payload in sorted(rows, key=lambda r: r[0]):
+            text = extract_text(payload) if from_html else payload
+            terms = tokenize(text)
+            did = len(self.urls)
+            self.urls.append(url)
+            self.doc_len.append(len(terms))
+            for term, tf in Counter(terms).items():
+                self.postings.setdefault(term, {})[did] = tf
+        self.n_docs = len(self.urls)
+        self.avgdl = (sum(self.doc_len) / self.n_docs) if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_all(self, query_text: str) -> dict[int, float]:
+        terms = sorted(set(tokenize(query_text)))
+        scores: dict[int, float] = {}
+        for term in terms:
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            idf = self.idf(term)
+            for did, tf in plist.items():
+                dl = self.doc_len[did]
+                denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
+                contrib = idf * tf * (BM25_K1 + 1.0) / denom
+                scores[did] = scores.get(did, 0.0) + contrib
+        return scores
+
+    def topk(self, query_text: str, k: int = 10) -> list[tuple[str, float]]:
+        scores = self.score_all(query_text)
+        ranked = sorted(
+            scores.items(), key=lambda kv: (-kv[1], self.urls[kv[0]])
+        )[:k]
+        return [(self.urls[d], s) for d, s in ranked]
+
+
+def bm25_topk(
+    rows: list[tuple[str, object]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    from_html: bool = False,
+) -> list[tuple[int, int, str, float]]:
+    """Golden top-k table: (query_id, rank, url, score) — FIXTURES.md §3."""
+    idx = OracleIndex(rows, from_html=from_html)
+    out: list[tuple[int, int, str, float]] = []
+    for qid, qtext in queries:
+        for rank, (url, score) in enumerate(idx.topk(qtext, k), start=1):
+            out.append((qid, rank, url, score))
+    return out
