@@ -1,0 +1,173 @@
+"""Posting *run* format: block-aligned varbyte with per-block skip metadata.
+
+A "run" is a contiguous, docID-sorted slice of one term's posting list —
+the unit stored in the index table and shipped through shuffles. Format
+decisions (all serving 100 TB-scale execution):
+
+* delta-gap RESETS at every block boundary (first docID of each block is
+  encoded absolute) -> any block is independently decodable;
+* per-block byte offsets for the doc and tf blobs -> a run can be sliced to
+  a docID sub-range by pure byte slicing (no decode) at block granularity,
+  and query-time WAND decodes ONLY the blocks it cannot skip;
+* per-block doc counts (``bm_ndocs``) instead of a fixed global block size ->
+  two docID-disjoint ordered runs merge by PURE CONCATENATION of blobs and
+  metadata arrays (no decode, no re-encode) — this is what makes the salted
+  compaction stage cheap at 10^12 docs;
+* per-block metadata: last_doc (skip targeting) and max tf-quality
+  (``tf/(tf+k1*(1-b+b*dl/avgdl))``, float64) — multiplied by the term's
+  ``idf*(k1+1)`` at query time this upper-bounds every score in the block
+  (Block-Max WAND, Ding & Suel SIGIR'11).
+
+Reference parity: the reference stores its index as an uncompressed JSON
+tree (``/root/reference/pageindex/utils.py:354-400``); this format is the
+from-scratch replacement mandated by BASELINE.json ``north_star`` ("delta-gap
++ varbyte-compressed docID/tf lists with block-max skip metadata").
+
+Run row schema (Spark side, see spimi.py):
+  term string, first_doc long, last_doc long, n_docs long,
+  doc_blob binary, tf_blob binary,
+  bm_last array<long>, bm_maxq array<double>,
+  bm_doc_off array<int>, bm_tf_off array<int>, bm_ndocs array<int>
+Offset arrays have len = n_blocks + 1 (end sentinel): block i's bytes are
+``blob[off[i]:off[i+1]]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .codec import BLOCK_SIZE, tf_quality, vb_decode, vb_encode
+
+
+@dataclass
+class Run:
+    first_doc: int
+    last_doc: int
+    n_docs: int
+    doc_blob: bytes
+    tf_blob: bytes
+    bm_last: np.ndarray  # int64 per block
+    bm_maxq: np.ndarray  # float64 per block
+    bm_doc_off: np.ndarray  # int32, n_blocks+1
+    bm_tf_off: np.ndarray  # int32, n_blocks+1
+    bm_ndocs: np.ndarray  # int32 per block
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.bm_last)
+
+
+def encode_run(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    doc_lens: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> Run:
+    """Sorted (doc_ids, tfs, doc_lens) -> block-aligned compressed Run."""
+    d = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    t = np.ascontiguousarray(tfs, dtype=np.uint64)
+    n = len(d)
+    assert n > 0
+    # Delta-gap with per-block reset: gap[i] = d[i]-d[i-1], except block
+    # starts keep the absolute docID.
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    starts = np.arange(0, n, block_size)
+    gaps[starts] = d[starts]
+
+    q = tf_quality(t, np.ascontiguousarray(doc_lens, dtype=np.float64), avgdl)
+    ends = np.minimum(starts + block_size, n)
+    bm_last = d[ends - 1].astype(np.int64)
+    bm_maxq = np.maximum.reduceat(q, starts)
+    bm_ndocs = (ends - starts).astype(np.int32)
+
+    # Per-value byte widths -> per-block byte offsets without re-encoding.
+    def _offsets(vals: np.ndarray) -> np.ndarray:
+        nb = np.ones(len(vals), dtype=np.int64)
+        for j in range(1, 10):
+            nb += (vals >= np.uint64(1) << np.uint64(7 * j)).astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(nb)))
+        return cum[np.concatenate((starts, [n]))].astype(np.int32)
+
+    return Run(
+        first_doc=int(d[0]),
+        last_doc=int(d[-1]),
+        n_docs=n,
+        doc_blob=vb_encode(gaps),
+        tf_blob=vb_encode(t),
+        bm_last=bm_last,
+        bm_maxq=bm_maxq,
+        bm_doc_off=_offsets(gaps),
+        bm_tf_off=_offsets(t),
+        bm_ndocs=bm_ndocs,
+    )
+
+
+def decode_block(run: Run, i: int) -> tuple[np.ndarray, np.ndarray]:
+    """Decode block i -> (doc_ids uint64, tfs uint64). Independent decode."""
+    do, to = run.bm_doc_off, run.bm_tf_off
+    gaps = vb_decode(run.doc_blob[do[i] : do[i + 1]])
+    docs = np.cumsum(gaps, dtype=np.uint64)  # first gap is absolute
+    tfs = vb_decode(run.tf_blob[to[i] : to[i + 1]])
+    return docs, tfs
+
+
+def block_starts(run: Run) -> np.ndarray:
+    """Row index of each block's first posting (int64, len n_blocks)."""
+    return np.concatenate(([0], np.cumsum(run.bm_ndocs, dtype=np.int64)[:-1]))
+
+
+def decode_run(run: Run) -> tuple[np.ndarray, np.ndarray]:
+    """Full decode -> (doc_ids, tfs). Vectorized: one cumsum over all gaps,
+    then per-block carry correction (block starts hold absolute docIDs)."""
+    gaps = vb_decode(run.doc_blob)
+    tfs = vb_decode(run.tf_blob)
+    starts = block_starts(run)
+    docs = np.cumsum(gaps, dtype=np.uint64)
+    if len(starts) > 1:
+        # For element j in block b (b>0): true[j] = raw[j] - raw[start_b - 1],
+        # because gaps[start_b] is the absolute docID and raw[start_b - 1]
+        # already contains every earlier carry. Repeat each block's offset
+        # over its length and subtract once.
+        carry = docs[starts[1:] - 1]
+        lens = run.bm_ndocs.astype(np.int64)
+        fix = np.concatenate(
+            (np.zeros(lens[0], dtype=np.uint64), np.repeat(carry, lens[1:]))
+        )
+        docs = docs - fix
+    return docs, tfs
+
+
+def concat_runs(runs: list[Run]) -> Run:
+    """Merge docID-disjoint ordered runs by pure concatenation (no decode).
+
+    Valid because delta-gaps reset at block boundaries: every block is
+    self-contained, so appending whole runs preserves decodability. Callers
+    must pass runs sorted by first_doc with non-overlapping ranges (the
+    SPIMI partition invariant); asserted cheaply via metadata.
+    """
+    if len(runs) == 1:
+        return runs[0]
+    for a, b in zip(runs, runs[1:]):
+        assert a.last_doc < b.first_doc, "runs overlap — cannot concat-merge"
+    doc_off_parts = [runs[0].bm_doc_off.astype(np.int64)]
+    tf_off_parts = [runs[0].bm_tf_off.astype(np.int64)]
+    for r in runs[1:]:
+        doc_off_parts.append(r.bm_doc_off[1:].astype(np.int64) + doc_off_parts[-1][-1])
+        tf_off_parts.append(r.bm_tf_off[1:].astype(np.int64) + tf_off_parts[-1][-1])
+    return Run(
+        first_doc=runs[0].first_doc,
+        last_doc=runs[-1].last_doc,
+        n_docs=sum(r.n_docs for r in runs),
+        doc_blob=b"".join(r.doc_blob for r in runs),
+        tf_blob=b"".join(r.tf_blob for r in runs),
+        bm_last=np.concatenate([r.bm_last for r in runs]),
+        bm_maxq=np.concatenate([r.bm_maxq for r in runs]),
+        bm_doc_off=np.concatenate(doc_off_parts).astype(np.int32),
+        bm_tf_off=np.concatenate(tf_off_parts).astype(np.int32),
+        bm_ndocs=np.concatenate([r.bm_ndocs for r in runs]),
+    )
