@@ -1,0 +1,422 @@
+"""Driver-contract queries: each operator from SURVEY.md §2 exposed as a
+(spark_sql, duckdb_sql) pair over the driver's testdata tables.
+
+Design rules (see ``functions/sqlglue.py``):
+* identical column aliases in both dialects;
+* doubles leave queries as fixed-point bigints (floor(x*1eK)) — hash-stable;
+* ranks are computed over the FLOORED value, so rank assignment is
+  bit-identical across engines even when the last float ulp differs;
+* deterministic tie-breaks everywhere (no bare LIMIT without ORDER BY).
+
+The Spark side runs as ``spark.sql`` over temp views so Catalyst sees a
+declarative plan (predicate pushdown, column pruning, broadcast all apply);
+operators that exercise the custom engine (SPIMI/WAND, LSH-ANN, multimodal)
+use the DataFrame/Arrow API and are flagged no-oracle in ``__spark_entry__``
+(driver records the weaker rows-only check) unless a SQL twin exists.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions.tokenizer import TOKEN_SPLIT_PATTERN
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+# Fixed flagship BM25 queries (terms exist in the testdata documents vocab).
+BM25_QUERIES = [
+    (1, "data spark"),
+    (2, "window merge sort"),
+    (3, "customer"),
+    (4, "stream batch fast slow"),
+    (5, "join filter group"),
+]
+
+STOPWORDS_SQL = "'the','of','and','to','a','in','is','it','data','for'"
+LANGS = {
+    "de": "'der','die','und','das','ist'",
+    "en": "'the','of','and','to','a'",
+    "es": "'el','los','que','de','y'",
+    "fr": "'le','la','et','les','des'",
+}
+
+
+class _Dialect:
+    """Minimal expression toolkit for the two engines."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.duck = name == "duck"
+
+    def terms(self, col: str) -> str:
+        if self.duck:
+            return (
+                f"list_filter(regexp_split_to_array(lower({col}), "
+                f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '')"
+            )
+        return f"filter(split(lower({col}), '{TOKEN_SPLIT_PATTERN}'), x -> x <> '')"
+
+    def size(self, a: str) -> str:
+        return f"len({a})" if self.duck else f"size({a})"
+
+    def unnest(self, a: str) -> str:
+        return f"unnest({a})" if self.duck else f"explode({a})"
+
+    def contains(self, lst: str, x: str) -> str:
+        if self.duck:
+            return f"list_contains([{lst}], {x})"
+        return f"array_contains(array({lst}), {x})"
+
+    def concat(self, *parts: str) -> str:
+        if self.duck:
+            return " || ".join(parts)
+        return f"concat({', '.join(parts)})"
+
+    def shingles(self, a: str) -> str:
+        """Token 3-grams; empty when < 3 tokens (both dialects)."""
+        if self.duck:
+            return (
+                f"list_transform(generate_series(1, {self.size(a)} - 2), "
+                f"i -> {a}[i] || ' ' || {a}[i+1] || ' ' || {a}[i+2])"
+            )
+        return (
+            f"case when {self.size(a)} >= 3 then "
+            f"transform(sequence(0, {self.size(a)} - 3), "
+            f"i -> concat({a}[i], ' ', {a}[i+1], ' ', {a}[i+2])) "
+            f"else array() end"
+        )
+
+    def hash60(self, s: str) -> str:
+        if self.duck:
+            return f"cast(('0x' || substr(md5({s}), 1, 15))::ubigint as bigint)"
+        return f"cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+    def shiftr(self, x: str, b: int) -> str:
+        return f"({x} >> {b})" if self.duck else f"shiftright({x}, {b})"
+
+    def re_replace(self, col: str, pat: str, rep: str) -> str:
+        if self.duck:
+            return f"regexp_replace({col}, '{pat}', '{rep}', 'g')"
+        return f"regexp_replace({col}, '{pat}', '{rep}')"
+
+    def arr_min(self, a: str) -> str:
+        return f"list_aggregate({a}, 'min')" if self.duck else f"array_min({a})"
+
+    def arr_distinct(self, a: str) -> str:
+        return f"list_distinct({a})" if self.duck else f"array_distinct({a})"
+
+    def arr_intersect(self, a: str, b: str) -> str:
+        return f"list_intersect({a}, {b})" if self.duck else f"array_intersect({a}, {b})"
+
+    def str_type(self) -> str:
+        return "varchar" if self.duck else "string"
+
+    def dot(self, a: str, b: str) -> str:
+        """Float64 dot product with a sequential fold in BOTH engines."""
+        if self.duck:
+            return (
+                f"list_sum(list_transform(generate_series(1, {self.size(a)}), "
+                f"i -> cast({a}[i] as double) * cast({b}[i] as double)))"
+            )
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+
+def _bm25_sql(d: _Dialect) -> str:
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= 10
+"""
+
+
+def _simhash_sql(d: _Dialect, bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(case when ({d.shiftr('h', b)} & 1) = 1 then 1 else -1 end) as s{b}"
+        for b in range(bits)
+    )
+    assemble = " + ".join(
+        f"(case when s{b} >= 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+        for b in range(bits)
+    )
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+hashed as (select doc_id, {d.hash60('term')} as h from occ),
+bitsums as (select doc_id, {sums} from hashed group by doc_id)
+select doc_id, {assemble} as simhash from bitsums
+"""
+
+
+def _minhash_core(d: _Dialect, n_hashes: int = 4) -> str:
+    mins = ", ".join(
+        f"{d.arr_min(f'''list_transform(sh, s -> md5('{j}|' || s))''' if d.duck else f'''transform(sh, s -> md5(concat('{j}|', s)))''')} as mh_{j}"
+        for j in range(n_hashes)
+    )
+    return f"""
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+shj as (select doc_id, {d.shingles('terms')} as sh from toks where {d.size('terms')} >= 3),
+sig as (select doc_id, {mins} from shj)"""
+
+
+def _minhash_sql(d: _Dialect) -> str:
+    return f"with {_minhash_core(d)} select doc_id, mh_0, mh_1, mh_2, mh_3 from sig"
+
+
+def _lsh_bands_sql(d: _Dialect) -> str:
+    b0 = d.concat("mh_0", "'|'", "mh_1")
+    b1 = d.concat("mh_2", "'|'", "mh_3")
+    return f"""
+with {_minhash_core(d)},
+bands as (
+  select doc_id, 0 as band_id, md5({b0}) as band_hash from sig
+  union all
+  select doc_id, 1 as band_id, md5({b1}) as band_hash from sig
+)
+select band_id, band_hash, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
+from bands group by band_id, band_hash having count(*) > 1
+"""
+
+
+def _jaccard_sql(d: _Dialect) -> str:
+    inter = d.size(d.arr_intersect("a.s", "b.s"))
+    union = f"{d.size('a.s')} + {d.size('b.s')} - {inter}"
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents where doc_id < 40),
+shj as (select doc_id, {d.shingles('terms')} as sh from toks where {d.size('terms')} >= 3),
+ds as (select doc_id, {d.arr_distinct('sh')} as s from shj)
+select a.doc_id as a, b.doc_id as b,
+       cast(floor(cast({inter} as double) * 1000000.0 / ({union})) as bigint) as jaccard6
+from ds a join ds b on a.doc_id < b.doc_id
+"""
+
+
+def _lang_sql(d: _Dialect) -> str:
+    filt = "list_filter" if d.duck else "filter"
+    cols = ", ".join(
+        d.size(f"{filt}(terms, t -> " + d.contains(lst, "t") + ")") + f" as c_{lang}"
+        for lang, lst in LANGS.items()
+    )
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+scores as (select doc_id, {cols} from toks)
+select doc_id,
+  case when c_de >= c_en and c_de >= c_es and c_de >= c_fr then 'de'
+       when c_en >= c_es and c_en >= c_fr then 'en'
+       when c_es >= c_fr then 'es'
+       else 'fr' end as lang_guess
+from scores
+"""
+
+
+def _quality_sql(d: _Dialect) -> str:
+    filt = "list_filter" if d.duck else "filter"
+    nstop = d.size(f"{filt}(terms, t -> {d.contains(STOPWORDS_SQL, 't')})")
+    ntok = d.size("terms")
+    joined = (
+        "len(list_aggregate(terms, 'string_agg', ''))"
+        if d.duck
+        else "length(array_join(terms, ''))"
+    )
+    alpha = f"length({d.re_replace('lower(text)', '[^a-z0-9]', '')})"
+    return f"""
+with toks as (select doc_id, text, {d.terms('text')} as terms from documents)
+select doc_id,
+  cast({ntok} as bigint) as n_tokens,
+  cast(floor({alpha} * 1000000.0 / length(text)) as bigint) as alpha_ratio6,
+  cast(floor({nstop} * 1000000.0 / {ntok}) as bigint) as stop_ratio6,
+  cast(floor({joined} * 1000000.0 / {ntok}) as bigint) as avg_token_len6
+from toks
+"""
+
+
+def _ann_sql(d: _Dialect) -> str:
+    dot = d.dot("q.qe", "c.ce")
+    nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
+    nc = f"sqrt({d.dot('c.ce', 'c.ce')})"
+    return f"""
+with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 5),
+c as (select vec_id, embedding as ce from embeddings),
+scored as (
+  select q.query_id, c.vec_id,
+         cast(floor(({dot}) / (({nq}) * ({nc})) * 1000000) as bigint) as cos6
+  from q join c on q.query_id <> c.vec_id
+),
+ranked as (
+  select query_id, vec_id, cos6,
+         row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+  from scored
+)
+select query_id, rank, vec_id, cos6 from ranked where rank <= 10
+"""
+
+
+def _fingerprint_expr(d: _Dialect) -> str:
+    return f"md5(trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')}))"
+
+
+def paired_sql() -> dict[str, tuple[str, str]]:
+    """name -> (spark_sql, duck_sql); identical aliases, hash-stable types."""
+    S, D = _Dialect("spark"), _Dialect("duck")
+    pairs: dict[str, tuple[str, str]] = {}
+
+    def both(fn) -> tuple[str, str]:
+        return fn(S), fn(D)
+
+    def same(sql: str) -> tuple[str, str]:
+        return sql, sql
+
+    pairs["doc_stats"] = both(
+        lambda d: f"select doc_id, cast({d.size(d.terms('text'))} as bigint) as doc_len from documents"
+    )
+    pairs["corpus_stats"] = both(
+        lambda d: f"""select cast(count(*) as bigint) as n_docs,
+        cast(floor(avg(cast({d.size(d.terms('text'))} as double)) * 1000000) as bigint) as avgdl6
+        from documents"""
+    )
+    pairs["postings"] = both(
+        lambda d: f"""select term, doc_id, cast(count(*) as bigint) as tf
+        from (select doc_id, {d.unnest(d.terms('text'))} as term from documents) t
+        group by term, doc_id"""
+    )
+    pairs["term_df"] = both(
+        lambda d: f"""select term, cast(count(distinct doc_id) as bigint) as df
+        from (select doc_id, {d.unnest(d.terms('text'))} as term from documents) t
+        group by term"""
+    )
+    pairs["heavy_hitters"] = both(
+        lambda d: f"""select term, cast(count(*) as bigint) as total_tf
+        from (select {d.unnest(d.terms('text'))} as term from documents) t
+        group by term order by total_tf desc, term asc limit 20"""
+    )
+    pairs["bm25_topk"] = both(_bm25_sql)
+    pairs["quality_score"] = both(_quality_sql)
+    pairs["lang_id"] = both(_lang_sql)
+    pairs["fingerprint"] = both(
+        lambda d: f"select doc_id, {_fingerprint_expr(d)} as fp from documents"
+    )
+    pairs["dedup_exact"] = both(
+        lambda d: f"""select fp, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
+        from (select doc_id, {_fingerprint_expr(d)} as fp from documents) t
+        group by fp"""
+    )
+    pairs["minhash_signatures"] = both(_minhash_sql)
+    pairs["lsh_candidates"] = both(_lsh_bands_sql)
+    pairs["simhash"] = both(_simhash_sql)
+    pairs["ngram_jaccard"] = both(_jaccard_sql)
+    pairs["ann_cosine_topk"] = both(_ann_sql)
+    pairs["embedding_norms"] = both(
+        lambda d: f"""select vec_id,
+        cast(floor(sqrt({d.dot('embedding', 'embedding')}) * 1000000) as bigint) as norm6
+        from embeddings"""
+    )
+
+    # --- relational parity ops (SURVEY.md §2.1 mappings) ---
+    pairs["mode_agg"] = same(
+        """select cast(floor(l_quantity * 100) as bigint) as val2, cast(count(*) as bigint) as cnt
+        from lineitem group by 1 order by cnt desc, val2 asc limit 1"""
+    )
+    pairs["lead_boundaries"] = same(
+        """select user_id, event_id,
+        lead(event_id) over (partition by user_id order by ts, event_id) as next_event_id
+        from events"""
+    )
+    pairs["asof_fill"] = (
+        # Spark: last(expr, ignoreNulls) over window
+        """select event_id,
+        cast(floor(coalesce(last(case when event_type = 'purchase' then value end, true)
+          over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and current row), -1.0) * 100) as bigint) as last_purchase2
+        from events""",
+        # DuckDB: last_value(expr ignore nulls) over window
+        """select event_id,
+        cast(floor(coalesce(last_value(case when event_type = 'purchase' then value end ignore nulls)
+          over (partition by user_id order by ts, event_id
+                rows between unbounded preceding and current row), -1.0) * 100) as bigint) as last_purchase2
+        from events""",
+    )
+    pairs["sessionize"] = same(
+        """select event_id, user_id,
+        cast(floor((sum(value) over (partition by user_id order by ts, event_id
+          rows between unbounded preceding and current row) - value) / 500.0) as bigint) as session_id
+        from events"""
+    )
+    pairs["range_join"] = same(
+        """select b.band_id, cast(count(*) as bigint) as n_parts,
+        cast(floor(avg(p.p_retailprice) * 100) as bigint) as avg_price2
+        from (values (0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0),
+                     (3, 1500.0, 2000.0), (4, 2000.0, 100000.0)) as b(band_id, lo, hi)
+        join part p on p.p_retailprice >= b.lo and p.p_retailprice < b.hi
+        group by b.band_id"""
+    )
+    pairs["preorder_node_id"] = (
+        """select o_orderkey,
+        lpad(cast(row_number() over (order by o_orderdate, o_orderkey) as string), 8, '0') as node_id
+        from orders""",
+        """select o_orderkey,
+        lpad(cast(row_number() over (order by o_orderdate, o_orderkey) as varchar), 8, '0') as node_id
+        from orders""",
+    )
+    pairs["topk_orders"] = same(
+        """select o_orderkey, cast(floor(o_totalprice * 100) as bigint) as price2
+        from orders order by price2 desc, o_orderkey asc limit 10"""
+    )
+    pairs["anti_join"] = same(
+        """select c_custkey from customer
+        where not exists (select 1 from orders o where o.o_custkey = c_custkey)"""
+    )
+    pairs["union_distinct"] = same(
+        """select distinct event_type as val from events
+        union select distinct o_orderstatus as val from orders"""
+    )
+    return pairs
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            spark.read.parquet(p).createOrReplaceTempView(t)
+
+
+def spark_sql_query(name: str):
+    ssql = paired_sql()[name][0]
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(ssql)
+
+    return run

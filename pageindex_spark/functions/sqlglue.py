@@ -1,0 +1,60 @@
+"""Dialect-paired SQL snippets shared by the Spark engine and the DuckDB
+oracle used in the driver's correctness gate (``__spark_entry__``).
+
+Every operator exposed in ``queries()`` must hash-match its ``oracle_sql()``
+twin, which requires three disciplines enforced here:
+
+1. one source of truth per expression, in both dialects, side by side;
+2. floats leave queries as ``cast(floor(x * 1e6) as bigint)`` — integer
+   outputs dodge cross-engine float formatting/rounding-mode differences
+   while still pinning 6 decimal digits of the value;
+3. identical column aliases in both dialects.
+
+The tokenizer snippets MUST stay in lockstep with
+``pageindex_spark.functions.tokenizer.TOKEN_SPLIT_PATTERN``.
+"""
+
+from __future__ import annotations
+
+from .tokenizer import TOKEN_SPLIT_PATTERN
+
+# -- tokenize a text column -> array of non-empty lowercase tokens ----------
+SPARK_TERMS = (
+    "filter(split(lower({col}), '" + TOKEN_SPLIT_PATTERN + "'), x -> x <> '')"
+)
+DUCK_TERMS = (
+    "list_filter(regexp_split_to_array(lower({col}), '"
+    + TOKEN_SPLIT_PATTERN
+    + "'), x -> x <> '')"
+)
+
+# -- fixed-point projection of a double ------------------------------------
+SPARK_FIX6 = "cast(floor(({x}) * 1000000) as bigint)"
+DUCK_FIX6 = "cast(floor(({x}) * 1000000) as bigint)"
+
+# -- 60-bit integer hash of a string via md5 (stable in both engines) -------
+SPARK_HASH60 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+DUCK_HASH60 = "cast(('0x' || substr(md5({s}), 1, 15))::ubigint as bigint)"
+
+# -- token 3-gram shingles from a terms array (1-based in both dialects for
+#    DuckDB; Spark arrays are 0-based via element_at-compatible [] access) --
+SPARK_SHINGLES = (
+    "transform(sequence(0, size({a}) - 3), "
+    "i -> concat({a}[i], ' ', {a}[i+1], ' ', {a}[i+2]))"
+)
+DUCK_SHINGLES = (
+    "list_transform(generate_series(1, len({a}) - 2), "
+    "i -> {a}[i] || ' ' || {a}[i+1] || ' ' || {a}[i+2])"
+)
+
+# -- BM25 constants ----------------------------------------------------------
+K1 = "1.2"
+B = "0.75"
+
+
+def spark_terms(col: str) -> str:
+    return SPARK_TERMS.format(col=col)
+
+
+def duck_terms(col: str) -> str:
+    return DUCK_TERMS.format(col=col)

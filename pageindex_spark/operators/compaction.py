@@ -1,26 +1,32 @@
-"""Segment compaction: hash(term) shuffle + salted merge into index runs.
+"""Segment compaction: hash(term, salt) shuffle + streaming merge into
+index runs.
 
 Build step 4-5 (SURVEY.md §7). Reference parity: the reference's only
 "merge" is the stateful TOC fold across page groups
 (``/root/reference/pageindex/page_index.py:579-581``); here it becomes the
-classic SPIMI merge, made shuffle- and skew-aware per the north rule:
+classic SPIMI merge, made shuffle- and skew-aware per the north rule.
 
-* every (term, segment) row is routed by ``hash(term, salt_group)``;
-* **heavy-hitter salting**: a term whose postings exceed ``target_run_bytes``
-  is split into multiple contiguous salt groups — each group merges only a
-  bounded number of bytes, so the 10^12-doc posting list of "the" never
-  lands on one reducer. Light terms collapse to a single run. This is
-  explicit two-phase aggregation (partial per salt, final = the run set),
-  mirroring Spark's own partial/final agg; AQE cannot do it for us because
-  the skew is in a groupBy, not a join (SURVEY.md §4.2-3).
-* groups are CONTIGUOUS in docID order (``seg_id`` order), so each merged
-  run is an ordered, disjoint docID interval and the merge itself is pure
-  blob concatenation (``runfmt.concat_runs`` — zero decode).
+Skew design (the part AQE cannot do for a groupBy — SURVEY.md §4.2-3):
 
-The final index keeps (term, run_id) rows — heavy terms legitimately have
-multiple runs (disjoint docID ranges, sorted), which query-time WAND treats
-as one logical posting list. ``df`` (document frequency) per term is the
-metadata-only sum of run ``n_docs``.
+* **Structural salting.** The shuffle key is ``(term, salt_group)`` with
+  ``salt_group = part_id // parts_per_group`` — contiguous docID ranges.
+  A heavy hitter ("the", df ~= corpus size) therefore spreads over
+  P / parts_per_group reducers instead of melting one; no detection pass,
+  no size-estimation join, decisions are fully local. Light terms compact
+  ``parts_per_group`` segments into one run.
+* **Local greedy packing.** Within a group, segments merge in docID order
+  but flush at ``target_run_bytes`` — heavy groups legitimately emit
+  several runs. Merge itself is pure blob concatenation
+  (``runfmt.concat_runs``): zero decode, zero re-encode.
+* **Streaming execution.** One ``repartition(term, salt_group)`` +
+  ``sortWithinPartitions`` + ``mapInArrow`` — one Python invocation per
+  shuffle partition (NOT per group; a per-group applyInPandas pays ~1ms
+  of pandas overhead x millions of terms).
+
+The final index keeps (term, run_id) rows — heavy terms have multiple runs
+(disjoint docID ranges, sorted), which query-time WAND treats as one
+logical posting list. ``df`` per term is the metadata-only sum of run
+``n_docs``.
 """
 
 from __future__ import annotations
@@ -28,8 +34,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame, Window
+import pyarrow as pa
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .runfmt import Run, concat_runs
@@ -37,11 +43,29 @@ from .runfmt import Run, concat_runs
 # Target compressed bytes per merged run; bounds reducer memory and the
 # maximum single-task work unit at any corpus size.
 TARGET_RUN_BYTES = 8 * 1024 * 1024
+PARTS_PER_GROUP = 8
 
 INDEX_SCHEMA = (
-    "term string, run_id int, first_doc long, last_doc long, n_docs long, "
+    "term string, run_id long, first_doc long, last_doc long, n_docs long, "
     "doc_blob binary, tf_blob binary, bm_last array<long>, bm_maxq array<double>, "
     "bm_doc_off array<int>, bm_tf_off array<int>, bm_ndocs array<int>"
+)
+
+_INDEX_PA = pa.schema(
+    [
+        pa.field("term", pa.string()),
+        pa.field("run_id", pa.int64()),
+        pa.field("first_doc", pa.int64()),
+        pa.field("last_doc", pa.int64()),
+        pa.field("n_docs", pa.int64()),
+        pa.field("doc_blob", pa.binary()),
+        pa.field("tf_blob", pa.binary()),
+        pa.field("bm_last", pa.list_(pa.int64())),
+        pa.field("bm_maxq", pa.list_(pa.float64())),
+        pa.field("bm_doc_off", pa.list_(pa.int32())),
+        pa.field("bm_tf_off", pa.list_(pa.int32())),
+        pa.field("bm_ndocs", pa.list_(pa.int32())),
+    ]
 )
 
 
@@ -61,64 +85,94 @@ def run_from_row(row) -> Run:
     )
 
 
+def _run_cols(term: str, run_id: int, r: Run, out: dict) -> None:
+    out["term"].append(term)
+    out["run_id"].append(run_id)
+    out["first_doc"].append(r.first_doc)
+    out["last_doc"].append(r.last_doc)
+    out["n_docs"].append(r.n_docs)
+    out["doc_blob"].append(r.doc_blob)
+    out["tf_blob"].append(r.tf_blob)
+    out["bm_last"].append(r.bm_last.tolist())
+    out["bm_maxq"].append(r.bm_maxq.tolist())
+    out["bm_doc_off"].append(r.bm_doc_off.tolist())
+    out["bm_tf_off"].append(r.bm_tf_off.tolist())
+    out["bm_ndocs"].append(r.bm_ndocs.tolist())
+
+
 def compact_segments(
-    segments: DataFrame, target_run_bytes: int = TARGET_RUN_BYTES
+    segments: DataFrame,
+    target_run_bytes: int = TARGET_RUN_BYTES,
+    parts_per_group: int = PARTS_PER_GROUP,
 ) -> DataFrame:
-    """segments (term, seg_id, run cols) -> index runs (term, run_id, ...).
-
-    Two window passes over METADATA columns decide the salt grouping (blob
-    bytes ride along but aren't inspected), then one applyInPandas merges
-    each (term, salt_group).
-    """
-    sized = segments.withColumn(
-        "seg_bytes", (F.length("doc_blob") + F.length("tf_blob")).cast("long")
+    """segments (term, seg_id=part_id, run cols) -> index runs."""
+    grouped = segments.withColumn(
+        "salt_group", (F.col("seg_id") / parts_per_group).cast("int")
     )
-    w_term = Window.partitionBy("term")
-    w_order = Window.partitionBy("term").orderBy("first_doc")
-    # Contiguous salt groups: cumulative bytes before this segment, integer-
-    # divided by the target -> segments pack greedily into ~target-sized runs.
-    grouped = (
-        sized.withColumn(
-            "cum_bytes",
-            F.sum("seg_bytes").over(
-                w_order.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-        )
-        .fillna({"cum_bytes": 0})
-        .withColumn(
-            "salt_group", (F.col("cum_bytes") / F.lit(target_run_bytes)).cast("int")
-        )
+    shuffled = grouped.repartition("term", "salt_group").sortWithinPartitions(
+        "term", "salt_group", "first_doc"
     )
 
-    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("first_doc")
-        runs = [run_from_row(r) for _, r in pdf.iterrows()]
-        m = concat_runs(runs)
-        return pd.DataFrame(
-            {
-                "term": [pdf["term"].iloc[0]],
-                "run_id": [int(pdf["salt_group"].iloc[0])],
-                "first_doc": [m.first_doc],
-                "last_doc": [m.last_doc],
-                "n_docs": [m.n_docs],
-                "doc_blob": [m.doc_blob],
-                "tf_blob": [m.tf_blob],
-                "bm_last": [m.bm_last.tolist()],
-                "bm_maxq": [m.bm_maxq.tolist()],
-                "bm_doc_off": [m.bm_doc_off.tolist()],
-                "bm_tf_off": [m.bm_tf_off.tolist()],
-                "bm_ndocs": [m.bm_ndocs.tolist()],
-            }
-        )
+    def merge_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        tbl = pa.Table.from_batches(list(batches))
+        if tbl.num_rows == 0:
+            return
+        terms = tbl.column("term").to_pylist()
+        salts = tbl.column("salt_group").to_numpy(zero_copy_only=False)
+        cols = {name: tbl.column(name).to_pylist() for name in (
+            "first_doc", "last_doc", "n_docs", "doc_blob", "tf_blob",
+            "bm_last", "bm_maxq", "bm_doc_off", "bm_tf_off", "bm_ndocs",
+        )}
+        out: dict[str, list] = {n: [] for n in _INDEX_PA.names}
+        n = tbl.num_rows
+        i = 0
+        while i < n:
+            j = i
+            t, s = terms[i], salts[i]
+            while j < n and terms[j] == t and salts[j] == s:
+                j += 1
+            # Greedy pack segments [i, j) into runs capped at target bytes.
+            pend: list[Run] = []
+            pend_bytes = 0
+            emitted = 0
+            for r_idx in range(i, j):
+                row = {k: cols[k][r_idx] for k in cols}
+                run = run_from_row(row)
+                rb = len(run.doc_blob) + len(run.tf_blob)
+                if pend and pend_bytes + rb > target_run_bytes:
+                    _run_cols(t, (int(s) << 16) | emitted, concat_runs(pend), out)
+                    emitted += 1
+                    pend, pend_bytes = [], 0
+                pend.append(run)
+                pend_bytes += rb
+            if pend:
+                _run_cols(t, (int(s) << 16) | emitted, concat_runs(pend), out)
+            if len(out["term"]) >= 2048:
+                yield from pa.table(out, schema=_INDEX_PA).to_batches()
+                out = {n2: [] for n2 in _INDEX_PA.names}
+            i = j
+        if out["term"]:
+            yield from pa.table(out, schema=_INDEX_PA).to_batches()
 
-    return grouped.groupBy("term", "salt_group").applyInPandas(
-        merge_group, schema=INDEX_SCHEMA
-    )
+    return shuffled.mapInArrow(merge_stream, schema=INDEX_SCHEMA)
 
 
 def term_stats_from_runs(index_runs: DataFrame) -> DataFrame:
     """(term, df) from run metadata only (no blob decode; runs are disjoint)."""
     return index_runs.groupBy("term").agg(F.sum("n_docs").alias("df"))
+
+
+def heavy_hitters(segments: DataFrame, top_n: int = 20) -> DataFrame:
+    """Diagnostic: biggest terms by total posting bytes (metadata-only agg)."""
+    return (
+        segments.groupBy("term")
+        .agg(
+            F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
+            F.sum("n_docs").alias("df"),
+        )
+        .orderBy(F.desc("bytes"), "term")
+        .limit(top_n)
+    )
 
 
 def with_term_bucket(df: DataFrame, n_buckets: int) -> DataFrame:

@@ -1,0 +1,140 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+SimHash, n-gram Jaccard.
+
+Design for 10^12 docs: every variant is a map (per-doc signature, JVM or
+Arrow-vectorized) followed by ONE shuffle on the signature/band key —
+candidate generation never goes quadratic; pairwise verification only runs
+inside buckets. Exact SQL twins live in ``__spark_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sqlglue import SPARK_SHINGLES, spark_terms
+
+N_MINHASH = 8  # permutations
+N_BANDS = 4  # -> 2 hashes per band
+
+
+def _shingles(text_col: str = "text"):
+    return F.expr(
+        SPARK_SHINGLES.format(a=spark_terms(text_col))
+    )
+
+
+def exact_groups(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 of normalized text -> (fp, n_docs, keep_id).
+
+    keep_id = min docID of the group (the canonical survivor). One shuffle.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+    return (
+        docs.select(key, F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text", n_hashes: int = N_MINHASH
+) -> DataFrame:
+    """(key, mh_0..mh_{n-1}) — MinHash over token 3-gram shingles.
+
+    Permutation j = md5('j|' + shingle); the signature element is the
+    lexicographic min of the hex digests (a valid min-wise hash family,
+    identical in any engine with md5). Docs with < 3 tokens get NULLs.
+    """
+    sh = _shingles(text_col)
+    cols = [
+        F.array_min(
+            F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)))
+        ).alias(f"mh_{j}")
+        for j in range(n_hashes)
+    ]
+    return docs.select(key, *cols)
+
+
+def lsh_bands(
+    signatures: DataFrame, key: str = "doc_id", n_hashes: int = N_MINHASH, n_bands: int = N_BANDS
+) -> DataFrame:
+    """signature row -> (key, band_id, band_hash): md5 of the band's
+    concatenated minhashes. Near-duplicates collide in >=1 band."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh_{b * rows_per_band + i}") for i in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_hash")
+            )
+        )
+    return (
+        signatures.select(key, F.explode(F.array(*bands)).alias("band"))
+        .select(key, F.col("band.band_id"), F.col("band.band_hash"))
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Candidate near-duplicate groups: (band_id, band_hash, n_docs, keep_id)
+    for buckets with >1 doc. One shuffle on the band key; bucket-local
+    verification (n-gram Jaccard) runs on this output, never on the corpus."""
+    sig = minhash_signatures(docs, key, text_col)
+    bands = lsh_bands(sig, key)
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash64(docs: DataFrame, key: str = "doc_id", text_col: str = "text", bits: int = 16) -> DataFrame:
+    """(key, simhash) — per-bit majority vote over md5-derived term hashes.
+
+    ``bits`` defaults to 16 for the SQL-twinned variant (the 64-bit version
+    is a straightforward widening; the oracle SQL grows linearly in bits).
+    Explode -> per-term 60-bit hash -> sum(+/-1 per bit) -> reassemble.
+    One shuffle (groupBy key).
+    """
+    terms = F.explode(F.expr(spark_terms(text_col))).alias("term")
+    h = F.expr("cast(conv(substr(md5(term), 1, 15), 16, 10) as bigint)")
+    exploded = docs.select(key, terms).withColumn("h", h)
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = exploded.groupBy(key).agg(*bit_sums)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select(key, sim.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text", max_key: int = 40
+) -> DataFrame:
+    """Pairwise 3-gram Jaccard for a bounded candidate set (keys < max_key):
+    (a, b, jaccard6). The bounded filter mirrors what LSH candidate buckets
+    look like in production — verification is always bucket-local."""
+    small = docs.filter(F.col(key) < max_key).select(
+        F.col(key).alias("id"), F.array_distinct(_shingles(text_col)).alias("sh")
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            F.floor(inter * 1_000_000 / union).cast("long").alias("jaccard6"),
+        )
+    )

@@ -28,14 +28,18 @@ from collections.abc import Iterator
 import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
-def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Add a dense int64 ``doc_id`` column ordered by ``url``.
+def assign_doc_ids(
+    docs: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, list[int]]:
+    """Add dense int64 ``doc_id`` + int32 ``part_id`` columns, url-ordered.
 
     Output keeps each input column; each output partition owns a contiguous
-    docID range and rows are sorted by (url == doc_id) within it.
+    docID range and rows are sorted by (url == doc_id) within it. Returns
+    (df, offsets) where offsets[p] is partition p's first docID — the docID
+    grid used by norms packing and query-time cell assignment.
     """
     spark = docs.sparkSession
     if num_partitions is None:
@@ -57,20 +61,26 @@ def assign_doc_ids(docs: DataFrame, num_partitions: int | None = None) -> DataFr
     bc = spark.sparkContext.broadcast(offsets)
 
     out_type = StructType(
-        [StructField("doc_id", LongType(), False)] + list(ranged.schema.fields)
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("part_id", IntegerType(), False),
+        ]
+        + list(ranged.schema.fields)
     )
 
     def add_ids(iterator: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
-        next_id = bc.value[TaskContext.get().partitionId()]
+        pid = TaskContext.get().partitionId()
+        next_id = bc.value[pid]
         for batch in iterator:
             n = batch.num_rows
             ids = pa.array(range(next_id, next_id + n), pa.int64())
+            pids = pa.array([pid] * n, pa.int32())
             next_id += n
             yield pa.RecordBatch.from_arrays(
-                [ids] + batch.columns,
-                names=["doc_id"] + batch.schema.names,
+                [ids, pids] + batch.columns,
+                names=["doc_id", "part_id"] + batch.schema.names,
             )
 
-    return ranged.mapInArrow(add_ids, schema=out_type)
+    return ranged.mapInArrow(add_ids, schema=out_type), offsets

@@ -1,0 +1,110 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+The corpus schema already carries one real binary modality (``html``), and
+this module generalizes the pattern to image/audio/video payloads for
+training-data pipelines: Spark-side schema, partition sizing, Arrow batch
+shape and UDF signatures are REAL and tested; the codec step itself is
+STUBBED deterministically because no image/audio libraries exist in this
+container (each stub documents the production swap-in, e.g. PIL/ffmpeg).
+
+Pattern (the part that matters at 100 TB):
+* payloads stay ``binary``; metadata is a struct column so pruning works —
+  a metadata-only query NEVER deserializes payload bytes;
+* per-payload work runs in ``mapInPandas`` over Arrow batches, sized by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound executor memory
+  (payloads can be MBs — keep batches small);
+* derived features (thumbnails, frames, fingerprints) return as new binary/
+  array columns, preserving the input partitioning (no shuffle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+)
+
+
+def probe_metadata(media: DataFrame) -> DataFrame:
+    """Metadata/typed-column projection — payload column pruned away.
+    (Check ReadSchema in .explain: payload must be absent.)"""
+    return media.select(
+        "media_id", "kind", F.col("meta.width"), F.col("meta.height"),
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
+def _stub_decode_image(payload: bytes) -> np.ndarray:
+    """STUB: deterministic fake decode (production: PIL.Image.open).
+
+    Derives a tiny 4x4 'pixel' array from the payload hash so tests are
+    deterministic and shape-compatible with a real decoder's output.
+    """
+    h = hashlib.sha256(payload or b"").digest()
+    return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """binary payload -> fixed-width feature vector via Arrow-batched UDF.
+
+    Real plumbing: iterator-of-batches mapInPandas, bounded batch memory,
+    output schema (media_id, feat array<double>). The decode is the stub.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _stub_decode_image(p).astype(np.float64).mean(axis=0).tolist()
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
+
+    return media.select("media_id", "payload").mapInPandas(
+        gen, schema="media_id long, feat array<double>"
+    )
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling (STUB decode; production: ffmpeg bindings).
+    Emits one row per sampled frame — a 1->N mapInPandas (UDTF shape)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_ids, frames = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                n = max(1, int(dur or 0) // every_ms)
+                for f in range(n):
+                    ids.append(mid)
+                    frame_ids.append(f)
+                    frames.append(
+                        hashlib.sha256((payload or b"") + f.to_bytes(4, "big")).digest()
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_id": frame_ids, "frame": frames}
+            )
+
+    return media.select("media_id", "payload", F.col("meta.duration_ms")).mapInPandas(
+        gen, schema="media_id long, frame_id int, frame binary"
+    )
+
+
+def synth_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic fixture: n fake media rows with hash-derived payloads."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
+        kind = ("image", "audio", "video")[i % 3]
+        rows.append(
+            (i, kind, bytearray(payload), (64 + i % 8, 48, 16000, 2000 + 500 * (i % 4)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

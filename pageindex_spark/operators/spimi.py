@@ -111,27 +111,37 @@ def build_segments_arrow(
 
 
 def build_segments(docs_with_ids, avgdl: float, block_size: int = BLOCK_SIZE):
-    """DataFrame(doc_id, text) [range-partitioned by doc_id] -> segments DF.
+    """DataFrame(doc_id, part_id, text) -> segments DF.
 
-    One segment group per input partition; ``seg_id`` = partition id. The
-    input MUST come from ``assign_doc_ids`` (contiguous disjoint docID ranges
-    per partition) — asserted downstream by compaction.
+    One ``mapInArrow`` task may see rows of several build partitions (parquet
+    file coalescing), so the builder groups by ``part_id`` and emits one
+    segment group per partition — this guarantees no posting BLOCK ever spans
+    a partition (grid) boundary, the invariant query-time cell slicing relies
+    on. Rows are locally sorted by doc_id; partitions hold contiguous
+    disjoint docID ranges (``assign_doc_ids``), so segments are globally
+    disjoint and ordered.
     """
 
     def per_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        from pyspark import TaskContext
-
-        pid = TaskContext.get().partitionId()
-        ids_parts, texts = [], []
+        ids_parts, pid_parts, texts = [], [], []
         for b in batches:
             ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+            pid_parts.append(b.column("part_id").to_numpy(zero_copy_only=False))
             texts.extend(b.column("text").to_pylist())
         if not texts:
             return
         doc_ids = np.concatenate(ids_parts)
-        tbl = build_segments_arrow(doc_ids, texts, avgdl, pid, block_size)
-        yield from tbl.to_batches(max_chunksize=4096)
+        part_ids = np.concatenate(pid_parts)
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids, part_ids = doc_ids[order], part_ids[order]
+        texts = [texts[i] for i in order]
+        for pid in np.unique(part_ids):
+            sel = np.flatnonzero(part_ids == pid)
+            tbl = build_segments_arrow(
+                doc_ids[sel], [texts[i] for i in sel], avgdl, int(pid), block_size
+            )
+            yield from tbl.to_batches(max_chunksize=4096)
 
-    return docs_with_ids.select("doc_id", "text").mapInArrow(
+    return docs_with_ids.select("doc_id", "part_id", "text").mapInArrow(
         per_partition, schema=SEGMENT_SCHEMA
     )

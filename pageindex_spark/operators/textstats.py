@@ -1,0 +1,103 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All operators are pure JVM-side expressions (whole-stage codegen, no Python)
+and have exact DuckDB oracle twins in ``__spark_entry__.oracle_sql`` built
+from the same ``sqlglue`` snippets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.sqlglue import spark_terms
+
+# Deterministic marker lexicons for the language-ID vote. Tiny on purpose —
+# a real deployment swaps in proper n-gram tables; the *operator shape*
+# (per-language score -> argmax with deterministic tie-break) is what scales.
+LANG_MARKERS = {
+    "en": ["the", "of", "and", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "de", "y"],
+}
+
+# Stopword-like head used by the quality score (fraction of very common words).
+STOPWORDS = ["the", "of", "and", "to", "a", "in", "is", "it", "data", "for"]
+
+
+def with_terms_expr(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("terms", F.expr(spark_terms(text_col)))
+
+
+def token_count(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, n_tokens) — whitespace/regex token count, JVM-side."""
+    return docs.select(
+        key, F.size(F.expr(spark_terms(text_col))).cast("long").alias("n_tokens")
+    )
+
+
+def quality_score(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, n_tokens, alpha_ratio6, stop_ratio6, avg_token_len6).
+
+    Ratios are fixed-point (x1e6) bigints for engine-agnostic hashing:
+    * alpha_ratio — alphanumeric chars / total chars,
+    * stop_ratio  — stopword tokens / tokens,
+    * avg_token_len — mean token length.
+    """
+    terms = F.expr(spark_terms(text_col))
+    n_tok = F.size(terms)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(terms, lambda t: F.array_contains(stop_arr, t)))
+    alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    total_chars = F.length(text_col)
+    fix6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return docs.select(
+        key,
+        n_tok.cast("long").alias("n_tokens"),
+        fix6(alpha_chars / total_chars).alias("alpha_ratio6"),
+        fix6(n_stop / n_tok).alias("stop_ratio6"),
+        fix6((F.length(F.array_join(terms, "")) / n_tok)).alias("avg_token_len6"),
+    )
+
+
+def lang_id(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, lang_guess) — marker-word vote, argmax with lang-code tie-break."""
+    terms = F.expr(spark_terms(text_col))
+    scores = [
+        (
+            lang,
+            F.size(
+                F.filter(
+                    terms,
+                    lambda t, arr=F.array(*[F.lit(m) for m in markers]): F.array_contains(arr, t),
+                )
+            ),
+        )
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    # argmax by (count desc, lang asc): build struct array and array_max
+    packed = F.array(
+        *[F.struct(cnt.alias("cnt"), F.lit(lang).alias("neg")) for lang, cnt in scores]
+    )
+    # array_max on struct compares fields in order; to get lang ASC on ties we
+    # compare (cnt, reversed-lang) — encode lang order via its negative rank.
+    ranked = F.array(
+        *[
+            F.struct(
+                cnt.alias("cnt"),
+                F.lit(-i).alias("ord"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, cnt) in enumerate(scores)
+        ]
+    )
+    return docs.select(key, F.array_max(ranked).getField("lang").alias("lang_guess"))
+
+
+def fingerprint(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, fp) — md5 of whitespace-normalized lowercase text (document
+    fingerprint; the rolling-hash analogue with an exact SQL twin)."""
+    norm = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+    return docs.select(key, F.md5(norm).alias("fp"))

@@ -1,0 +1,262 @@
+"""Index build pipeline: extract -> docIDs/norms -> SPIMI segments ->
+salted compaction -> term-bucketed index, with per-chunk lineage + resume.
+
+Stage graph (each stage reads only COMMITTED output of the previous one —
+the north rule's "never recompute extraction or tokenization"):
+
+  documents (url, warc_ts, html, text?, lang)
+    -> [extract]   docs_extracted/  (doc_id, part_id, url, text, doc_len)
+                   norms/           (part_id, first_doc, n_docs, dl_blob)
+                   meta.json        (n_docs, avgdl, grid, ...)
+    -> [segments]  segments/chunk=c/   one run per (term, part)   [chunked]
+    -> [compact]   postings/bucket=b/  salted-merged runs          [chunked]
+                   term_stats/bucket=b/ (term, df)
+
+Chunking = resume granularity: ``segments`` chunks over part_id,
+``compact`` chunks over term bucket. Each chunk is one atomic Spark write
+(file-commit protocol) followed by a lineage append; on restart,
+``committed_partitions`` filters finished chunks out (anti-join semantics).
+
+Kill simulation for tests: pass ``stop_after=("segments", 0)`` to raise
+after the named chunk commits.
+
+Reference parity: the pipeline replaces ``page_index_main``
+(``/root/reference/pageindex/page_index.py:1058-1098``) and its
+``tree_parser`` planner (``page_index.py:1021-1055``); the adaptive
+LLM-verification cascade (``page_index.py:978-989``) is replaced by
+deterministic stage invariants + the pytest oracle gate.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.codec import BLOCK_SIZE, vb_encode
+from ..operators.compaction import (
+    TARGET_RUN_BYTES,
+    compact_segments,
+    term_stats_from_runs,
+    with_term_bucket,
+)
+from ..operators.docids import assign_doc_ids
+from ..operators.extract import with_extracted_text
+from ..operators.spimi import build_segments
+from ..sources.tables import iceberg_available, read_meta, write_meta
+from .lineage import append_lineage, committed_partitions, stage_metrics
+
+DEFAULT_BUCKETS = 32
+
+
+class SimulatedKill(RuntimeError):
+    """Raised by stop_after to emulate a mid-build job kill in tests."""
+
+
+@dataclass
+class IndexPaths:
+    index_dir: str
+
+    @property
+    def docs_extracted(self) -> str:
+        return os.path.join(self.index_dir, "docs_extracted")
+
+    @property
+    def norms(self) -> str:
+        return os.path.join(self.index_dir, "norms")
+
+    @property
+    def segments(self) -> str:
+        return os.path.join(self.index_dir, "segments")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.index_dir, "postings")
+
+    @property
+    def term_stats(self) -> str:
+        return os.path.join(self.index_dir, "term_stats")
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    index_dir: str,
+    *,
+    num_partitions: int | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    n_seg_chunks: int = 2,
+    n_bucket_chunks: int = 2,
+    target_run_bytes: int = TARGET_RUN_BYTES,
+    block_size: int = BLOCK_SIZE,
+    stop_after: tuple[str, int] | None = None,
+) -> "IndexPaths":
+    """Build (or resume building) the inverted index under ``index_dir``.
+
+    ``docs`` must have ``url`` plus ``text`` and/or ``html`` (text wins; html
+    is extracted via the shared deterministic extractor).
+    """
+    paths = IndexPaths(index_dir)
+    os.makedirs(index_dir, exist_ok=True)
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    # ---------------- stage: extract (+ docIDs, norms, meta) ----------------
+    if -1 not in committed_partitions(spark, index_dir, "extract"):
+        src = docs
+        if "text" not in src.columns:
+            src = with_extracted_text(src)
+        src = src.select("url", "text")
+        with_ids, offsets = assign_doc_ids(src, num_partitions)
+        extracted = with_ids.withColumn(
+            "doc_len",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+                )
+            ).cast("long"),
+        )
+        (
+            extracted.write.mode("overwrite")
+            .partitionBy("part_id")
+            .parquet(paths.docs_extracted)
+        )
+
+        ext = spark.read.parquet(paths.docs_extracted)
+        n_docs, avgdl = _corpus_stats(ext)
+
+        # norms: one row per part — varbyte-packed doc lengths over the
+        # part's contiguous docID range (query-time local dl lookup).
+        def pack_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            ids = pdf["doc_id"].to_numpy()
+            assert ids[0] + len(ids) - 1 == ids[-1], "docID range not contiguous"
+            dl = pdf["doc_len"].to_numpy().astype(np.uint64)
+            return pd.DataFrame(
+                {
+                    "part_id": [int(pdf["part_id"].iloc[0])],
+                    "first_doc": [int(ids[0])],
+                    "n_docs": [len(ids)],
+                    "dl_blob": [vb_encode(dl)],
+                }
+            )
+
+        norms = (
+            ext.select("part_id", "doc_id", "doc_len")
+            .groupBy("part_id")
+            .applyInPandas(
+                pack_norms,
+                schema="part_id int, first_doc long, n_docs long, dl_blob binary",
+            )
+        )
+        norms.coalesce(1).write.mode("overwrite").parquet(paths.norms)
+
+        write_meta(
+            index_dir,
+            {
+                "n_docs": n_docs,
+                "avgdl": avgdl,
+                "grid": offsets,
+                "num_partitions": num_partitions,
+                "n_buckets": n_buckets,
+                "block_size": block_size,
+                "target_run_bytes": target_run_bytes,
+                "bm25": {"k1": 1.2, "b": 0.75},
+                "storage": "iceberg" if iceberg_available(spark) else "parquet",
+            },
+        )
+        per_part = (
+            ext.groupBy("part_id")
+            .agg(F.count("*").alias("docs"), F.sum("doc_len").alias("terms"))
+            .collect()
+        )
+        append_lineage(
+            spark,
+            index_dir,
+            "extract",
+            [(r["part_id"], r["docs"], 0, r["terms"]) for r in per_part]
+            + [(-1, n_docs, 0, 0)],  # stage-complete marker
+        )
+
+    meta = read_meta(index_dir)
+    avgdl = float(meta["avgdl"])
+
+    # ---------------- stage: segments (chunked by part_id) ----------------
+    done = committed_partitions(spark, index_dir, "segments")
+    for chunk in range(n_seg_chunks):
+        if chunk in done:
+            continue
+        ext = spark.read.parquet(paths.docs_extracted).filter(
+            F.col("part_id") % n_seg_chunks == chunk
+        )
+        segs = build_segments(ext, avgdl, block_size)
+        segs.write.mode("overwrite").parquet(
+            os.path.join(paths.segments, f"chunk={chunk}")
+        )
+        m = (
+            spark.read.parquet(os.path.join(paths.segments, f"chunk={chunk}"))
+            .agg(
+                F.countDistinct("term").alias("terms"),
+                F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
+                F.countDistinct("seg_id").alias("parts"),
+            )
+            .collect()[0]
+        )
+        append_lineage(
+            spark,
+            index_dir,
+            "segments",
+            [(chunk, 0, int(m["bytes"] or 0), int(m["terms"] or 0))],
+        )
+        if stop_after == ("segments", chunk):
+            raise SimulatedKill(f"stopped after segments chunk {chunk}")
+
+    # ---------------- stage: compact (chunked by term bucket) ----------------
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    done = committed_partitions(spark, index_dir, "compact")
+    for chunk in range(n_bucket_chunks):
+        if chunk in done:
+            continue
+        segs = with_term_bucket(
+            spark.read.parquet(paths.segments), n_buckets
+        ).filter(F.col("bucket") % n_bucket_chunks == chunk)
+        runs = compact_segments(segs.drop("bucket"), target_run_bytes)
+        runs_b = with_term_bucket(runs, n_buckets)
+        runs_b.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
+        ts = with_term_bucket(term_stats_from_runs(runs), n_buckets)
+        ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
+        m = (
+            spark.read.parquet(paths.postings)
+            .filter(F.col("bucket") % n_bucket_chunks == chunk)
+            .agg(
+                F.countDistinct("term").alias("terms"),
+                F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
+                F.sum("n_docs").alias("docs"),
+            )
+            .collect()[0]
+        )
+        append_lineage(
+            spark,
+            index_dir,
+            "compact",
+            [(chunk, int(m["docs"] or 0), int(m["bytes"] or 0), int(m["terms"] or 0))],
+        )
+        if stop_after == ("compact", chunk):
+            raise SimulatedKill(f"stopped after compact chunk {chunk}")
+
+    return paths
+
+
+def _corpus_stats(ext: DataFrame) -> tuple[int, float]:
+    row = ext.agg(
+        F.count("*").alias("n"), F.avg("doc_len").alias("avgdl")
+    ).collect()[0]
+    return int(row["n"]), float(row["avgdl"])
+
+
+def build_metrics(spark: SparkSession, index_dir: str) -> dict:
+    return stage_metrics(spark, index_dir)

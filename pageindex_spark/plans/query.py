@@ -1,0 +1,212 @@
+"""Query plan: BM25 top-k search over the built index.
+
+Physical plan (north_star query path; SURVEY.md §3.3 target mapping):
+
+1. **Pruned scan** — postings read ONLY the term-hash buckets of the query's
+   terms (directory/partition pruning) and filter term IN (...) (row-group
+   pruning via parquet min/max on the sorted term column).
+2. **Slice (map-side, zero decode)** — each run splits into docID-grid cells
+   by byte slicing whole blocks (`wand.slice_run_to_cells`).
+3. **Cogrouped scoring** — shuffle slices + norms by cell; each cell task
+   runs Block-Max WAND (or the dense verifier) per query over its contiguous
+   docID range with local norms; emits per-cell top-k.
+4. **Global top-k merge** — window rank over (score desc, doc_id asc), tiny
+   input (cells x queries x k); then one join to doc_map for urls (runtime-
+   filtered by the tiny candidate set).
+
+Queries ship to executors as a broadcast list of (query_id, [(term, idf)]);
+idf comes from the pruned term_stats read, so executors never see global
+state beyond (n_docs, avgdl).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.tokenizer import tokenize
+from ..operators.compaction import run_from_row
+from ..operators.wand import (
+    CellNorms,
+    assemble_cell_runs,
+    bmw_score_cell,
+    dense_score_cell,
+    idf_value,
+    slice_run_to_cells,
+)
+from ..sources.tables import read_meta
+from .build_index import IndexPaths
+
+_SLICE_FIELDS = [
+    ("cell", pa.int32()),
+    ("term", pa.string()),
+    ("first_doc", pa.int64()),
+    ("last_doc", pa.int64()),
+    ("n_docs", pa.int64()),
+    ("doc_blob", pa.binary()),
+    ("tf_blob", pa.binary()),
+    ("bm_last", pa.list_(pa.int64())),
+    ("bm_maxq", pa.list_(pa.float64())),
+    ("bm_doc_off", pa.list_(pa.int32())),
+    ("bm_tf_off", pa.list_(pa.int32())),
+    ("bm_ndocs", pa.list_(pa.int32())),
+]
+_SLICE_PA = pa.schema([pa.field(n, t) for n, t in _SLICE_FIELDS])
+_SLICE_DDL = (
+    "cell int, term string, first_doc long, last_doc long, n_docs long, "
+    "doc_blob binary, tf_blob binary, bm_last array<long>, bm_maxq array<double>, "
+    "bm_doc_off array<int>, bm_tf_off array<int>, bm_ndocs array<int>"
+)
+
+
+def search(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Top-k BM25 over the index: -> (query_id, rank, url, score)."""
+    paths = IndexPaths(index_dir)
+    meta = read_meta(index_dir)
+    n_docs = int(meta["n_docs"])
+    avgdl = float(meta["avgdl"])
+    n_buckets = int(meta["n_buckets"])
+    grid_parts = np.asarray(meta["grid"], dtype=np.int64)
+    cell_grid = grid_parts[::cell_parts].copy()
+
+    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
+    terms = sorted({t for ts in qterms.values() for t in ts})
+    empty = spark.createDataFrame([], "query_id int, rank int, url string, score double")
+    if not terms:
+        return empty
+
+    # Bucket of each term via the same JVM murmur3 used at write time.
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    buckets = sorted(
+        r["b"]
+        for r in tdf.select(
+            F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b")
+        ).distinct().collect()
+    )
+
+    # Pruned term_stats read -> idf per present term.
+    ts_rows = (
+        spark.read.parquet(paths.term_stats)
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    idf = {r["term"]: idf_value(n_docs, int(r["df"])) for r in ts_rows}
+    payload = [
+        (qid, [(t, idf[t]) for t in qts if t in idf]) for qid, qts in qterms.items()
+    ]
+    payload = [(qid, tl) for qid, tl in payload if tl]
+    if not payload:
+        return empty
+    bc_payload = spark.sparkContext.broadcast(payload)
+    bc_grid = spark.sparkContext.broadcast(cell_grid)
+
+    runs = spark.read.parquet(paths.postings).filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+    )
+
+    def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        grid = bc_grid.value
+        for batch in batches:
+            pdf = batch.to_pandas()
+            out = {n: [] for n, _ in _SLICE_FIELDS}
+            for _, row in pdf.iterrows():
+                run = run_from_row(row)
+                for cell, sub in slice_run_to_cells(run, grid):
+                    out["cell"].append(cell)
+                    out["term"].append(row["term"])
+                    out["first_doc"].append(sub.first_doc)
+                    out["last_doc"].append(sub.last_doc)
+                    out["n_docs"].append(sub.n_docs)
+                    out["doc_blob"].append(sub.doc_blob)
+                    out["tf_blob"].append(sub.tf_blob)
+                    out["bm_last"].append(sub.bm_last.tolist())
+                    out["bm_maxq"].append(sub.bm_maxq.tolist())
+                    out["bm_doc_off"].append(sub.bm_doc_off.tolist())
+                    out["bm_tf_off"].append(sub.bm_tf_off.tolist())
+                    out["bm_ndocs"].append(sub.bm_ndocs.tolist())
+            if out["cell"]:
+                yield from pa.table(out, schema=_SLICE_PA).to_batches()
+
+    slices = runs.drop("bucket", "run_id").mapInArrow(slice_runs, schema=_SLICE_DDL)
+
+    norms = spark.read.parquet(paths.norms).withColumn(
+        "cell", (F.col("part_id") / cell_parts).cast("int")
+    )
+
+    use_dense = mode == "dense"
+
+    def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
+        if slices_pdf.empty or norms_pdf.empty:
+            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
+                {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+            )
+        from ..operators.codec import vb_decode
+
+        term_runs = assemble_cell_runs(slices_pdf)
+        nrows = norms_pdf.sort_values("first_doc")
+        lo = int(nrows["first_doc"].iloc[0])
+        dl = np.concatenate(
+            [vb_decode(bytes(b)) for b in nrows["dl_blob"]]
+        ).astype(np.float64)
+        # contiguity: each part's range must abut the next
+        expect = lo
+        for _, r in nrows.iterrows():
+            assert int(r["first_doc"]) == expect, "norms ranges not contiguous"
+            expect += int(r["n_docs"])
+        norms_obj = CellNorms(lo, dl)
+        qids, dids, scores = [], [], []
+        for qid, term_idf in bc_payload.value:
+            if not any(t in term_runs for t, _ in term_idf):
+                continue
+            if use_dense:
+                d, s = dense_score_cell(term_runs, norms_obj, term_idf, avgdl)
+                if len(d) > k:
+                    # local truncate to k best (score desc, doc asc)
+                    order = np.lexsort((d, -s))[:k]
+                    d, s = d[order], s[order]
+                pairs = list(zip(d.tolist(), s.tolist()))
+            else:
+                pairs = bmw_score_cell(term_runs, norms_obj, term_idf, avgdl, k)
+            for did, sc in pairs:
+                qids.append(qid)
+                dids.append(did)
+                scores.append(sc)
+        return pd.DataFrame(
+            {
+                "query_id": np.array(qids, dtype=np.int32),
+                "doc_id": np.array(dids, dtype=np.int64),
+                "score": np.array(scores, dtype=np.float64),
+            }
+        )
+
+    scored = (
+        slices.groupBy("cell")
+        .cogroup(norms.groupBy("cell"))
+        .applyInPandas(score_cell, schema="query_id int, doc_id long, score double")
+    )
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    doc_map = spark.read.parquet(paths.docs_extracted).select("doc_id", "url")
+    return (
+        top.join(doc_map, "doc_id")
+        .select("query_id", "rank", "url", "score")
+        .orderBy("query_id", "rank")
+    )

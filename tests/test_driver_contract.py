@@ -1,0 +1,49 @@
+"""Mimics the driver's correctness gate: for every paired query, run the
+Spark SQL and the DuckDB oracle SQL on the same testdata and compare
+row-sets exactly (column names, row count, values)."""
+
+import os
+
+import duckdb
+import pytest
+
+from pageindex_spark.driverq import TABLES, paired_sql, register_views
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"create view {t} as select * from read_parquet('{p}')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def sviews(spark):
+    register_views(spark, SF_DIR)
+    return spark
+
+
+def _norm(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(paired_sql().keys()))
+def test_pair_matches(name, sviews, duck):
+    ssql, dsql = paired_sql()[name]
+    sdf = sviews.sql(ssql)
+    got_cols = [c.lower() for c in sdf.columns]
+    want = duck.execute(dsql)
+    want_cols = [c[0].lower() for c in want.description]
+    assert got_cols == want_cols, (got_cols, want_cols)
+    got_rows = _norm([tuple(r) for r in sdf.collect()])
+    want_rows = _norm(want.fetchall())
+    assert len(got_rows) == len(want_rows), (name, len(got_rows), len(want_rows))
+    mism = [
+        (g, w) for g, w in zip(got_rows, want_rows) if g != w
+    ]
+    assert not mism, (name, mism[:5])

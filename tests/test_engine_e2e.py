@@ -1,0 +1,115 @@
+"""Full-engine end-to-end: build SPIMI index at sf-unit, query with BMW and
+dense modes, assert rank identity + score parity vs the pure-Python oracle
+(SURVEY.md §5.2(1)); resume test (§5.2(4))."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pageindex_spark import build_index, search
+from pageindex_spark.oracle import bm25_topk
+from pageindex_spark.plans.build_index import SimulatedKill
+from pageindex_spark.plans.lineage import stage_metrics
+from pageindex_spark.sources.corpus import make_queries
+
+INDEX_DIR = "/root/repo/data/index-sf-unit"
+
+
+@pytest.fixture(scope="module")
+def built_index(spark, sf_unit_dir):
+    shutil.rmtree(INDEX_DIR, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    build_index(
+        spark,
+        docs.select("url", "text"),
+        INDEX_DIR,
+        num_partitions=8,
+        n_buckets=8,
+        n_seg_chunks=2,
+        n_bucket_chunks=2,
+    )
+    return INDEX_DIR
+
+
+@pytest.fixture(scope="module")
+def golden(sf_unit_dir):
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    return bm25_topk(rows, make_queries(), k=10)
+
+
+def _assert_matches_golden(got_rows, golden):
+    assert len(got_rows) == len(golden)
+    for g, (qid, rank, url, score) in zip(got_rows, golden):
+        assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url), (
+            g,
+            (qid, rank, url, score),
+        )
+        assert abs(g["score"] - score) < 1e-9
+
+
+def test_bmw_rank_identity(spark, built_index, golden):
+    got = search(spark, built_index, make_queries(), k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden)
+
+
+def test_dense_rank_identity(spark, built_index, golden):
+    got = search(spark, built_index, make_queries(), k=10, mode="dense").collect()
+    _assert_matches_golden(got, golden)
+
+
+def test_compression_and_metrics(spark, built_index, golden):
+    m = stage_metrics(spark, built_index)
+    assert set(m) >= {"extract", "segments", "compact"}
+    assert m["extract"]["docs"] >= 1000  # includes -1 completion marker row
+    # compressed postings much smaller than 16B/posting raw
+    runs = spark.read.parquet(os.path.join(built_index, "postings"))
+    row = runs.agg(
+        F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
+        F.sum("n_docs").alias("postings"),
+    ).collect()[0]
+    assert row["bytes"] < 6 * row["postings"], "compression ratio regressed"
+
+
+def test_resume_after_kill(spark, sf_unit_dir, golden):
+    """Kill after segments chunk 0; resume must finish WITHOUT recomputing
+    the committed extract/segments work, and produce an identical index."""
+    kill_dir = "/root/repo/data/index-resume-test"
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    with pytest.raises(SimulatedKill):
+        build_index(
+            spark,
+            docs.select("url", "text"),
+            kill_dir,
+            num_partitions=8,
+            n_buckets=8,
+            n_seg_chunks=2,
+            n_bucket_chunks=2,
+            stop_after=("segments", 0),
+        )
+    m1 = stage_metrics(spark, kill_dir)
+    assert "compact" not in m1 and m1["segments"]["partitions"] == 1
+    # resume: docs input deliberately NOT re-provided with html to prove no
+    # re-extraction happens (it reads docs_extracted instead).
+    build_index(
+        spark,
+        docs.select("url", "text"),
+        kill_dir,
+        num_partitions=8,
+        n_buckets=8,
+        n_seg_chunks=2,
+        n_bucket_chunks=2,
+    )
+    m2 = stage_metrics(spark, kill_dir)
+    # extract ran exactly once (same partition count as first attempt)
+    assert m2["extract"]["partitions"] == m1["extract"]["partitions"]
+    assert m2["segments"]["partitions"] == 2
+    got = search(spark, kill_dir, make_queries(), k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden)
+    shutil.rmtree(kill_dir, ignore_errors=True)

@@ -32,12 +32,18 @@ def test_extraction_byte_identity(spark, docs):
 
 
 def test_doc_id_assignment_dense_and_url_ordered(spark, docs):
-    dm = assign_doc_ids(docs.select("url"), num_partitions=8)
+    dm, offsets = assign_doc_ids(docs.select("url"), num_partitions=8)
     rows = dm.orderBy("doc_id").collect()
     n = docs.count()
     assert [r["doc_id"] for r in rows] == list(range(n))
     urls = [r["url"] for r in rows]
     assert urls == sorted(urls)
+    # offsets form the docID grid: partition p holds [offsets[p], offsets[p+1])
+    assert offsets[0] == 0 and len(offsets) == 8
+    for r in rows:
+        p = r["part_id"]
+        hi = offsets[p + 1] if p + 1 < len(offsets) else n
+        assert offsets[p] <= r["doc_id"] < hi
 
 
 def test_naive_bm25_rank_identity(spark, docs, sf_unit_dir):
