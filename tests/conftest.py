@@ -10,9 +10,10 @@ TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
 
 @pytest.fixture(scope="session")
 def spark():
-    from pageindex_spark.session import get_spark
+    from pageindex_spark.session import get_spark, warm_up
 
     s = get_spark(app_name="pageindex-tests", cores=8, shuffle_partitions=8)
+    warm_up(s)  # absorb one-time JIT cost outside the tests
     yield s
 
 
@@ -22,3 +23,11 @@ def sf_unit_dir(tmp_path_factory):
     from pageindex_spark.sources.corpus import ensure_scale
 
     return ensure_scale("sf-unit", base_dir="/root/repo/data")
+
+
+@pytest.fixture(scope="session")
+def sf_micro_dir(tmp_path_factory):
+    """300-doc corpus for the slow kill/resume end-to-end test."""
+    from pageindex_spark.sources.corpus import ensure_scale
+
+    return ensure_scale("sf-micro", base_dir="/root/repo/data")

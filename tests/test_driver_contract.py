@@ -32,6 +32,28 @@ def _norm(rows):
     return sorted(tuple(r) for r in rows)
 
 
+def test_entry_smoke(spark):
+    import __spark_entry__ as E
+
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0 and set(df.columns) == {"query_id", "rank", "doc_id", "score6"}
+
+
+def test_engine_bm25_matches_sql_oracle(spark, duck):
+    """The custom SPIMI+WAND engine must reproduce the relational/DuckDB
+    BM25 oracle exactly (doc_ids, ranks, fixed-point scores) — this is the
+    same comparison the driver makes for engine_bm25_wand."""
+    import shutil
+
+    import __spark_entry__ as E
+
+    shutil.rmtree(f"{E._INDEX_CACHE_ROOT}_sf0.001", ignore_errors=True)
+    got = _norm([tuple(r) for r in E._engine_bm25_wand(spark, SF_DIR).collect()])
+    want = _norm(duck.execute(paired_sql()["bm25_topk"][1]).fetchall())
+    assert got == want
+
+
 @pytest.mark.parametrize("name", sorted(paired_sql().keys()))
 def test_pair_matches(name, sviews, duck):
     ssql, dsql = paired_sql()[name]

@@ -76,33 +76,33 @@ def test_compression_and_metrics(spark, built_index, golden):
     assert row["bytes"] < 6 * row["postings"], "compression ratio regressed"
 
 
-def test_resume_after_kill(spark, sf_unit_dir, golden):
+def test_resume_after_kill(spark, sf_micro_dir):
     """Kill after segments chunk 0; resume must finish WITHOUT recomputing
-    the committed extract/segments work, and produce an identical index."""
+    the committed extract/segments work, and produce an identical index.
+    Runs at sf-micro (300 docs) — resume semantics are scale-free."""
     kill_dir = "/root/repo/data/index-resume-test"
     shutil.rmtree(kill_dir, ignore_errors=True)
-    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    docs = spark.read.parquet(os.path.join(sf_micro_dir, "documents.parquet"))
     with pytest.raises(SimulatedKill):
         build_index(
             spark,
             docs.select("url", "text"),
             kill_dir,
-            num_partitions=8,
-            n_buckets=8,
+            num_partitions=4,
+            n_buckets=4,
             n_seg_chunks=2,
             n_bucket_chunks=2,
             stop_after=("segments", 0),
         )
     m1 = stage_metrics(spark, kill_dir)
     assert "compact" not in m1 and m1["segments"]["partitions"] == 1
-    # resume: docs input deliberately NOT re-provided with html to prove no
-    # re-extraction happens (it reads docs_extracted instead).
+    # resume: finishes the remaining chunks only
     build_index(
         spark,
         docs.select("url", "text"),
         kill_dir,
-        num_partitions=8,
-        n_buckets=8,
+        num_partitions=4,
+        n_buckets=4,
         n_seg_chunks=2,
         n_bucket_chunks=2,
     )
@@ -110,6 +110,34 @@ def test_resume_after_kill(spark, sf_unit_dir, golden):
     # extract ran exactly once (same partition count as first attempt)
     assert m2["extract"]["partitions"] == m1["extract"]["partitions"]
     assert m2["segments"]["partitions"] == 2
+    # identical results to the oracle on the micro corpus
+    tbl = pq.read_table(
+        os.path.join(sf_micro_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    golden_micro = bm25_topk(rows, make_queries(), k=10)
     got = search(spark, kill_dir, make_queries(), k=10, mode="bmw").collect()
-    _assert_matches_golden(got, golden)
+    _assert_matches_golden(got, golden_micro)
     shutil.rmtree(kill_dir, ignore_errors=True)
+
+
+def test_extraction_byte_identity_through_build(spark, sf_micro_dir):
+    """Build from the html column only (no text): the extract stage's output
+    must be byte-identical to the ground-truth text for every url."""
+    idx_dir = "/root/repo/data/index-extract-test"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_micro_dir, "documents.parquet"))
+    build_index(
+        spark,
+        docs.select("url", "html"),  # no text column -> extractor runs
+        idx_dir,
+        num_partitions=4,
+        n_buckets=4,
+        n_seg_chunks=1,
+        n_bucket_chunks=1,
+    )
+    ext = spark.read.parquet(os.path.join(idx_dir, "docs_extracted"))
+    truth = docs.select("url", F.col("text").alias("truth"))
+    bad = ext.join(truth, "url").filter(F.col("text") != F.col("truth")).count()
+    assert bad == 0
+    shutil.rmtree(idx_dir, ignore_errors=True)
