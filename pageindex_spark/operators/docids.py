@@ -1,4 +1,5 @@
-"""Global docID assignment: dense int64 ids in url order, cluster-scalable.
+"""Global docID assignment: dense int64 ids in url order, cluster-scalable
+and re-execution-safe.
 
 Reference parity: PageIndex's positional docID is the page's 1-based
 ``physical_index`` (``/root/reference/pageindex/utils.py:417-440`` list
@@ -7,18 +8,22 @@ dense, and ordered the same way the tie-break orders urls (score desc, url
 asc), so that docID order == url order and WAND's docID tie-break equals the
 oracle's url tie-break.
 
-Scalable two-pass scheme (no zipWithIndex over a driver-collected list):
-1. ``repartitionByRange(P, url)`` + ``sortWithinPartitions(url)`` — range
-   shuffle keyed by url (Spark samples range bounds; at 10^12 docs P is
-   O(data / target-partition-size)).
-2. count rows per partition (cheap scan), cumsum on the driver (P integers
-   only), broadcast offsets, ``mapInArrow`` adds
-   ``doc_id = offset + local row index``.
+Determinism hazard this design dodges: ``repartitionByRange`` SAMPLES its
+range boundaries per job execution (the sample seed derives from the
+physical RDD, which Catalyst re-creates per action). Running one job to
+count partition sizes and a second to write data can therefore see
+DIFFERENT boundaries — silently corrupting offset-based docIDs (observed in
+this repo as compaction's "runs overlap" assertion at local[8]). The fix:
 
-The resulting frame is range-partitioned by url AND by doc_id simultaneously
-(same order), which downstream stages exploit: SPIMI segments inherit
-disjoint docID ranges per partition for free, and segment merge becomes an
-ordered concatenation.
+1. ONE job performs the range shuffle and writes ``(part_id, local_pos,
+   url, text, doc_len)`` partitioned by part_id — boundaries are sampled
+   exactly once and frozen in the committed files;
+2. offsets are then derived from the committed files (metadata-only read);
+3. ``doc_id = offsets[part_id] + local_pos`` is a cheap projection attached
+   at read time via a broadcast join with the tiny offsets table.
+
+Every downstream consumer sees the same committed bytes, so docIDs are
+reproducible across jobs, retries and resumes.
 """
 
 from __future__ import annotations
@@ -31,56 +36,82 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
-def assign_doc_ids(
-    docs: DataFrame, num_partitions: int | None = None
-) -> tuple[DataFrame, list[int]]:
-    """Add dense int64 ``doc_id`` + int32 ``part_id`` columns, url-ordered.
-
-    Output keeps each input column; each output partition owns a contiguous
-    docID range and rows are sorted by (url == doc_id) within it. Returns
-    (df, offsets) where offsets[p] is partition p's first docID — the docID
-    grid used by norms packing and query-time cell assignment.
-    """
+def add_partition_pos(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Range-shuffle by url and add ``part_id`` (int32) + ``local_pos``
+    (int64, 0-based within partition). Single-job; each output partition
+    owns a contiguous url range sorted ascending."""
     spark = docs.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ranged = docs.repartitionByRange(num_partitions, "url").sortWithinPartitions("url")
 
-    counts = (
-        ranged.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    sizes = {r["pid"]: r["count"] for r in counts}
-    offsets: list[int] = []
-    acc = 0
-    for pid in range(num_partitions):
-        offsets.append(acc)
-        acc += sizes.get(pid, 0)
-    bc = spark.sparkContext.broadcast(offsets)
-
     out_type = StructType(
         [
-            StructField("doc_id", LongType(), False),
             StructField("part_id", IntegerType(), False),
+            StructField("local_pos", LongType(), False),
         ]
         + list(ranged.schema.fields)
     )
 
-    def add_ids(iterator: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def add_pos(iterator: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        next_id = bc.value[pid]
+        pos = 0
         for batch in iterator:
             n = batch.num_rows
-            ids = pa.array(range(next_id, next_id + n), pa.int64())
             pids = pa.array([pid] * n, pa.int32())
-            next_id += n
+            poss = pa.array(range(pos, pos + n), pa.int64())
+            pos += n
             yield pa.RecordBatch.from_arrays(
-                [ids, pids] + batch.columns,
-                names=["doc_id", "part_id"] + batch.schema.names,
+                [pids, poss] + batch.columns,
+                names=["part_id", "local_pos"] + batch.schema.names,
             )
 
-    return ranged.mapInArrow(add_ids, schema=out_type), offsets
+    return ranged.mapInArrow(add_pos, schema=out_type)
+
+
+def offsets_from_counts(counts: dict[int, int], num_partitions: int) -> list[int]:
+    """Partition sizes -> starting docID per partition (the docID grid)."""
+    offsets: list[int] = []
+    acc = 0
+    for pid in range(num_partitions):
+        offsets.append(acc)
+        acc += counts.get(pid, 0)
+    return offsets
+
+
+def partition_counts(ext: DataFrame) -> dict[int, int]:
+    """Rows per part_id from a COMMITTED extract table (metadata-cheap)."""
+    rows = ext.groupBy("part_id").count().collect()
+    return {int(r["part_id"]): int(r["count"]) for r in rows}
+
+
+def attach_doc_ids(ext: DataFrame, offsets: list[int]) -> DataFrame:
+    """+ ``doc_id`` = offsets[part_id] + local_pos via a broadcast join with
+    the P-row offsets table (exact, no sampling, re-execution-safe)."""
+    spark = ext.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(pid), int(off)) for pid, off in enumerate(offsets)],
+        "part_id int, _offset long",
+    )
+    return (
+        ext.join(F.broadcast(off_df), "part_id")
+        .withColumn("doc_id", (F.col("_offset") + F.col("local_pos")).cast("long"))
+        .drop("_offset")
+    )
+
+
+def assign_doc_ids(
+    docs: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, list[int]]:
+    """In-memory convenience (tests / small corpora): cache the single
+    range-shuffled result, then attach ids. The build pipeline instead goes
+    through its committed extract table — see plans/build_index.py."""
+    spark = docs.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    pos = add_partition_pos(docs, num_partitions)
+    pos.cache()  # freeze the sampled boundaries for both jobs below
+    offsets = offsets_from_counts(partition_counts(pos), num_partitions)
+    return attach_doc_ids(pos, offsets), offsets

@@ -65,18 +65,12 @@ def quality_score(docs: DataFrame, key: str = "doc_id", text_col: str = "text") 
 def lang_id(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(key, lang_guess) — marker-word vote, argmax with lang-code tie-break."""
     terms = F.expr(spark_terms(text_col))
-    scores = [
-        (
-            lang,
-            F.size(
-                F.filter(
-                    terms,
-                    lambda t, arr=F.array(*[F.lit(m) for m in markers]): F.array_contains(arr, t),
-                )
-            ),
-        )
-        for lang, markers in sorted(LANG_MARKERS.items())
-    ]
+
+    def _count(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(terms, lambda t: F.array_contains(arr, t)))
+
+    scores = [(lang, _count(markers)) for lang, markers in sorted(LANG_MARKERS.items())]
     # argmax by (count desc, lang asc): build struct array and array_max
     packed = F.array(
         *[F.struct(cnt.alias("cnt"), F.lit(lang).alias("neg")) for lang, cnt in scores]

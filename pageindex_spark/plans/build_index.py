@@ -44,7 +44,12 @@ from ..operators.compaction import (
     term_stats_from_runs,
     with_term_bucket,
 )
-from ..operators.docids import assign_doc_ids
+from ..operators.docids import (
+    add_partition_pos,
+    attach_doc_ids,
+    offsets_from_counts,
+    partition_counts,
+)
 from ..operators.extract import with_extracted_text
 from ..operators.spimi import build_segments
 from ..sources.tables import iceberg_available, read_meta, write_meta
@@ -111,8 +116,10 @@ def build_index(
         if "text" not in src.columns:
             src = with_extracted_text(src)
         src = src.select("url", "text")
-        with_ids, offsets = assign_doc_ids(src, num_partitions)
-        extracted = with_ids.withColumn(
+        # ONE job range-shuffles, assigns (part_id, local_pos) and writes —
+        # boundaries are sampled exactly once and frozen in committed files
+        # (see operators/docids.py for the re-execution hazard this avoids).
+        positioned = add_partition_pos(src, num_partitions).withColumn(
             "doc_len",
             F.size(
                 F.filter(
@@ -121,12 +128,13 @@ def build_index(
             ).cast("long"),
         )
         (
-            extracted.write.mode("overwrite")
+            positioned.write.mode("overwrite")
             .partitionBy("part_id")
             .parquet(paths.docs_extracted)
         )
 
         ext = spark.read.parquet(paths.docs_extracted)
+        offsets = offsets_from_counts(partition_counts(ext), num_partitions)
         n_docs, avgdl = _corpus_stats(ext)
 
         # norms: one row per part — varbyte-packed doc lengths over the
@@ -146,7 +154,8 @@ def build_index(
             )
 
         norms = (
-            ext.select("part_id", "doc_id", "doc_len")
+            attach_doc_ids(ext, offsets)
+            .select("part_id", "doc_id", "doc_len")
             .groupBy("part_id")
             .applyInPandas(
                 pack_norms,
@@ -184,14 +193,18 @@ def build_index(
 
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
+    grid = list(meta["grid"])
 
     # ---------------- stage: segments (chunked by part_id) ----------------
     done = committed_partitions(spark, index_dir, "segments")
     for chunk in range(n_seg_chunks):
         if chunk in done:
             continue
-        ext = spark.read.parquet(paths.docs_extracted).filter(
-            F.col("part_id") % n_seg_chunks == chunk
+        ext = attach_doc_ids(
+            spark.read.parquet(paths.docs_extracted).filter(
+                F.col("part_id") % n_seg_chunks == chunk
+            ),
+            grid,
         )
         segs = build_segments(ext, avgdl, block_size)
         segs.write.mode("overwrite").parquet(

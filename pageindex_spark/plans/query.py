@@ -204,7 +204,12 @@ def search(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    doc_map = spark.read.parquet(paths.docs_extracted).select("doc_id", "url")
+    from ..operators.docids import attach_doc_ids
+
+    doc_map = attach_doc_ids(
+        spark.read.parquet(paths.docs_extracted).select("part_id", "local_pos", "url"),
+        list(grid_parts),
+    ).select("doc_id", "url")
     return (
         top.join(doc_map, "doc_id")
         .select("query_id", "rank", "url", "score")

@@ -1,0 +1,112 @@
+"""Training-data pipeline operators (DataFrame API): consistency with the
+SQL-verified twins + semantic sanity (LSH recall, multimodal plumbing)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pageindex_spark.driverq import paired_sql, register_views
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ops_match_sql_twins(spark, docs):
+    """DataFrame-API operators == the SQL strings the driver verifies."""
+    from pageindex_spark.operators.dedup import exact_groups
+    from pageindex_spark.operators.textstats import fingerprint, lang_id, quality_score
+
+    register_views(spark, SF_DIR)
+    sqls = paired_sql()
+    assert _rows(fingerprint(docs)) == _rows(spark.sql(sqls["fingerprint"][0]))
+    assert _rows(lang_id(docs)) == _rows(spark.sql(sqls["lang_id"][0]))
+    assert _rows(quality_score(docs)) == _rows(spark.sql(sqls["quality_score"][0]))
+    assert _rows(exact_groups(docs)) == _rows(spark.sql(sqls["dedup_exact"][0]))
+
+
+def test_simhash_near_duplicates_close(spark, docs):
+    """SimHash of a doc and a lightly perturbed copy differ in few bits;
+    unrelated docs differ in many."""
+    from pageindex_spark.operators.dedup import simhash64
+
+    base = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    # perturbed copy: append one token (ids shifted by 10000)
+    pert = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in simhash64(base.unionByName(pert), bits=16).collect()}
+    close, far = [], []
+    for d in range(30):
+        ham_same = bin(sh[d] ^ sh[d + 10000]).count("1")
+        close.append(ham_same)
+        other = (d + 1) % 30
+        far.append(bin(sh[d] ^ sh[other]).count("1"))
+    assert sum(close) / len(close) < sum(far) / len(far)
+    assert max(close) <= 6  # light perturbation flips few bits
+
+
+def test_minhash_lsh_catches_planted_duplicates(spark, docs):
+    """Plant near-duplicates; LSH candidate buckets must pair them."""
+    from pageindex_spark.operators.dedup import lsh_candidates
+
+    base = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
+    dups = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"), F.col("text")
+    )  # exact copies -> identical signatures, must collide in every band
+    cands = lsh_candidates(base.unionByName(dups))
+    rows = cands.collect()
+    paired_keeps = {r["keep_id"] for r in rows if r["n_docs"] >= 2}
+    assert set(range(50)) <= paired_keeps
+
+
+def test_lsh_ann_recall_vs_exact(spark, vecs):
+    from pageindex_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+    dim = len(vecs.select("embedding").head()["embedding"])
+    exact = cosine_topk(vecs, n_query_vecs=5, k=10)
+    approx = lsh_ann_topk(vecs, dim, n_query_vecs=5, k=10)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    # approximate results are a subset of the corpus ranked identically
+    # within buckets; recall against exact top-10 must be non-trivial
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.2, recall
+    # and every approx hit must rank consistently (cos6 from same formula)
+    assert all(qid in range(5) for qid, _ in ap)
+
+
+def test_multimodal_plumbing(spark):
+    from pageindex_spark.operators.multimodal import (
+        frame_sample,
+        image_features,
+        probe_metadata,
+        synth_media,
+    )
+
+    media = synth_media(spark, 24)
+    meta = probe_metadata(media)
+    assert meta.count() == 24 and "payload" not in meta.columns
+    feats = image_features(media).collect()
+    assert len(feats) == 24 and all(len(r["feat"]) == 4 for r in feats)
+    # deterministic across runs
+    feats2 = image_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    frames = frame_sample(media, every_ms=1000)
+    counts = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
+    # duration 2000+500*(i%4) ms -> 2..3 frames
+    assert all(2 <= v <= 3 for v in counts.values())

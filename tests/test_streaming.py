@@ -1,0 +1,80 @@
+"""Structured Streaming ingestion: extraction byte-identity through the
+stream path + incremental segment appends with persisted docID offsets."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pageindex_spark.sources.corpus import make_documents
+from pageindex_spark.streaming.ingest import stream_extract, stream_segments
+
+BASE = "/root/repo/data/stream-test"
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    shutil.rmtree(BASE, ignore_errors=True)
+    os.makedirs(f"{BASE}/in", exist_ok=True)
+    corpus = make_documents(120, seed=7)
+    tbl = corpus.to_arrow()
+    # two "arrival" files (micro-batch boundaries under availableNow)
+    pq.write_table(tbl.slice(0, 60), f"{BASE}/in/part0.parquet")
+    pq.write_table(tbl.slice(60, 60), f"{BASE}/in/part1.parquet")
+    return corpus
+
+
+def test_stream_extract_byte_identity(spark, stream_dirs):
+    corpus = stream_dirs
+    q = stream_extract(
+        spark,
+        f"{BASE}/in",
+        f"{BASE}/out",
+        f"{BASE}/ckpt",
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    ).start()
+    q.awaitTermination(300)
+    got = {
+        r["url"]: r["text"]
+        for r in spark.read.parquet(f"{BASE}/out").select("url", "text").collect()
+    }
+    assert len(got) == 120
+    for url, text in zip(corpus.url, corpus.text):
+        assert got[url] == text  # byte-identical through the stream path
+
+    # exactly-once: re-running with the same checkpoint adds nothing
+    q2 = stream_extract(
+        spark,
+        f"{BASE}/in",
+        f"{BASE}/out",
+        f"{BASE}/ckpt",
+        schema="url string, warc_ts timestamp, html binary, text string, lang string",
+    ).start()
+    q2.awaitTermination(300)
+    assert spark.read.parquet(f"{BASE}/out").count() == 120
+
+
+def test_stream_segments_append(spark, stream_dirs):
+    q = stream_segments(
+        spark,
+        f"{BASE}/out",
+        f"{BASE}/segs",
+        f"{BASE}/state",
+        avgdl_hint=400.0,
+        schema="url string, text string, doc_len long",
+    ).start()
+    q.awaitTermination(300)
+    segs = spark.read.parquet(f"{BASE}/segs")
+    # all 120 docs indexed exactly once (docIDs dense from the offset file)
+    total_docs = (
+        segs.filter(F.col("term") == "__nope__").count()  # touch plan
+        or segs.selectExpr("max(last_doc) as m").collect()[0]["m"]
+    )
+    assert total_docs == 119
+    import json
+
+    with open(f"{BASE}/state/docid_offset.json") as f:
+        assert json.load(f)["next_doc_id"] == 120
+    shutil.rmtree(BASE, ignore_errors=True)
