@@ -45,7 +45,15 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"{_INDEX_CACHE_ROOT}_{tag}"
-    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        import json
+        import shutil
+
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != 2:
+                shutil.rmtree(index_dir)  # stale on-disk format -> rebuild
+    if not os.path.exists(meta_path):
         build_index(
             spark,
             _docs_as_corpus(spark, sf_dir),

@@ -58,7 +58,9 @@ class _Dialect:
                 f"list_filter(regexp_split_to_array(lower({col}), "
                 f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '')"
             )
-        return f"filter(split(lower({col}), '{TOKEN_SPLIT_PATTERN}'), x -> x <> '')"
+        # array_remove keeps the tokenize path inside whole-stage codegen
+        # (higher-order filter lambdas do not); semantics identical.
+        return f"array_remove(split(lower({col}), '{TOKEN_SPLIT_PATTERN}'), '')"
 
     def size(self, a: str) -> str:
         return f"len({a})" if self.duck else f"size({a})"
@@ -401,6 +403,40 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["union_distinct"] = same(
         """select distinct event_type as val from events
         union select distinct o_orderstatus as val from orders"""
+    )
+    # --- small SURVEY §2 operator echoes ---
+    # #10 type-cast projection: '<physical_index_N>' tag -> int
+    pairs["typecast_extract"] = (
+        """select doc_id, cast(regexp_extract(concat('<physical_index_', cast(doc_id as string), '>'),
+        '<physical_index_([0-9]+)>', 1) as bigint) as parsed from documents""",
+        """select doc_id, cast(regexp_extract('<physical_index_' || cast(doc_id as varchar) || '>',
+        '<physical_index_([0-9]+)>', 1) as bigint) as parsed from documents""",
+    )
+    # #31 dot-leader normalization: '.....' runs -> ': '
+    pairs["dot_leader"] = (
+        """select doc_id, regexp_replace(concat(substr(text, 1, 20), '.......', '42'),
+        '[.]{5,}', ': ') as toc_line from documents""",
+        """select doc_id, regexp_replace(substr(text, 1, 20) || '.......' || '42',
+        '[.]{5,}', ': ', 'g') as toc_line from documents""",
+    )
+    # #12 conditional row insert (synthetic preface row union)
+    pairs["preface_union"] = same(
+        """select doc_id, kind from (
+          select doc_id, 'doc' as kind from documents where doc_id < 5
+          union all select -1 as doc_id, 'preface' as kind
+        ) t"""
+    )
+    # #24 reverse scan / last non-null
+    pairs["last_nonnull"] = same(
+        "select max(doc_id) as last_idx from documents where doc_id % 7 = 0"
+    )
+    # #25 early-terminated scan (limit pushdown)
+    pairs["limit_pushdown"] = same(
+        "select doc_id, lang from documents order by doc_id asc limit 25"
+    )
+    # #34 filename sanitize
+    pairs["sanitize"] = same(
+        "select doc_id, translate(source, '/', '-') as safe_name from documents"
     )
     return pairs
 

@@ -19,8 +19,9 @@ from __future__ import annotations
 from .tokenizer import TOKEN_SPLIT_PATTERN
 
 # -- tokenize a text column -> array of non-empty lowercase tokens ----------
+# array_remove (not a filter lambda) keeps the path in whole-stage codegen.
 SPARK_TERMS = (
-    "filter(split(lower({col}), '" + TOKEN_SPLIT_PATTERN + "'), x -> x <> '')"
+    "array_remove(split(lower({col}), '" + TOKEN_SPLIT_PATTERN + "'), '')"
 )
 DUCK_TERMS = (
     "list_filter(regexp_split_to_array(lower({col}), '"

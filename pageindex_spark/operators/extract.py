@@ -44,9 +44,14 @@ def with_extracted_text(docs: DataFrame, out_col: str = "text") -> DataFrame:
 
 
 def terms_col(text_col: str | Column = "text") -> Column:
-    """JVM-side tokenizer: array<string> of non-empty lowercase tokens."""
+    """JVM-side tokenizer: array<string> of non-empty lowercase tokens.
+
+    ``array_remove(..., '')`` rather than a higher-order ``filter`` lambda:
+    HOFs fall out of whole-stage codegen in Spark, array_remove does not
+    (verified via .explain; semantics identical — '' is the only junk token
+    the split can produce)."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_PATTERN), lambda x: x != F.lit(""))
+    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_PATTERN), "")
 
 
 def with_terms(docs: DataFrame, text_col: str = "text", out_col: str = "terms") -> DataFrame:

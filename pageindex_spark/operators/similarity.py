@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 LSH_SEED = 42
-LSH_PLANES = 8
+LSH_PLANES = 4  # bits per table -> 16 buckets/table
+LSH_TABLES = 4  # independent tables; candidates = union over tables
 
 
 def _dot(a, b):
@@ -62,23 +63,42 @@ def cosine_topk(
     )
 
 
-def lsh_planes(dim: int, n_planes: int = LSH_PLANES, seed: int = LSH_SEED) -> np.ndarray:
+def lsh_planes(
+    dim: int, n_planes: int = LSH_PLANES, n_tables: int = LSH_TABLES, seed: int = LSH_SEED
+) -> np.ndarray:
     rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+    return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
 
 
-def with_lsh_bucket(
-    vectors: DataFrame, dim: int, n_planes: int = LSH_PLANES, vec_col: str = "embedding"
+def with_lsh_buckets(
+    vectors: DataFrame,
+    dim: int,
+    n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
+    vec_col: str = "embedding",
 ) -> DataFrame:
-    """+ ``bucket`` int column: sign bits of dot(v, plane_j). Deterministic
-    (seeded hyperplanes as literals). One narrow projection, no shuffle."""
-    planes = lsh_planes(dim, n_planes)
-    bucket = F.lit(0)
-    for j in range(n_planes):
-        lit = F.array(*[F.lit(float(x)) for x in planes[j]])
-        bit = F.when(_dot(F.col(vec_col), lit) >= 0, 1).otherwise(0)
-        bucket = bucket + bit * F.lit(1 << j)
-    return vectors.withColumn("bucket", bucket.cast("int"))
+    """Explode each vector into ``n_tables`` rows of (table, bucket): the
+    bucket is the sign-bit code of dot(v, plane_j) per table. Deterministic
+    (seeded hyperplanes as literals); one narrow projection, no shuffle.
+    Multi-table is the standard recall lever: near neighbors must collide
+    in AT LEAST ONE table, so recall ~ 1 - (1 - p^b)^L."""
+    planes = lsh_planes(dim, n_planes, n_tables)
+    tables = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for j in range(n_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[t, j]])
+            bit = F.when(_dot(F.col(vec_col), lit) >= 0, 1).otherwise(0)
+            bucket = bucket + bit * F.lit(1 << j)
+        tables.append(
+            F.struct(F.lit(t).alias("table"), bucket.cast("int").alias("bucket"))
+        )
+    return (
+        vectors.withColumn("tb", F.explode(F.array(*tables)))
+        .withColumn("table", F.col("tb.table"))
+        .withColumn("bucket", F.col("tb.bucket"))
+        .drop("tb")
+    )
 
 
 def lsh_ann_topk(
@@ -89,30 +109,38 @@ def lsh_ann_topk(
     key: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's LSH bucket.
-
-    Output (query_id, rank, vec_id, cos6) — a subset/reorder of the exact
-    result by construction (recall measured in tests, not asserted exact).
-    """
-    b = with_lsh_bucket(vectors, dim, n_planes, vec_col)
+    """Approximate top-k: candidates = union over tables of the query's
+    bucket co-occupants; dedup, score, rank. One shuffle on (table, bucket)
+    via the broadcast join + a distinct. Output (query_id, rank, vec_id,
+    cos6) — recall vs the exact scan is measured in tests, not asserted
+    exact."""
+    b = with_lsh_buckets(vectors, dim, n_planes, n_tables, vec_col)
     q = b.filter(F.col(key) < n_query_vecs).select(
-        F.col(key).alias("query_id"), F.col(vec_col).alias("qv"), F.col("bucket").alias("qb")
+        F.col(key).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.col("table").alias("qt"),
+        F.col("bucket").alias("qb"),
     )
-    c = b.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("cv"), "bucket")
+    c = b.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("cv"), "table", "bucket")
+    cand = (
+        c.join(
+            F.broadcast(q),
+            (F.col("qt") == F.col("table"))
+            & (F.col("qb") == F.col("bucket"))
+            & (F.col("query_id") != F.col("vec_id")),
+        )
+        .select("query_id", "qv", "vec_id", "cv")
+        .distinct()
+    )
     dot = _dot(F.col("qv"), F.col("cv"))
     na = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     nb = F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    scored = (
-        c.join(
-            F.broadcast(q),
-            (F.col("qb") == F.col("bucket")) & (F.col("query_id") != F.col("vec_id")),
-        )
-        .select(
-            "query_id",
-            "vec_id",
-            F.floor(dot / (na * nb) * 1_000_000).cast("long").alias("cos6"),
-        )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.floor(dot / (na * nb) * 1_000_000).cast("long").alias("cos6"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("vec_id"))
     return (

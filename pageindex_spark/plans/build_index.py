@@ -122,9 +122,7 @@ def build_index(
         positioned = add_partition_pos(src, num_partitions).withColumn(
             "doc_len",
             F.size(
-                F.filter(
-                    F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
-                )
+                F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
             ).cast("long"),
         )
         (
@@ -167,6 +165,7 @@ def build_index(
         write_meta(
             index_dir,
             {
+                "format_version": 2,
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "grid": offsets,

@@ -62,7 +62,10 @@ def warm_up(spark: SparkSession) -> None:
         spark.range(3000)
         .select(
             F.size(
-                F.split(F.lower(F.repeat(F.lit("ab cd9 "), 400)), TOKEN_SPLIT_PATTERN)
+                F.array_remove(
+                    F.split(F.lower(F.repeat(F.lit("ab cd9 "), 400)), TOKEN_SPLIT_PATTERN),
+                    "",
+                )
             ).alias("l")
         )
         .agg(F.avg("l"))

@@ -44,9 +44,9 @@ def stream_extract(
     extracted = with_extracted_text(raw).select(
         "url",
         "text",
-        F.size(
-            F.filter(F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit(""))
-        ).cast("long").alias("doc_len"),
+        F.size(F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), ""))
+        .cast("long")
+        .alias("doc_len"),
     )
     return (
         extracted.writeStream.format("parquet")

@@ -61,17 +61,20 @@ def test_simhash_near_duplicates_close(spark, docs):
 
 
 def test_minhash_lsh_catches_planted_duplicates(spark, docs):
-    """Plant near-duplicates; LSH candidate buckets must pair them."""
-    from pageindex_spark.operators.dedup import lsh_candidates
+    """Plant near-duplicates; every (d, d+10000) pair must share a band
+    bucket (exact copies have identical signatures in every band)."""
+    from pageindex_spark.operators.dedup import lsh_bands, minhash_signatures
 
     base = docs.filter(F.col("doc_id") < 50).select("doc_id", "text")
-    dups = base.select(
-        (F.col("doc_id") + 10000).alias("doc_id"), F.col("text")
-    )  # exact copies -> identical signatures, must collide in every band
-    cands = lsh_candidates(base.unionByName(dups))
-    rows = cands.collect()
-    paired_keeps = {r["keep_id"] for r in rows if r["n_docs"] >= 2}
-    assert set(range(50)) <= paired_keeps
+    dups = base.select((F.col("doc_id") + 10000).alias("doc_id"), F.col("text"))
+    bands = lsh_bands(minhash_signatures(base.unionByName(dups)))
+    buckets: dict[tuple, set] = {}
+    for r in bands.collect():
+        buckets.setdefault((r["band_id"], r["band_hash"]), set()).add(r["doc_id"])
+    for d in range(50):
+        assert any(
+            d in members and d + 10000 in members for members in buckets.values()
+        ), d
 
 
 def test_lsh_ann_recall_vs_exact(spark, vecs):

@@ -72,7 +72,8 @@ def test_whole_stage_codegen_on_tokenize(spark, sf_unit_dir):
     from pageindex_spark.operators.postings import doc_stats
 
     plan = _explain(doc_stats(docs), mode="simple")
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in simple mode.
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
