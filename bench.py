@@ -9,9 +9,13 @@ Extras reported (BASELINE.md targets):
 * build_docs_per_sec — SPIMI index build throughput (extract -> compact);
 * query_p50_ms / query_p95_ms — per-query BM25 BMW top-10 latency over the
   5-query reference set, measured per query on the built index;
-* SPARK_GRAFT_SCALING=1 additionally re-runs the build at local[8] and
+* SPARK_GRAFT_SCALING=1 additionally builds the SYNTHETIC sf-bench corpus
+  (200k docs x ~500 tokens — the driver's documents table is only 5k rows,
+  far too small for parallelism to beat fixed overhead) at local[8] and
   local[32] and reports scaling efficiency ((T8/T32)/4) — the sandbox
-  substitute for the north rule's N -> 4N executor criterion.
+  substitute for the north rule's N -> 4N executor criterion. Each timed
+  run is preceded by an untimed warm build so JVM JIT state is comparable
+  between the two.
 
 JIT warm-up runs before the timed region (session reuse on a long-lived
 cluster amortizes it to zero; see session.warm_up docstring).
@@ -66,15 +70,17 @@ def _fresh_session(cores: int):
     return spark
 
 
-def _build_once(spark, tag: str, cores: int) -> tuple[float, int]:
-    """Fresh index build over the sf documents table; returns (sec, n_docs)."""
+def _build_once(spark, tag: str, cores: int, docs=None) -> tuple[float, int]:
+    """Fresh index build; returns (sec, n_docs). Default input: the driver's
+    documents table at SF_DIR; pass ``docs`` to build something else."""
     from pyspark.sql import functions as F
 
     from pageindex_spark import build_index
 
-    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
-        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
-    )
+    if docs is None:
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+            F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+        )
     n_docs = docs.count()
     out = f"/root/repo/data/bench_index_{tag}"
     shutil.rmtree(out, ignore_errors=True)
@@ -145,13 +151,22 @@ def main() -> None:
     }
 
     if SCALING:
+        from pageindex_spark.sources.corpus import ensure_scale
+
+        bench_dir = ensure_scale("sf-bench")  # 200k synthetic docs, cached
         scaling = {}
         for cores in (8, 32):
             spark = _fresh_session(cores)
-            sec, n = _build_once(spark, f"scale{cores}", cores)
+            big = spark.read.parquet(
+                os.path.join(bench_dir, "documents.parquet")
+            ).select("url", "text")
+            # untimed warm build (JIT parity between the two timed runs)
+            _build_once(spark, f"warm{cores}", cores, docs=big.limit(2000))
+            sec, n = _build_once(spark, f"scale{cores}", cores, docs=big)
             scaling[f"local{cores}"] = {
                 "build_sec": round(sec, 2),
                 "docs_per_sec": round(n / sec, 1),
+                "n_docs": n,
             }
         t8 = scaling["local8"]["build_sec"]
         t32 = scaling["local32"]["build_sec"]

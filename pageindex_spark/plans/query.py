@@ -65,6 +65,48 @@ _SLICE_DDL = (
 )
 
 
+class Searcher:
+    """Warm handle over a built index: caches the tiny norms relation and
+    the meta, computes term buckets driver-side (Spark-compatible murmur3 in
+    Python — no job), and prunes every read to the query's buckets."""
+
+    def __init__(
+        self, spark: SparkSession, index_dir: str, cell_parts: int = 4, cache: bool = True
+    ):
+        self.spark = spark
+        self.paths = IndexPaths(index_dir)
+        self.meta = read_meta(index_dir)
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"])
+        self.n_buckets = int(self.meta["n_buckets"])
+        self.grid_parts = np.asarray(self.meta["grid"], dtype=np.int64)
+        self.cell_parts = cell_parts
+        self.cell_grid = self.grid_parts[::cell_parts].copy()
+        self.norms = spark.read.parquet(self.paths.norms).withColumn(
+            "cell", (F.col("part_id") / cell_parts).cast("int")
+        )
+        if cache:
+            # norms is one row per build partition (P rows total — tiny even
+            # at 10^12 docs with millions of partitions); safe to cache.
+            self.norms = self.norms.cache()
+
+    def search(self, queries: list[tuple[int, str]], k: int = 10, mode: str = "bmw") -> DataFrame:
+        return _search_impl(self, queries, k, mode)
+
+
+_SEARCHERS: dict[tuple, Searcher] = {}
+
+
+def get_searcher(spark: SparkSession, index_dir: str, cell_parts: int = 4) -> Searcher:
+    import os as _os
+
+    mtime = _os.path.getmtime(_os.path.join(index_dir, "meta.json"))
+    key = (id(spark), index_dir, cell_parts, mtime)
+    if key not in _SEARCHERS:
+        _SEARCHERS[key] = Searcher(spark, index_dir, cell_parts)
+    return _SEARCHERS[key]
+
+
 def search(
     spark: SparkSession,
     index_dir: str,
@@ -74,13 +116,16 @@ def search(
     cell_parts: int = 4,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score)."""
-    paths = IndexPaths(index_dir)
-    meta = read_meta(index_dir)
-    n_docs = int(meta["n_docs"])
-    avgdl = float(meta["avgdl"])
-    n_buckets = int(meta["n_buckets"])
-    grid_parts = np.asarray(meta["grid"], dtype=np.int64)
-    cell_grid = grid_parts[::cell_parts].copy()
+    return get_searcher(spark, index_dir, cell_parts).search(queries, k, mode)
+
+
+def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str) -> DataFrame:
+    from ..functions.murmur3 import term_bucket
+
+    spark = se.spark
+    paths = se.paths
+    n_docs, avgdl, n_buckets = se.n_docs, se.avgdl, se.n_buckets
+    cell_grid = se.cell_grid
 
     qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
     terms = sorted({t for ts in qterms.values() for t in ts})
@@ -88,14 +133,8 @@ def search(
     if not terms:
         return empty
 
-    # Bucket of each term via the same JVM murmur3 used at write time.
-    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
-    buckets = sorted(
-        r["b"]
-        for r in tdf.select(
-            F.pmod(F.hash("term"), F.lit(n_buckets)).alias("b")
-        ).distinct().collect()
-    )
+    # Bucket per term computed driver-side (no Spark job; matches F.hash).
+    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
 
     # Pruned term_stats read -> idf per present term.
     ts_rows = (
@@ -143,10 +182,7 @@ def search(
 
     slices = runs.drop("bucket", "run_id").mapInArrow(slice_runs, schema=_SLICE_DDL)
 
-    norms = spark.read.parquet(paths.norms).withColumn(
-        "cell", (F.col("part_id") / cell_parts).cast("int")
-    )
-
+    norms = se.norms
     use_dense = mode == "dense"
 
     def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -200,18 +236,36 @@ def search(
     )
 
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    top = (
+    top_rows = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .collect()
     )
-    from ..operators.docids import attach_doc_ids
+    if not top_rows:
+        return empty
 
-    doc_map = attach_doc_ids(
-        spark.read.parquet(paths.docs_extracted).select("part_id", "local_pos", "url"),
-        list(grid_parts),
-    ).select("doc_id", "url")
-    return (
-        top.join(doc_map, "doc_id")
-        .select("query_id", "rank", "url", "score")
-        .orderBy("query_id", "rank")
+    # URL lookup for the (<= queries x k) winners only: derive each docID's
+    # (part_id, local_pos) from the grid, then read JUST those partitions
+    # with both predicates pushed to parquet — at 10^12 docs this touches a
+    # handful of files instead of scanning the corpus.
+    grid = se.grid_parts
+    want: dict[int, tuple[int, int]] = {}
+    for r in top_rows:
+        did = int(r["doc_id"])
+        pid = int(np.searchsorted(grid, did, side="right") - 1)
+        want[did] = (pid, did - int(grid[pid]))
+    parts = sorted({p for p, _ in want.values()})
+    poss = sorted({lp for _, lp in want.values()})
+    url_rows = (
+        spark.read.parquet(paths.docs_extracted)
+        .filter(F.col("part_id").isin(parts) & F.col("local_pos").isin(poss))
+        .select("part_id", "local_pos", "url")
+        .collect()
     )
+    urls = {(int(r["part_id"]), int(r["local_pos"])): r["url"] for r in url_rows}
+    out = [
+        (int(r["query_id"]), int(r["rank"]), urls[want[int(r["doc_id"])]], float(r["score"]))
+        for r in top_rows
+    ]
+    out.sort(key=lambda x: (x[0], x[1]))
+    return spark.createDataFrame(out, "query_id int, rank int, url string, score double")
