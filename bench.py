@@ -11,11 +11,14 @@ Extras reported (BASELINE.md targets):
   5-query reference set, measured per query on the built index;
 * SPARK_GRAFT_SCALING=1 additionally builds the SYNTHETIC sf-bench corpus
   (200k docs x ~500 tokens — the driver's documents table is only 5k rows,
-  far too small for parallelism to beat fixed overhead) at local[8] and
-  local[32] and reports scaling efficiency ((T8/T32)/4) — the sandbox
-  substitute for the north rule's N -> 4N executor criterion. Each timed
-  run is preceded by an untimed warm build so JVM JIT state is comparable
-  between the two.
+  far too small for parallelism to beat fixed overhead) at local[2] and
+  local[8] (the north rule's N -> 4N pair) plus local[32] for peak
+  throughput, and reports efficiency ((T2/T8)/4). The 2->8 pair is used
+  because a raw-CPU probe (multiprocessing busy loops; see BENCH.md) shows
+  this box scales linearly only up to ~8-16 processes — 8->32 tops out at
+  2.7x total throughput (SMT), capping any 8->32 efficiency at 0.67 before
+  a single line of Spark runs. Each timed run is preceded by an untimed
+  warm build so JVM JIT state is comparable between runs.
 
 JIT warm-up runs before the timed region (session reuse on a long-lived
 cluster amortizes it to zero; see session.warm_up docstring).
@@ -155,12 +158,12 @@ def main() -> None:
 
         bench_dir = ensure_scale("sf-bench")  # 200k synthetic docs, cached
         scaling = {}
-        for cores in (8, 32):
+        for cores in (2, 8, 32):
             spark = _fresh_session(cores)
             big = spark.read.parquet(
                 os.path.join(bench_dir, "documents.parquet")
             ).select("url", "text")
-            # untimed warm build (JIT parity between the two timed runs)
+            # untimed warm build (JIT parity between the timed runs)
             _build_once(spark, f"warm{cores}", cores, docs=big.limit(2000))
             sec, n = _build_once(spark, f"scale{cores}", cores, docs=big)
             scaling[f"local{cores}"] = {
@@ -168,9 +171,12 @@ def main() -> None:
                 "docs_per_sec": round(n / sec, 1),
                 "n_docs": n,
             }
+        t2 = scaling["local2"]["build_sec"]
         t8 = scaling["local8"]["build_sec"]
-        t32 = scaling["local32"]["build_sec"]
-        scaling["efficiency_8_to_32"] = round((t8 / t32) / 4.0, 3)
+        scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
+        scaling["efficiency_8_to_32"] = round(
+            (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
+        )
         out["scaling"] = scaling
 
     print(json.dumps(out))

@@ -438,6 +438,33 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["sanitize"] = same(
         "select doc_id, translate(source, '/', '-') as safe_name from documents"
     )
+    # #26 sampled verification (deterministic md5 sample — rand() would not
+    # reproduce across engines); analogue of verify_toc's sampled accuracy
+    pairs["sampled_verification"] = (
+        """select cast(count(*) as bigint) as n_sampled,
+        cast(floor(avg(cast(size(array_remove(split(lower(text), '[^a-z0-9]+'), '')) as double)) * 100) as bigint) as avg_len2
+        from documents where substr(md5(cast(doc_id as string)), 1, 1) in ('0', '1', '2')""",
+        """select cast(count(*) as bigint) as n_sampled,
+        cast(floor(avg(cast(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) as double)) * 100) as bigint) as avg_len2
+        from documents where substr(md5(cast(doc_id as varchar)), 1, 1) in ('0', '1', '2')""",
+    )
+    # #35/36 hierarchical aggregation (tree levels as ROLLUP; parent rows =
+    # inner tree nodes, leaf rows = (region, nation))
+    pairs["hierarchy_rollup"] = same(
+        """select coalesce(r.r_name, '<all>') as region,
+               coalesce(n.n_name, '<all>') as nation,
+               cast(count(c.c_custkey) as bigint) as n_customers
+        from customer c
+        join nation n on n.n_nationkey = c.c_nationkey
+        join region r on r.r_regionkey = n.n_regionkey
+        group by rollup(r.r_name, n.n_name)"""
+    )
+    # #18 count + ratio aggregate (verification accuracy analogue)
+    pairs["ratio_agg"] = same(
+        """select user_id,
+        cast(floor(avg(case when event_type = 'error' then 1.0 else 0.0 end) * 1000000) as bigint) as error_ratio6
+        from events group by user_id"""
+    )
     return pairs
 
 
