@@ -60,6 +60,30 @@ HEADLINE = [
 ]
 
 
+def _canary_ms() -> float:
+    """One fixed numpy op; measures the sandbox's CURRENT effective CPU
+    speed. This Firecracker microVM has burst/credit CPU throttling — the
+    same op was observed at 12ms (full speed) and 4900ms (throttled), a
+    400x swing — so every timed region must be gated and annotated."""
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.time()
+    float((x / (x + 1.7)).sum())
+    return (time.time() - t0) * 1000
+
+
+def _wait_for_cpu(threshold_ms: float = 40.0, timeout_s: float = 600.0) -> float:
+    """Block until CPU credits recover (canary under threshold); returns the
+    last canary reading, which timed sections record for honesty."""
+    deadline = time.time() + timeout_s
+    ms = _canary_ms()
+    while ms > threshold_ms and time.time() < deadline:
+        time.sleep(20)
+        ms = _canary_ms()
+    return ms
+
+
 def _fresh_session(cores: int):
     from pyspark.sql import SparkSession
 
@@ -156,20 +180,26 @@ def main() -> None:
     if SCALING:
         from pageindex_spark.sources.corpus import ensure_scale
 
-        bench_dir = ensure_scale("sf-bench")  # 200k synthetic docs, cached
+        # sf-mid (50k docs): sized so one full build fits inside the burst-
+        # CPU budget; the canary gate ensures each timed run starts with
+        # recovered credits, otherwise the later run measures the earlier
+        # run's throttle debt instead of the engine.
+        bench_dir = ensure_scale("sf-mid")
         scaling = {}
         for cores in (2, 8, 32):
             spark = _fresh_session(cores)
-            big = spark.read.parquet(
+            mid = spark.read.parquet(
                 os.path.join(bench_dir, "documents.parquet")
             ).select("url", "text")
             # untimed warm build (JIT parity between the timed runs)
-            _build_once(spark, f"warm{cores}", cores, docs=big.limit(2000))
-            sec, n = _build_once(spark, f"scale{cores}", cores, docs=big)
+            _build_once(spark, f"warm{cores}", cores, docs=mid.limit(2000))
+            canary = _wait_for_cpu()
+            sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
             scaling[f"local{cores}"] = {
                 "build_sec": round(sec, 2),
                 "docs_per_sec": round(n / sec, 1),
                 "n_docs": n,
+                "cpu_canary_ms": round(canary, 1),
             }
         t2 = scaling["local2"]["build_sec"]
         t8 = scaling["local8"]["build_sec"]

@@ -54,40 +54,75 @@ _SEGMENT_PA_SCHEMA = pa.schema(
 )
 
 
+def _tokenize_arrow(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str]]:
+    """Arrow-compute tokenization of a string column — zero per-token Python.
+
+    Returns (sorted_term_codes_per_token? no): (codes int64 in SORTED-term
+    order, doc_idx int64 per kept token, doc_lens int64 per doc,
+    sorted_terms list[str])."""
+    import pyarrow.compute as pc
+
+    arr = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, pa.string()
+    )
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n_docs = len(arr)
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.coalesce(arr, pa.scalar(""))), TOKEN_SPLIT_RE.pattern
+    )
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    doc_idx = doc_idx[keep]
+    doc_lens = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if len(flat) == 0:
+        return (
+            np.empty(0, np.int64),
+            doc_idx,
+            doc_lens,
+            [],
+        )
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    raw_codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    dictionary = enc.dictionary.to_pylist()
+    # dictionary order is first-occurrence; remap to sorted-term codes.
+    order = np.argsort(np.asarray(dictionary, dtype=object), kind="stable")
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    codes = rank[raw_codes]
+    sorted_terms = [dictionary[i] for i in order]
+    return codes, doc_idx, doc_lens, sorted_terms
+
+
 def build_segments_arrow(
     doc_ids: np.ndarray,
-    texts: list[str],
+    texts,
     avgdl: float,
     seg_id: int,
     block_size: int = BLOCK_SIZE,
 ) -> pa.Table:
     """Pure function: one partition's docs -> segment rows (testable sans
-    Spark). FULLY vectorized across terms: one global varbyte encode of all
-    gaps/tfs + byte-offset slicing per term, ``reduceat`` for per-block
-    metadata — the only per-term Python is assembling the output lists."""
-    tok_lists = [TOKEN_SPLIT_RE.split(t.lower()) if t else [] for t in texts]
-    # Flatten with doc index; drop '' tokens produced at string edges.
-    all_toks: list[str] = []
-    doc_idx_parts = []
-    doc_lens = np.zeros(len(texts), dtype=np.int64)
-    for i, toks in enumerate(tok_lists):
-        toks = [t for t in toks if t]
-        doc_lens[i] = len(toks)
-        all_toks.extend(toks)
-        doc_idx_parts.append(np.full(len(toks), i, dtype=np.int64))
-    if not all_toks:
+    Spark). FULLY vectorized: Arrow-compute tokenization (C++ regex split +
+    dictionary encode), one global varbyte encode of all gaps/tfs +
+    byte-offset slicing per term, ``reduceat`` for per-block metadata — the
+    only per-term Python is assembling the output lists."""
+    codes, doc_idx, doc_lens, uniques = _tokenize_arrow(texts)
+    if len(codes) == 0:
         return _SEGMENT_PA_SCHEMA.empty_table()
-    doc_idx = np.concatenate(doc_idx_parts)
 
-    codes, uniques = pd.factorize(pd.array(all_toks), sort=True)
-    n_docs_local = len(texts)
+    n_docs_local = len(doc_lens)
     # Composite key (term_code, local_doc): single int64 sort + RLE for tf.
-    key = codes.astype(np.int64) * n_docs_local + doc_idx
+    key = codes * n_docs_local + doc_idx
     key.sort(kind="stable")
     uniq_key, tf = np.unique(key, return_counts=True)
     term_code = uniq_key // n_docs_local
     local_doc = uniq_key % n_docs_local
-    global_doc = doc_ids[local_doc].astype(np.uint64)
+    global_doc = np.asarray(doc_ids)[local_doc].astype(np.uint64)
     dl = doc_lens[local_doc]
     n = len(uniq_key)
     tf_u = tf.astype(np.uint64)
@@ -187,22 +222,26 @@ def build_segments(docs_with_ids, avgdl: float, block_size: int = BLOCK_SIZE):
     """
 
     def per_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        ids_parts, pid_parts, texts = [], [], []
+        ids_parts, pid_parts, text_parts = [], [], []
         for b in batches:
             ids_parts.append(b.column("doc_id").to_numpy(zero_copy_only=False))
             pid_parts.append(b.column("part_id").to_numpy(zero_copy_only=False))
-            texts.extend(b.column("text").to_pylist())
-        if not texts:
+            text_parts.append(b.column("text"))
+        if not ids_parts:
             return
         doc_ids = np.concatenate(ids_parts)
         part_ids = np.concatenate(pid_parts)
+        texts = pa.concat_arrays(
+            a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+            for a in text_parts
+        )
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, part_ids = doc_ids[order], part_ids[order]
-        texts = [texts[i] for i in order]
+        texts = texts.take(pa.array(order))
         for pid in np.unique(part_ids):
             sel = np.flatnonzero(part_ids == pid)
             tbl = build_segments_arrow(
-                doc_ids[sel], [texts[i] for i in sel], avgdl, int(pid), block_size
+                doc_ids[sel], texts.take(pa.array(sel)), avgdl, int(pid), block_size
             )
             yield from tbl.to_batches(max_chunksize=4096)
 

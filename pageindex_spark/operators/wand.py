@@ -356,4 +356,7 @@ def assemble_cell_runs(pdf: pd.DataFrame) -> dict[str, Run]:
 
 
 def decode_norms_row(row) -> CellNorms:
-    return CellNorms(int(row["first_doc"]), vb_decode(bytes(row["dl_blob"])).astype(np.float64))
+    """Rehydrate a norms table row (used by tests and ad-hoc tooling)."""
+    return CellNorms(
+        int(row["first_doc"]), vb_decode(bytes(row["dl_blob"])).astype(np.float64)
+    )

@@ -105,6 +105,15 @@ def build_index(
     ``docs`` must have ``url`` plus ``text`` and/or ``html`` (text wins; html
     is extracted via the shared deterministic extractor).
     """
+    import sys
+    import time as _time
+
+    timings: dict[str, float] = {}
+
+    def _mark(name: str, t0: float) -> None:
+        timings[name] = round(_time.time() - t0, 2)
+        print(f"[build_index] {name}: {timings[name]}s", file=sys.stderr, flush=True)
+
     paths = IndexPaths(index_dir)
     os.makedirs(index_dir, exist_ok=True)
     if num_partitions is None:
@@ -112,6 +121,7 @@ def build_index(
 
     # ---------------- stage: extract (+ docIDs, norms, meta) ----------------
     if -1 not in committed_partitions(spark, index_dir, "extract"):
+        _t = _time.time()
         src = docs
         if "text" not in src.columns:
             src = with_extracted_text(src)
@@ -130,6 +140,8 @@ def build_index(
             .partitionBy("part_id")
             .parquet(paths.docs_extracted)
         )
+        _mark("extract_write", _t)
+        _t = _time.time()
 
         ext = spark.read.parquet(paths.docs_extracted)
         offsets = offsets_from_counts(partition_counts(ext), num_partitions)
@@ -161,6 +173,8 @@ def build_index(
             )
         )
         norms.coalesce(1).write.mode("overwrite").parquet(paths.norms)
+        _mark("norms_and_stats", _t)
+        _t = _time.time()
 
         write_meta(
             index_dir,
@@ -189,6 +203,7 @@ def build_index(
             [(r["part_id"], r["docs"], 0, r["terms"]) for r in per_part]
             + [(-1, n_docs, 0, 0)],  # stage-complete marker
         )
+        _mark("extract_metadata", _t)
 
     meta = read_meta(index_dir)
     avgdl = float(meta["avgdl"])
@@ -205,10 +220,13 @@ def build_index(
             ),
             grid,
         )
+        _t = _time.time()
         segs = build_segments(ext, avgdl, block_size)
         segs.write.mode("overwrite").parquet(
             os.path.join(paths.segments, f"chunk={chunk}")
         )
+        _mark(f"segments_chunk{chunk}", _t)
+        _t = _time.time()
         m = (
             spark.read.parquet(os.path.join(paths.segments, f"chunk={chunk}"))
             .agg(
@@ -233,17 +251,25 @@ def build_index(
     for chunk in range(n_bucket_chunks):
         if chunk in done:
             continue
+        _t = _time.time()
         segs = with_term_bucket(
             spark.read.parquet(paths.segments), n_buckets
         ).filter(F.col("bucket") % n_bucket_chunks == chunk)
         runs = compact_segments(segs.drop("bucket"), target_run_bytes)
         runs_b = with_term_bucket(runs, n_buckets)
         runs_b.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
-        ts = with_term_bucket(term_stats_from_runs(runs), n_buckets)
+        _mark(f"compact_chunk{chunk}", _t)
+        _t = _time.time()
+        # term_stats derives from the COMMITTED postings (metadata columns
+        # only — column-pruned read); recomputing it from `runs` would
+        # re-execute the whole shuffle+merge a second time.
+        written = spark.read.parquet(paths.postings).filter(
+            F.col("bucket") % n_bucket_chunks == chunk
+        )
+        ts = with_term_bucket(term_stats_from_runs(written.drop("bucket")), n_buckets)
         ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
         m = (
-            spark.read.parquet(paths.postings)
-            .filter(F.col("bucket") % n_bucket_chunks == chunk)
+            written
             .agg(
                 F.countDistinct("term").alias("terms"),
                 F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
@@ -251,6 +277,7 @@ def build_index(
             )
             .collect()[0]
         )
+        _mark(f"compact_meta{chunk}", _t)
         append_lineage(
             spark,
             index_dir,

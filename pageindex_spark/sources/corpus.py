@@ -41,8 +41,15 @@ HEAVY_HEAD = 30  # informational: Zipf head that behaves as stopwords
 PARA_TOKENS = 60  # tokens per <p> paragraph
 EPOCH_2025 = 1735689600  # 2025-01-01T00:00:00Z in seconds
 
-# Fixed scale points (FIXTURES.md §1; sf-micro added for fast CI e2e).
-SCALES = {"sf-micro": 300, "sf-unit": 1_000, "sf-small": 10_000, "sf-bench": 200_000}
+# Fixed scale points (FIXTURES.md §1; sf-micro added for fast CI e2e,
+# sf-mid sized so one build fits the sandbox's burst-CPU budget).
+SCALES = {
+    "sf-micro": 300,
+    "sf-unit": 1_000,
+    "sf-small": 10_000,
+    "sf-mid": 50_000,
+    "sf-bench": 200_000,
+}
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
