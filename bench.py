@@ -73,7 +73,7 @@ def _canary_ms() -> float:
     return (time.time() - t0) * 1000
 
 
-def _wait_for_cpu(threshold_ms: float = 40.0, timeout_s: float = 600.0) -> float:
+def _wait_for_cpu(threshold_ms: float = 100.0, timeout_s: float = 600.0) -> float:
     """Block until CPU credits recover (canary under threshold); returns the
     last canary reading, which timed sections record for honesty."""
     deadline = time.time() + timeout_s

@@ -459,10 +459,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
         join region r on r.r_regionkey = n.n_regionkey
         group by rollup(r.r_name, n.n_name)"""
     )
-    # #18 count + ratio aggregate (verification accuracy analogue)
+    # #18 count + ratio aggregate (verification accuracy analogue).
+    # NB: bare 1.0 parses as DECIMAL(2,1) in Spark (avg then keeps limited
+    # scale) but DOUBLE in DuckDB — cast explicitly for bit parity.
     pairs["ratio_agg"] = same(
         """select user_id,
-        cast(floor(avg(case when event_type = 'error' then 1.0 else 0.0 end) * 1000000) as bigint) as error_ratio6
+        cast(floor(avg(case when event_type = 'error' then cast(1.0 as double) else cast(0.0 as double) end) * 1000000) as bigint) as error_ratio6
         from events group by user_id"""
     )
     return pairs

@@ -157,6 +157,32 @@ def test_bmw_equals_dense_equals_bruteforce(seed):
             assert abs(s1 - s2) < 1e-9
 
 
+def test_salted_group_merge_equals_unsalted(seed=99):
+    """Salted split-then-merge == single merge (SURVEY §5.2(3)): packing
+    segments into salt groups and concatenating group results must equal
+    concatenating all segments at once — blob-identical, not just decoded."""
+    rng = np.random.default_rng(seed)
+    docs, tfs, dls = _random_postings(rng, 960, 50_000)
+    cuts = np.linspace(0, 960, 9, dtype=int)  # 8 "segments"
+    segs = [
+        encode_run(docs[a:b], tfs[a:b], dls[a:b], 400.0, block_size=32)
+        for a, b in zip(cuts, cuts[1:])
+    ]
+    unsalted = concat_runs(segs)
+    for group_size in (2, 4):
+        groups = [
+            concat_runs(segs[i : i + group_size])
+            for i in range(0, len(segs), group_size)
+        ]
+        salted = concat_runs(groups)
+        assert salted.doc_blob == unsalted.doc_blob
+        assert salted.tf_blob == unsalted.tf_blob
+        assert np.array_equal(salted.bm_last, unsalted.bm_last)
+        assert np.array_equal(salted.bm_maxq, unsalted.bm_maxq)
+        assert np.array_equal(salted.bm_doc_off, unsalted.bm_doc_off)
+        assert np.array_equal(salted.bm_ndocs, unsalted.bm_ndocs)
+
+
 def test_topk_tie_break_prefers_smaller_doc():
     tk = TopK(2)
     tk.offer(1.0, 5)
