@@ -67,6 +67,63 @@ def raw_cpu_scaling() -> dict:
     return out
 
 
+def _builder_chunk(args: tuple[str, int, int]) -> int:
+    """Worker: read one docID-range chunk (row-group-targeted — reading the
+    whole file per worker would floor the wall time at I/O) and run the REAL
+    segment-builder task body (identical to each Spark mapInArrow task)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pageindex_spark.operators.spimi import build_segments_arrow
+
+    path, start, count = args
+    pf = pq.ParquetFile(path)
+    # locate covering row groups
+    groups, first_row = [], 0
+    for g in range(pf.num_row_groups):
+        n = pf.metadata.row_group(g).num_rows
+        if first_row + n > start and first_row < start + count:
+            groups.append((g, first_row))
+        first_row += n
+    tbl = pf.read_row_groups([g for g, _ in groups], columns=["text"])
+    local_start = start - groups[0][1]
+    tbl = tbl.slice(local_start, count)
+    doc_ids = np.arange(start, start + count, dtype=np.int64)
+    out = build_segments_arrow(doc_ids, tbl.column("text"), 490.0, start // count)
+    return out.num_rows
+
+
+def builder_scaling(docs_path: str, n_chunks: int = 8) -> dict:
+    """The engine's parallel work unit at 2 vs 8 workers (multiprocessing —
+    no Spark overhead, short enough to fit one burst window). This is the
+    per-task body of the segments stage, byte-identical output to the
+    cluster path. pool2 runs FIRST so any mid-experiment throttling inflates
+    the 8-worker time and UNDERSTATES efficiency (conservative direction)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(docs_path).num_rows
+    per = n_docs // n_chunks
+    chunks = [(docs_path, i * per, per) for i in range(n_chunks)]
+    out: dict = {}
+    for workers in (2, 8):
+        gate = wait_full_speed(timeout=900)
+        t0 = time.time()
+        with mp.Pool(workers) as p:
+            rows = sum(p.map(_builder_chunk, chunks))
+        dt = time.time() - t0
+        out[f"pool{workers}"] = {
+            "sec": round(dt, 2),
+            "docs_per_sec": round(n_docs / dt, 1),
+            "canary_before_ms": round(gate, 1),
+            "canary_after_ms": round(canary_ms(), 1),
+            "segment_rows": rows,
+        }
+    out["efficiency_2_to_8"] = round(
+        (out["pool2"]["sec"] / out["pool8"]["sec"]) / 4.0, 3
+    )
+    return out
+
+
 def _session(cores: int):
     from pyspark.sql import SparkSession
 
@@ -105,6 +162,10 @@ def main() -> None:
 
     docs_path = os.path.join(ensure_scale("sf-mid"), "documents.parquet")
     result: dict = {}
+
+    # Phase 0: the engine's parallel task body at 2 vs 8 workers (fits one
+    # burst window — the definitive software-scaling evidence in this box).
+    result["builder_scaling"] = builder_scaling(docs_path)
 
     # Phase 1: burn-heavy preparation (JIT for both code paths, one JVM).
     for cores in (8, 2):
