@@ -38,10 +38,16 @@ SPARK_HASH60 = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
 DUCK_HASH60 = "cast(('0x' || substr(md5({s}), 1, 15))::ubigint as bigint)"
 
 # -- token 3-gram shingles from a terms array (1-based in both dialects for
-#    DuckDB; Spark arrays are 0-based via element_at-compatible [] access) --
+#    DuckDB; Spark arrays are 0-based via element_at-compatible [] access).
+#    The size() >= 3 guard is load-bearing: Spark's sequence(0, size-3) with
+#    size < 3 is a DESCENDING sequence whose negative indices throw
+#    INVALID_ARRAY_INDEX (Spark 4) — real web corpora are full of 0/1/2-token
+#    extractions. DuckDB's generate_series(1, len-2) is already empty there. --
 SPARK_SHINGLES = (
+    "case when size({a}) >= 3 then "
     "transform(sequence(0, size({a}) - 3), "
-    "i -> concat({a}[i], ' ', {a}[i+1], ' ', {a}[i+2]))"
+    "i -> concat({a}[i], ' ', {a}[i+1], ' ', {a}[i+2])) "
+    "else array() end"
 )
 DUCK_SHINGLES = (
     "list_transform(generate_series(1, len({a}) - 2), "

@@ -14,14 +14,32 @@ from pyspark.sql import functions as F
 
 from ..functions.sqlglue import SPARK_SHINGLES, spark_terms
 
-N_MINHASH = 8  # permutations
-N_BANDS = 4  # -> 2 hashes per band
+# Defaults match the DuckDB twin (driverq._minhash_core / _lsh_bands_sql) so
+# the DataFrame API and the driver-verified SQL are the same operator; widen
+# per-call (n_hashes/n_bands) for production recall targets.
+N_MINHASH = 4  # permutations
+N_BANDS = 2  # -> 2 hashes per band
 
 
 def _shingles(text_col: str = "text"):
+    """3-gram shingles straight off a text column; empty array when the doc
+    has < 3 tokens (guard lives in SPARK_SHINGLES — shared with the SQL
+    twins, one source of truth)."""
     return F.expr(
         SPARK_SHINGLES.format(a=spark_terms(text_col))
     )
+
+
+def _shingled_docs(docs: DataFrame, key: str, text_col: str) -> DataFrame:
+    """(key, sh) for docs with >= 3 tokens — tokenize once, then shingle.
+
+    The < 3-token filter mirrors the SQL twins (``driverq._minhash_core`` /
+    ``_jaccard_sql``): such docs have no 3-gram shingles, so MinHash/Jaccard
+    are undefined for them and they are dropped, not NULLed."""
+    toks = docs.select(
+        key, F.expr(spark_terms(text_col)).alias("_terms")
+    ).filter(F.size("_terms") >= 3)
+    return toks.select(key, F.expr(SPARK_SHINGLES.format(a="_terms")).alias("sh"))
 
 
 def exact_groups(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -44,16 +62,20 @@ def minhash_signatures(
 
     Permutation j = md5('j|' + shingle); the signature element is the
     lexicographic min of the hex digests (a valid min-wise hash family,
-    identical in any engine with md5). Docs with < 3 tokens get NULLs.
+    identical in any engine with md5). Docs with < 3 tokens are dropped
+    (no shingles — matches the SQL twin's ``where size(terms) >= 3``).
     """
-    sh = _shingles(text_col)
-    cols = [
-        F.array_min(
-            F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)))
+    shd = _shingled_docs(docs, key, text_col)
+
+    def mh(j: int):
+        # NB: the inner lambda MUST be unary — pyspark passes (element, index)
+        # to binary transform lambdas, so `lambda s, j=j: ...` silently binds
+        # j to the ARRAY INDEX, not the permutation id (round-2 bugfix).
+        return F.array_min(
+            F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{j}|"), s)))
         ).alias(f"mh_{j}")
-        for j in range(n_hashes)
-    ]
-    return docs.select(key, *cols)
+
+    return shd.select(key, *[mh(j) for j in range(n_hashes)])
 
 
 def lsh_bands(
@@ -122,9 +144,11 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairwise 3-gram Jaccard for a bounded candidate set (keys < max_key):
     (a, b, jaccard6). The bounded filter mirrors what LSH candidate buckets
-    look like in production — verification is always bucket-local."""
-    small = docs.filter(F.col(key) < max_key).select(
-        F.col(key).alias("id"), F.array_distinct(_shingles(text_col)).alias("sh")
+    look like in production — verification is always bucket-local. Docs with
+    < 3 tokens have no shingles and are dropped (SQL-twin semantics; also
+    dodges 0/0 Jaccard on empty shingle sets)."""
+    small = _shingled_docs(docs.filter(F.col(key) < max_key), key, text_col).select(
+        F.col(key).alias("id"), F.array_distinct("sh").alias("sh")
     )
     a = small.alias("a")
     b = small.alias("b")

@@ -38,6 +38,40 @@ def test_ops_match_sql_twins(spark, docs):
     assert _rows(exact_groups(docs)) == _rows(spark.sql(sqls["dedup_exact"][0]))
 
 
+def test_dedup_ops_survive_short_docs(spark, docs):
+    """Regression (round-1 verdict): docs with < 3 tokens crashed the
+    DataFrame shingle path (sequence(0, size-3) -> negative array index).
+    The DataFrame ops must return the SQL-twin result on a corpus that mixes
+    empty / 1-token / 2-token docs with normal ones."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    real = [
+        (10 + i, r["text"])
+        for i, r in enumerate(docs.select("text").limit(6).collect())
+    ]
+    short = [(1, ""), (2, "one"), (3, "one two"), (4, "  "), (5, "x y")]
+    # duplicate a real doc so lsh_candidates has a bucket with > 1 member
+    corpus = spark.createDataFrame(
+        short + real + [(20, real[0][1])], "doc_id long, text string"
+    )
+    corpus.createOrReplaceTempView("documents")
+    sqls = paired_sql()
+    assert _rows(minhash_signatures(corpus)) == _rows(
+        spark.sql(sqls["minhash_signatures"][0])
+    )
+    assert _rows(lsh_candidates(corpus)) == _rows(spark.sql(sqls["lsh_candidates"][0]))
+    jac = _rows(ngram_jaccard_pairs(corpus, max_key=40))
+    assert jac == _rows(spark.sql(sqls["ngram_jaccard"][0]))
+    # real pairs survived; short docs never appear on either side
+    assert jac and all(r[0] >= 10 and r[1] >= 10 for r in jac)
+    spark.catalog.dropTempView("documents")
+
+
 def test_simhash_near_duplicates_close(spark, docs):
     """SimHash of a doc and a lightly perturbed copy differ in few bits;
     unrelated docs differ in many."""
