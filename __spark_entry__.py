@@ -18,7 +18,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pageindex_spark.driverq import BM25_QUERIES, paired_sql, spark_sql_query
+from pageindex_spark.driverq import (
+    BM25_QUERIES,
+    FRAME_SAMPLE_ORACLE,
+    MEDIA_FEATURES_ORACLE,
+    paired_sql,
+    spark_sql_query,
+)
 
 _INDEX_CACHE_ROOT = "/root/repo/data/driver_index"
 
@@ -38,10 +44,10 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
-    """Full custom engine: SPIMI varbyte index (cached per scale) + BMW/dense
-    search; output matches the relational/DuckDB bm25_topk schema."""
-    from pageindex_spark import build_index, search
+def _engine_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse the cached) SPIMI varbyte index for a testdata scale."""
+    from pageindex_spark import build_index
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     index_dir = f"{_INDEX_CACHE_ROOT}_{tag}"
@@ -51,7 +57,7 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
         import shutil
 
         with open(meta_path) as f:
-            if json.load(f).get("format_version") != 2:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
                 shutil.rmtree(index_dir)  # stale on-disk format -> rebuild
     if not os.path.exists(meta_path):
         build_index(
@@ -63,7 +69,18 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
             n_seg_chunks=1,
             n_bucket_chunks=1,
         )
-    top = search(spark, index_dir, BM25_QUERIES, k=10, mode=mode)
+    return index_dir
+
+
+def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    """Full custom engine: SPIMI varbyte index (cached per scale) + BMW/dense
+    search; output matches the relational/DuckDB bm25_topk schema.
+    fixed_point=True ranks over floor(score*1e6) with doc_id tie-break —
+    identical rank assignment to the oracle even for sub-1e-6 score ties."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(spark, index_dir, BM25_QUERIES, k=10, mode=mode, fixed_point=True)
     return top.select(
         "query_id",
         "rank",
@@ -78,6 +95,26 @@ def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _engine_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "dense")
+
+
+def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference retrieval parity: winners come back WITH their text
+    (/root/reference/README.md:179-188 returns node text). text_fp = md5 of
+    the extracted text so the hash comparison stays compact."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
+        fixed_point=True, with_text=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+        F.md5("text").alias("text_fp"),
+    )
 
 
 def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +142,10 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.operators.multimodal import frame_sample, synth_media
 
     media = synth_media(spark, 32)
-    return frame_sample(media).select("media_id", "frame_id", F.md5("frame").alias("frame_fp"))
+    # frame is the sha256 digest bytes; its lowercase hex == DuckDB's sha256()
+    return frame_sample(media).select(
+        "media_id", "frame_id", F.lower(F.hex("frame")).alias("frame_fp")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -116,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # engine BM25 variants, which DO have the bm25_topk oracle)
     q["engine_bm25_wand"] = _engine_bm25_wand
     q["engine_bm25_dense"] = _engine_bm25_dense
+    q["engine_bm25_text"] = _engine_bm25_text
     q["lsh_ann_topk"] = _lsh_ann
     q["media_features"] = _media_features
     q["frame_sample"] = _frame_sample
@@ -128,6 +169,12 @@ def oracle_sql() -> dict[str, str]:
     # (same doc_ids, ranks and fixed-point scores) — strongest cross-check.
     o["engine_bm25_wand"] = o["bm25_topk"]
     o["engine_bm25_dense"] = o["bm25_topk"]
-    # lsh_ann_topk / media_features / frame_sample: no SQL-expressible oracle
-    # (LSH bucketing + stubbed codecs); driver records rows-only.
+    o["engine_bm25_text"] = o["bm25_text"]
+    # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
+    # literal arrays); queries() overrides the Spark side with the DataFrame
+    # operator, so the driver checks DataFrame-API vs DuckDB directly.
+    # The multimodal stubs hash payload hex, so DuckDB reproduces them
+    # row-exact from a generated series (pageindex_spark/driverq.py).
+    o["media_features"] = MEDIA_FEATURES_ORACLE
+    o["frame_sample"] = FRAME_SAMPLE_ORACLE
     return o

@@ -165,6 +165,16 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
+def _bm25_text_sql(d: _Dialect) -> str:
+    """bm25_topk + winner text fetch (md5-fingerprinted): the oracle for the
+    engine's ``with_text`` retrieval surface (reference returns node text)."""
+    base = _bm25_sql(d).strip()
+    return f"""
+select b.query_id, b.rank, b.doc_id, b.score6, md5(doc.text) as text_fp
+from ({base}) b join documents doc on doc.doc_id = b.doc_id
+"""
+
+
 def _simhash_sql(d: _Dialect, bits: int = 16) -> str:
     sums = ", ".join(
         f"sum(case when ({d.shiftr('h', b)} & 1) = 1 then 1 else -1 end) as s{b}"
@@ -286,6 +296,55 @@ select query_id, rank, vec_id, cos6 from ranked where rank <= 10
 """
 
 
+def _lsh_ann_sql(d: _Dialect) -> str:
+    """SQL twin of ``operators.similarity.lsh_ann_topk``: the seeded random
+    hyperplanes are emitted as literal double arrays (cast-from-string so both
+    engines parse the exact same float64), bucket codes are sign-bit sums, and
+    candidates are bucket co-occupants unioned over tables — structurally the
+    same single-shuffle plan as the DataFrame operator."""
+    from .operators.similarity import plane_rows
+
+    def arr(vals) -> str:
+        lits = ", ".join(f"cast('{v!r}' as double)" for v in vals)
+        return f"[{lits}]" if d.duck else f"array({lits})"
+
+    rows = ", ".join(
+        f"({t}, {w}, {arr(p)})" for t, w, p in plane_rows()
+    )
+    pdot = d.dot("e.embedding", "p.p")
+    dot = d.dot("qe.embedding", "ce.embedding")
+    nq = f"sqrt({d.dot('qe.embedding', 'qe.embedding')})"
+    nc = f"sqrt({d.dot('ce.embedding', 'ce.embedding')})"
+    return f"""
+with planes(tbl, weight, p) as (values {rows}),
+e as (select vec_id, embedding from embeddings),
+bits as (
+  select e.vec_id, p.tbl,
+         case when ({pdot}) >= 0 then p.weight else 0 end as bit
+  from e cross join planes p
+),
+b as (select vec_id, tbl, cast(sum(bit) as int) as bucket from bits group by vec_id, tbl),
+q as (select vec_id as query_id, tbl, bucket from b where vec_id < 5),
+cand as (
+  select distinct q.query_id, c.vec_id
+  from q join b c on c.tbl = q.tbl and c.bucket = q.bucket and c.vec_id <> q.query_id
+),
+scored as (
+  select cand.query_id, cand.vec_id,
+         cast(floor(({dot}) / (({nq}) * ({nc})) * 1000000) as bigint) as cos6
+  from cand
+  join embeddings qe on qe.vec_id = cand.query_id
+  join embeddings ce on ce.vec_id = cand.vec_id
+),
+ranked as (
+  select query_id, vec_id, cos6,
+         row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+  from scored
+)
+select query_id, rank, vec_id, cos6 from ranked where rank <= 10
+"""
+
+
 def _fingerprint_expr(d: _Dialect) -> str:
     return f"md5(trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')}))"
 
@@ -325,6 +384,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
         group by term order by total_tf desc, term asc limit 20"""
     )
     pairs["bm25_topk"] = both(_bm25_sql)
+    pairs["bm25_text"] = both(_bm25_text_sql)
     pairs["quality_score"] = both(_quality_sql)
     pairs["lang_id"] = both(_lang_sql)
     pairs["fingerprint"] = both(
@@ -340,6 +400,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["simhash"] = both(_simhash_sql)
     pairs["ngram_jaccard"] = both(_jaccard_sql)
     pairs["ann_cosine_topk"] = both(_ann_sql)
+    pairs["lsh_ann_topk"] = both(_lsh_ann_sql)
     pairs["embedding_norms"] = both(
         lambda d: f"""select vec_id,
         cast(floor(sqrt({d.dot('embedding', 'embedding')}) * 1000000) as bigint) as norm6
@@ -468,6 +529,32 @@ def paired_sql() -> dict[str, tuple[str, str]]:
         from events group by user_id"""
     )
     return pairs
+
+
+# DuckDB-only oracles for the multimodal stubs: the stub codecs hash the
+# payload's lowercase hex (ASCII), so DuckDB reproduces them exactly with
+# sha256(varchar) over a generated series — no table input needed. They pin
+# `__spark_entry__._media_features` / `_frame_sample` row-exact (the Spark
+# side is the real mapInPandas plumbing over binary payload columns).
+MEDIA_FEATURES_ORACLE = """
+with m as (select i as media_id, repeat(sha256('media' || cast(i as varchar)), 4) as ph
+           from generate_series(0, 63) t(i)),
+h as (select media_id, sha256(ph) as hh from m),
+bytes as (select media_id, cast(('0x' || substr(hh, 2*j.b + 1, 2))::ubigint as bigint) as byte
+          from h, generate_series(0, 15) j(b))
+select media_id, cast(sum(byte) * 25 as bigint) as feat_sum2 from bytes group by media_id
+"""
+
+FRAME_SAMPLE_ORACLE = """
+with m as (select i as media_id,
+                  repeat(sha256('media' || cast(i as varchar)), 4) as ph,
+                  2 + ((i % 4) // 2) as nf
+           from generate_series(0, 31) t(i))
+select media_id, cast(g.f as int) as frame_id,
+       sha256(ph || lower(lpad(to_hex(g.f), 8, '0'))) as frame_fp
+from m cross join generate_series(0, 2) g(f)
+where g.f < m.nf
+"""
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -113,44 +113,64 @@ def compact_segments(
         "term", "salt_group", "first_doc"
     )
 
+    run_cols = (
+        "first_doc", "last_doc", "n_docs", "doc_blob", "tf_blob",
+        "bm_last", "bm_maxq", "bm_doc_off", "bm_tf_off", "bm_ndocs",
+    )
+    # Output buffer flush thresholds: row count OR accumulated blob bytes —
+    # heavy-term runs are target_run_bytes each, so a row-count-only flush
+    # could hold rows x 8 MB before emitting.
+    flush_rows = 2048
+    flush_bytes = 8 * target_run_bytes
+
     def merge_stream(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        tbl = pa.Table.from_batches(list(batches))
-        if tbl.num_rows == 0:
-            return
-        terms = tbl.column("term").to_pylist()
-        salts = tbl.column("salt_group").to_numpy(zero_copy_only=False)
-        cols = {name: tbl.column(name).to_pylist() for name in (
-            "first_doc", "last_doc", "n_docs", "doc_blob", "tf_blob",
-            "bm_last", "bm_maxq", "bm_doc_off", "bm_tf_off", "bm_ndocs",
-        )}
-        out: dict[str, list] = {n: [] for n in _INDEX_PA.names}
-        n = tbl.num_rows
-        i = 0
-        while i < n:
-            j = i
-            t, s = terms[i], salts[i]
-            while j < n and terms[j] == t and salts[j] == s:
-                j += 1
-            # Greedy pack segments [i, j) into runs capped at target bytes.
-            pend: list[Run] = []
-            pend_bytes = 0
-            emitted = 0
-            for r_idx in range(i, j):
-                row = {k: cols[k][r_idx] for k in cols}
-                run = run_from_row(row)
+        """Streaming group merge with carry-over at Arrow-batch boundaries.
+
+        The shuffle sort guarantees (term, salt_group) groups arrive
+        contiguously, so one open group of pending Runs is the only state
+        carried across batches — peak memory is O(target_run_bytes + one
+        input batch + output buffer), NOT O(shuffle partition) (round-1
+        materialized the whole partition: the first OOM at 100x scale).
+        """
+        out: dict[str, list] = {n2: [] for n2 in _INDEX_PA.names}
+        out_bytes = 0
+        cur: tuple | None = None  # open group key (term, salt_group)
+        pend: list[Run] = []
+        pend_bytes = 0
+        emitted = 0
+
+        def close_group():
+            nonlocal pend, pend_bytes, emitted, out_bytes
+            if pend:
+                r = concat_runs(pend)
+                _run_cols(cur[0], (int(cur[1]) << 16) | emitted, r, out)
+                out_bytes += len(r.doc_blob) + len(r.tf_blob)
+            pend, pend_bytes, emitted = [], 0, 0
+
+        for batch in batches:
+            terms = batch.column("term").to_pylist()
+            salts = batch.column("salt_group").to_numpy(zero_copy_only=False)
+            cols = {name: batch.column(name).to_pylist() for name in run_cols}
+            for r_idx in range(batch.num_rows):
+                key = (terms[r_idx], int(salts[r_idx]))
+                if key != cur:
+                    close_group()
+                    cur = key
+                run = run_from_row({k: cols[k][r_idx] for k in cols})
                 rb = len(run.doc_blob) + len(run.tf_blob)
                 if pend and pend_bytes + rb > target_run_bytes:
-                    _run_cols(t, (int(s) << 16) | emitted, concat_runs(pend), out)
+                    r = concat_runs(pend)
+                    _run_cols(cur[0], (int(cur[1]) << 16) | emitted, r, out)
+                    out_bytes += len(r.doc_blob) + len(r.tf_blob)
                     emitted += 1
                     pend, pend_bytes = [], 0
                 pend.append(run)
                 pend_bytes += rb
-            if pend:
-                _run_cols(t, (int(s) << 16) | emitted, concat_runs(pend), out)
-            if len(out["term"]) >= 2048:
-                yield from pa.table(out, schema=_INDEX_PA).to_batches()
-                out = {n2: [] for n2 in _INDEX_PA.names}
-            i = j
+                if len(out["term"]) >= flush_rows or out_bytes >= flush_bytes:
+                    yield from pa.table(out, schema=_INDEX_PA).to_batches()
+                    out = {n2: [] for n2 in _INDEX_PA.names}
+                    out_bytes = 0
+        close_group()
         if out["term"]:
             yield from pa.table(out, schema=_INDEX_PA).to_batches()
 

@@ -46,9 +46,11 @@ def _stub_decode_image(payload: bytes) -> np.ndarray:
     """STUB: deterministic fake decode (production: PIL.Image.open).
 
     Derives a tiny 4x4 'pixel' array from the payload hash so tests are
-    deterministic and shape-compatible with a real decoder's output.
+    deterministic and shape-compatible with a real decoder's output. The
+    hash runs over the payload's lowercase HEX so the DuckDB oracle twin can
+    reproduce it (DuckDB sha256 accepts VARCHAR, not BLOB).
     """
-    h = hashlib.sha256(payload or b"").digest()
+    h = hashlib.sha256((payload or b"").hex().encode()).digest()
     return np.frombuffer(h[:16], dtype=np.uint8).reshape(4, 4)
 
 
@@ -86,8 +88,11 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 for f in range(n):
                     ids.append(mid)
                     frame_ids.append(f)
+                    # hex-domain hash: oracle-reproducible in DuckDB (above)
                     frames.append(
-                        hashlib.sha256((payload or b"") + f.to_bytes(4, "big")).digest()
+                        hashlib.sha256(
+                            ((payload or b"").hex() + f"{f:08x}").encode()
+                        ).digest()
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "frame_id": frame_ids, "frame": frames}

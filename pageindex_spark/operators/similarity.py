@@ -63,11 +63,26 @@ def cosine_topk(
     )
 
 
+EMB_DIM = 64  # driver testdata embedding width (all scale factors)
+
+
 def lsh_planes(
     dim: int, n_planes: int = LSH_PLANES, n_tables: int = LSH_TABLES, seed: int = LSH_SEED
 ) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_tables, n_planes, dim)).astype(np.float64)
+
+
+def plane_rows(dim: int = EMB_DIM) -> list[tuple[int, int, list[float]]]:
+    """(table, bit_weight, plane) rows for the SQL twin of the LSH bucketing
+    — the exact float64 values ``with_lsh_buckets`` uses, bit j weighted
+    ``1 << j``, so bucket codes match the DataFrame operator bit-for-bit."""
+    planes = lsh_planes(dim)
+    return [
+        (t, 1 << j, [float(x) for x in planes[t, j]])
+        for t in range(LSH_TABLES)
+        for j in range(LSH_PLANES)
+    ]
 
 
 def with_lsh_buckets(

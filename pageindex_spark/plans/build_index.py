@@ -56,6 +56,9 @@ from ..sources.tables import iceberg_available, read_meta, write_meta
 from .lineage import append_lineage, committed_partitions, stage_metrics
 
 DEFAULT_BUCKETS = 32
+# On-disk index format; bump whenever committed bytes/layout change so
+# cached driver indexes invalidate (see __spark_entry__._engine_index).
+FORMAT_VERSION = 2
 
 
 class SimulatedKill(RuntimeError):
@@ -179,7 +182,7 @@ def build_index(
         write_meta(
             index_dir,
             {
-                "format_version": 2,
+                "format_version": FORMAT_VERSION,
                 "n_docs": n_docs,
                 "avgdl": avgdl,
                 "grid": offsets,

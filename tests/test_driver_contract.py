@@ -69,3 +69,20 @@ def test_pair_matches(name, sviews, duck):
         (g, w) for g, w in zip(got_rows, want_rows) if g != w
     ]
     assert not mism, (name, mism[:5])
+
+
+@pytest.mark.parametrize(
+    "name", ["lsh_ann_topk", "media_features", "frame_sample", "engine_bm25_text"]
+)
+def test_custom_entries_match_their_oracles(name, spark, duck):
+    """The non-SQL queries() entries (DataFrame/mapInPandas operators) must
+    hash-match their DuckDB oracles — the same check the driver runs."""
+    import __spark_entry__ as E
+
+    sdf = E.queries()[name](spark, SF_DIR)
+    want = duck.execute(E.oracle_sql()[name])
+    want_cols = [c[0].lower() for c in want.description]
+    assert [c.lower() for c in sdf.columns] == want_cols
+    got_rows = _norm([tuple(r) for r in sdf.collect()])
+    want_rows = _norm(want.fetchall())
+    assert got_rows == want_rows, (name, got_rows[:3], want_rows[:3])
