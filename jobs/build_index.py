@@ -26,17 +26,36 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="parquet path or table of documents")
     ap.add_argument("--output", required=True, help="index directory")
+    # defaults live on BuildConfig; None here means "not set on the CLI",
+    # so a --config file value isn't silently shadowed by argparse defaults
     ap.add_argument("--num-partitions", type=int, default=None)
-    ap.add_argument("--buckets", type=int, default=32)
-    ap.add_argument("--seg-chunks", type=int, default=4)
-    ap.add_argument("--bucket-chunks", type=int, default=4)
+    ap.add_argument("--buckets", type=int, default=None)
+    ap.add_argument("--seg-chunks", type=int, default=None)
+    ap.add_argument("--bucket-chunks", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None, help="local mode only")
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="JSON file of BuildConfig keys; unknown keys are rejected "
+        "(reference parity: pageindex utils config loader)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from pageindex_spark import build_index, build_metrics
+    from pageindex_spark.config import load_config
     from pageindex_spark.session import get_spark
+
+    cfg = load_config(
+        {
+            "num_partitions": args.num_partitions,
+            "n_buckets": args.buckets,
+            "n_seg_chunks": args.seg_chunks,
+            "n_bucket_chunks": args.bucket_chunks,
+        },
+        path=args.config,
+    )
 
     if SparkSession.getActiveSession() is not None:
         spark = SparkSession.getActiveSession()
@@ -51,15 +70,7 @@ def main() -> None:
         else spark.read.parquet(args.input)
     )
     t0 = time.time()
-    build_index(
-        spark,
-        docs,
-        args.output,
-        num_partitions=args.num_partitions,
-        n_buckets=args.buckets,
-        n_seg_chunks=args.seg_chunks,
-        n_bucket_chunks=args.bucket_chunks,
-    )
+    build_index(spark, docs, args.output, **cfg.as_kwargs())
     out = {
         "build_sec": round(time.time() - t0, 2),
         "metrics": build_metrics(spark, args.output),

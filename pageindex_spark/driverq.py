@@ -21,8 +21,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .functions.tokenizer import TOKEN_SPLIT_PATTERN
-
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -53,14 +51,11 @@ class _Dialect:
         self.duck = name == "duck"
 
     def terms(self, col: str) -> str:
-        if self.duck:
-            return (
-                f"list_filter(regexp_split_to_array(lower({col}), "
-                f"'{TOKEN_SPLIT_PATTERN}'), x -> x <> '')"
-            )
-        # array_remove keeps the tokenize path inside whole-stage codegen
-        # (higher-order filter lambdas do not); semantics identical.
-        return f"array_remove(split(lower({col}), '{TOKEN_SPLIT_PATTERN}'), '')"
+        # single source of truth: sqlglue (ASCII-strip -> lower -> split;
+        # array_remove keeps the Spark path inside whole-stage codegen)
+        from .functions.sqlglue import DUCK_TERMS, SPARK_TERMS
+
+        return (DUCK_TERMS if self.duck else SPARK_TERMS).format(col=col)
 
     def size(self, a: str) -> str:
         return f"len({a})" if self.duck else f"size({a})"
@@ -99,6 +94,15 @@ class _Dialect:
 
     def shiftr(self, x: str, b: int) -> str:
         return f"({x} >> {b})" if self.duck else f"shiftright({x}, {b})"
+
+    def hash32(self, s: str, hexoff: int) -> str:
+        """32-bit hash: 8 md5 hex chars starting at 1-based ``hexoff``."""
+        if self.duck:
+            return f"cast(('0x' || substr(md5({s}), {hexoff}, 8))::ubigint as bigint)"
+        return f"cast(conv(substr(md5({s}), {hexoff}, 8), 16, 10) as bigint)"
+
+    def xor(self, a: str, b: str) -> str:
+        return f"xor({a}, {b})" if self.duck else f"({a} ^ {b})"
 
     def re_replace(self, col: str, pat: str, rep: str) -> str:
         if self.duck:
@@ -193,6 +197,78 @@ select doc_id, {assemble} as simhash from bitsums
 """
 
 
+def _simhash_wide_core(d: _Dialect) -> str:
+    """64-bit SimHash as two 32-bit halves (sim_hi, sim_lo) — bigint-safe in
+    both engines (a true bit-63 assemble overflows signed bigint literals).
+    Each half majority-votes 32 bits of an independent 32-bit term hash
+    (md5 hex chars 1-8 / 9-16)."""
+
+    def sums(h: str, tag: str) -> str:
+        return ", ".join(
+            f"sum(case when ({d.shiftr(h, b)} & 1) = 1 then 1 else -1 end) as {tag}{b}"
+            for b in range(32)
+        )
+
+    def assemble(tag: str) -> str:
+        return " + ".join(
+            f"(case when {tag}{b} >= 0 then cast({1 << b} as bigint) else cast(0 as bigint) end)"
+            for b in range(32)
+        )
+
+    return f"""
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+hashed as (select doc_id, {d.hash32('term', 1)} as h1, {d.hash32('term', 9)} as h2 from occ),
+bitsums as (select doc_id, {sums('h1', 'a')}, {sums('h2', 'c')} from hashed group by doc_id),
+wide as (select doc_id, {assemble('a')} as sim_hi, {assemble('c')} as sim_lo from bitsums)"""
+
+
+def _simhash_wide_sql(d: _Dialect) -> str:
+    return f"with {_simhash_wide_core(d)} select doc_id, sim_hi, sim_lo from wide"
+
+
+def _simhash_bands_core(d: _Dialect) -> str:
+    """4 x 16-bit bands of the 64-bit simhash (LSH-style bucketing: near
+    duplicates at Hamming distance < 4 must share at least one band)."""
+    bands = " union all ".join(
+        f"select doc_id, {bid} as band_id, ({expr}) as band_val from wide"
+        for bid, expr in enumerate(
+            [
+                d.shiftr("sim_hi", 16),
+                "sim_hi & 65535",
+                d.shiftr("sim_lo", 16),
+                "sim_lo & 65535",
+            ]
+        )
+    )
+    return f"{_simhash_wide_core(d)},\nbands as ({bands})"
+
+
+def _simhash_bands_sql(d: _Dialect) -> str:
+    return f"""
+with {_simhash_bands_core(d)}
+select band_id, band_val, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
+from bands group by band_id, band_val having count(*) > 1
+"""
+
+
+def _simhash_hamming_sql(d: _Dialect) -> str:
+    ham = (
+        f"bit_count({d.xor('wa.sim_hi', 'wb.sim_hi')}) + "
+        f"bit_count({d.xor('wa.sim_lo', 'wb.sim_lo')})"
+    )
+    return f"""
+with {_simhash_bands_core(d)},
+pairs as (
+  select distinct a.doc_id as a, b.doc_id as b
+  from bands a join bands b on a.band_id = b.band_id and a.band_val = b.band_val
+   and a.doc_id < b.doc_id
+)
+select p.a, p.b, cast({ham} as bigint) as hamming
+from pairs p join wide wa on wa.doc_id = p.a join wide wb on wb.doc_id = p.b
+"""
+
+
 def _minhash_core(d: _Dialect, n_hashes: int = 4) -> str:
     mins = ", ".join(
         f"{d.arr_min(f'''list_transform(sh, s -> md5('{j}|' || s))''' if d.duck else f'''transform(sh, s -> md5(concat('{j}|', s)))''')} as mh_{j}"
@@ -263,7 +339,8 @@ def _quality_sql(d: _Dialect) -> str:
         if d.duck
         else "length(array_join(terms, ''))"
     )
-    alpha = f"length({d.re_replace('lower(text)', '[^a-z0-9]', '')})"
+    # ASCII-alnum count needs no lowercase at all (case-safe cross-engine)
+    alpha = f"length({d.re_replace('text', '[^A-Za-z0-9]', '')})"
     return f"""
 with toks as (select doc_id, text, {d.terms('text')} as terms from documents)
 select doc_id,
@@ -346,7 +423,9 @@ select query_id, rank, vec_id, cos6 from ranked where rank <= 10
 
 
 def _fingerprint_expr(d: _Dialect) -> str:
-    return f"md5(trim({d.re_replace('lower(text)', '[^a-z0-9]+', ' ')}))"
+    from .functions.sqlglue import DUCK_FP_NORM, SPARK_FP_NORM
+
+    return f"md5({(DUCK_FP_NORM if d.duck else SPARK_FP_NORM).format(col='text')})"
 
 
 def paired_sql() -> dict[str, tuple[str, str]]:
@@ -398,6 +477,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["minhash_signatures"] = both(_minhash_sql)
     pairs["lsh_candidates"] = both(_lsh_bands_sql)
     pairs["simhash"] = both(_simhash_sql)
+    pairs["simhash_wide"] = both(_simhash_wide_sql)
+    pairs["simhash_band_candidates"] = both(_simhash_bands_sql)
+    pairs["simhash_hamming"] = both(_simhash_hamming_sql)
     pairs["ngram_jaccard"] = both(_jaccard_sql)
     pairs["ann_cosine_topk"] = both(_ann_sql)
     pairs["lsh_ann_topk"] = both(_lsh_ann_sql)
@@ -501,13 +583,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     )
     # #26 sampled verification (deterministic md5 sample — rand() would not
     # reproduce across engines); analogue of verify_toc's sampled accuracy
-    pairs["sampled_verification"] = (
-        """select cast(count(*) as bigint) as n_sampled,
-        cast(floor(avg(cast(size(array_remove(split(lower(text), '[^a-z0-9]+'), '')) as double)) * 100) as bigint) as avg_len2
-        from documents where substr(md5(cast(doc_id as string)), 1, 1) in ('0', '1', '2')""",
-        """select cast(count(*) as bigint) as n_sampled,
-        cast(floor(avg(cast(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')) as double)) * 100) as bigint) as avg_len2
-        from documents where substr(md5(cast(doc_id as varchar)), 1, 1) in ('0', '1', '2')""",
+    pairs["sampled_verification"] = both(
+        lambda d: f"""select cast(count(*) as bigint) as n_sampled,
+        cast(floor(avg(cast({d.size(d.terms('text'))} as double)) * 100) as bigint) as avg_len2
+        from documents where substr(md5(cast(doc_id as {d.str_type()})), 1, 1) in ('0', '1', '2')"""
     )
     # #35/36 hierarchical aggregation (tree levels as ROLLUP; parent rows =
     # inner tree nodes, leaf rows = (region, nation))

@@ -16,17 +16,34 @@ The tokenizer snippets MUST stay in lockstep with
 
 from __future__ import annotations
 
-from .tokenizer import TOKEN_SPLIT_PATTERN
+from .tokenizer import ASCII_SEP_PATTERN, TOKEN_SPLIT_PATTERN
 
 # -- tokenize a text column -> array of non-empty lowercase tokens ----------
+# Order of operations is load-bearing (tokenizer.py docstring): strip to the
+# ASCII alphabet FIRST (codepoint class match — engine-independent), THEN
+# lowercase (only ever sees ASCII, where all engines agree), then split.
 # array_remove (not a filter lambda) keeps the path in whole-stage codegen.
 SPARK_TERMS = (
-    "array_remove(split(lower({col}), '" + TOKEN_SPLIT_PATTERN + "'), '')"
+    "array_remove(split(lower(regexp_replace({col}, '"
+    + ASCII_SEP_PATTERN
+    + "', ' ')), '"
+    + TOKEN_SPLIT_PATTERN
+    + "'), '')"
 )
 DUCK_TERMS = (
-    "list_filter(regexp_split_to_array(lower({col}), '"
+    "list_filter(regexp_split_to_array(lower(regexp_replace({col}, '"
+    + ASCII_SEP_PATTERN
+    + "', ' ', 'g')), '"
     + TOKEN_SPLIT_PATTERN
     + "'), x -> x <> '')"
+)
+
+# -- fingerprint normalization: same ASCII-first discipline -----------------
+SPARK_FP_NORM = (
+    "trim(lower(regexp_replace({col}, '" + ASCII_SEP_PATTERN + "', ' ')))"
+)
+DUCK_FP_NORM = (
+    "trim(lower(regexp_replace({col}, '" + ASCII_SEP_PATTERN + "', ' ', 'g')))"
 )
 
 # -- fixed-point projection of a double ------------------------------------

@@ -7,20 +7,38 @@ lowercase-alphanumeric word splitter — the classic IR choice — expressible
 identically in three places:
 
 * pure Python (this module; used by the oracle and by Arrow-batch UDFs),
-* Spark SQL: ``filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')``,
-* DuckDB SQL: ``list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')``.
+* Spark SQL / DuckDB SQL (``functions/sqlglue.py`` SPARK_TERMS/DUCK_TERMS),
+* Arrow compute (``operators/spimi._tokenize_arrow``): RE2 replace + lower +
+  split — the SEGMENT BUILDER's tokenizer, whose tf/doc_len feed the index
+  blobs and block-max bounds.
 
-The three MUST stay in lockstep — rank identity of BM25 scores depends on it.
-`TOKEN_SPLIT_RE` is the single source of truth for the split pattern.
+The FOUR MUST stay in lockstep — rank identity of BM25 scores depends on it.
+
+Lockstep is NOT just a shared regex: the engines' lowercase implementations
+(Python str.lower / JVM Lower / Arrow utf8proc / DuckDB) disagree on exotic
+Unicode case mappings — measured in this repo: Turkish İ (U+0130) lowers to
+'i' + COMBINING DOT ABOVE in Python/JVM (a token BOUNDARY under the ASCII
+alphabet) but to a bare 'i' in Arrow's utf8_lower (token continues), so
+"İstanbul" tokenized as ['i','stanbul'] vs ['istanbul']. The fix is order
+of operations: STRIP to the ASCII alphabet FIRST (``ASCII_SEP_PATTERN`` —
+pure codepoint-class match, no case semantics), THEN lowercase, which only
+ever sees [A-Za-z0-9 ] where every engine agrees. Tokens are therefore the
+maximal ASCII-alphanumeric runs of the raw text, lowercased; non-ASCII
+letters are separators by definition. ``tests/test_codec.py``'s
+adversarial-Unicode property test pins all four implementations on exactly
+these characters; extend it before ever widening the token alphabet.
 """
 
 from __future__ import annotations
 
 import re
 
-# Split on any run of characters outside [a-z0-9] after lowercasing.
+# Pre-lowercase separator collapse: any run outside the ASCII alphabet.
+ASCII_SEP_PATTERN = "[^A-Za-z0-9]+"
+# Post-lowercase split (only ever applied to [a-z0-9 ] text).
 TOKEN_SPLIT_PATTERN = "[^a-z0-9]+"
 TOKEN_SPLIT_RE = re.compile(TOKEN_SPLIT_PATTERN)
+_TOKEN_RE = re.compile("[A-Za-z0-9]+")
 
 # BM25 constants fixed by BASELINE.json north_star.
 BM25_K1 = 1.2
@@ -28,10 +46,11 @@ BM25_B = 0.75
 
 
 def tokenize(text: str) -> list[str]:
-    """Lowercase alphanumeric word split; '' tokens dropped."""
+    """Maximal ASCII-alphanumeric runs, lowercased (see module docstring:
+    equivalent to strip-to-ASCII -> lower -> split in every engine)."""
     if not text:
         return []
-    return [t for t in TOKEN_SPLIT_RE.split(text.lower()) if t]
+    return [t.lower() for t in _TOKEN_RE.findall(text)]
 
 
 def token_count(text: str) -> int:

@@ -47,7 +47,9 @@ def exact_groups(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -
 
     keep_id = min docID of the group (the canonical survivor). One shuffle.
     """
-    norm = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
+    from ..functions.sqlglue import SPARK_FP_NORM
+
+    norm = F.expr(SPARK_FP_NORM.format(col=text_col))
     return (
         docs.select(key, F.md5(norm).alias("fp"))
         .groupBy("fp")
@@ -137,6 +139,104 @@ def simhash64(docs: DataFrame, key: str = "doc_id", text_col: str = "text", bits
         term = bit * F.lit(1 << b).cast("long")
         sim = term if sim is None else sim + term
     return agg.select(key, sim.alias("simhash"))
+
+
+def simhash_wide(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(key, sim_hi, sim_lo) — production 64-bit SimHash as two 32-bit
+    halves (bigint-safe in any engine: assembling bit 63 overflows a signed
+    long). Each half majority-votes an independent 32-bit term hash (md5 hex
+    chars 1-8 / 9-16). One shuffle (groupBy key); SQL twin:
+    ``driverq._simhash_wide_sql``."""
+    terms = F.explode(F.expr(spark_terms(text_col))).alias("term")
+    exploded = docs.select(key, terms).select(
+        key,
+        F.expr("cast(conv(substr(md5(term), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substr(md5(term), 9, 8), 16, 10) as bigint)").alias("h2"),
+    )
+
+    def bit_sums(h: str, tag: str):
+        return [
+            F.sum(
+                F.when(F.shiftright(F.col(h), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"{tag}{b}")
+            for b in range(32)
+        ]
+
+    agg = exploded.groupBy(key).agg(*bit_sums("h1", "a"), *bit_sums("h2", "c"))
+
+    def assemble(tag: str):
+        half = None
+        for b in range(32):
+            bit = F.when(F.col(f"{tag}{b}") >= 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            half = bit if half is None else half + bit
+        return half
+
+    return agg.select(key, assemble("a").alias("sim_hi"), assemble("c").alias("sim_lo"))
+
+
+def simhash_bands(wide: DataFrame, key: str = "doc_id") -> DataFrame:
+    """64-bit simhash -> 4 x 16-bit band rows (key, band_id, band_val):
+    near-duplicates at Hamming distance < 4 share >= 1 band (pigeonhole) —
+    candidate generation is ONE shuffle on the band key, never all-pairs."""
+    bands = [
+        F.struct(F.lit(0).alias("band_id"), F.shiftright("sim_hi", 16).alias("band_val")),
+        F.struct(F.lit(1).alias("band_id"), F.col("sim_hi").bitwiseAND(F.lit(65535)).alias("band_val")),
+        F.struct(F.lit(2).alias("band_id"), F.shiftright("sim_lo", 16).alias("band_val")),
+        F.struct(F.lit(3).alias("band_id"), F.col("sim_lo").bitwiseAND(F.lit(65535)).alias("band_val")),
+    ]
+    return (
+        wide.select(key, F.explode(F.array(*bands)).alias("b"))
+        .select(key, F.col("b.band_id"), F.col("b.band_val"))
+    )
+
+
+def simhash_band_candidates(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(band_id, band_val, n_docs, keep_id) for band buckets with > 1 doc."""
+    bands = simhash_bands(simhash_wide(docs, key, text_col), key)
+    return (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(a, b, hamming) for candidate pairs sharing >= 1 band: exact 64-bit
+    Hamming distance via bit_count(xor) on the two halves. The pairwise join
+    is bounded to band buckets (bucket-local verification, like LSH)."""
+    wide = simhash_wide(docs, key, text_col)
+    bands = simhash_bands(wide, key)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .distinct()
+    )
+    wa = wide.select(
+        F.col(key).alias("a"), F.col("sim_hi").alias("hi_a"), F.col("sim_lo").alias("lo_a")
+    )
+    wb = wide.select(
+        F.col(key).alias("b"), F.col("sim_hi").alias("hi_b"), F.col("sim_lo").alias("lo_b")
+    )
+    ham = F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b"))) + F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    )
+    return (
+        pairs.join(wa, "a").join(wb, "b")
+        .select("a", "b", ham.cast("long").alias("hamming"))
+    )
 
 
 def ngram_jaccard_pairs(

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..functions.tokenizer import TOKEN_SPLIT_RE
+from ..functions.tokenizer import ASCII_SEP_PATTERN, TOKEN_SPLIT_RE
 from .codec import BLOCK_SIZE, tf_quality, vb_encode
 
 SEGMENT_SCHEMA = (
@@ -68,9 +68,13 @@ def _tokenize_arrow(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[str
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n_docs = len(arr)
-    toks = pc.split_pattern_regex(
-        pc.utf8_lower(pc.coalesce(arr, pa.scalar(""))), TOKEN_SPLIT_RE.pattern
+    # Lockstep discipline (functions/tokenizer.py): strip to the ASCII
+    # alphabet BEFORE utf8_lower — Arrow's lowercase disagrees with
+    # Python/JVM on e.g. U+0130, but never on pure ASCII.
+    cleaned = pc.replace_substring_regex(
+        pc.coalesce(arr, pa.scalar("")), pattern=ASCII_SEP_PATTERN, replacement=" "
     )
+    toks = pc.split_pattern_regex(pc.utf8_lower(cleaned), TOKEN_SPLIT_RE.pattern)
     flat = pc.list_flatten(toks)
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)

@@ -50,7 +50,8 @@ def quality_score(docs: DataFrame, key: str = "doc_id", text_col: str = "text") 
     n_tok = F.size(terms)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(terms, lambda t: F.array_contains(stop_arr, t)))
-    alpha_chars = F.length(F.regexp_replace(F.lower(text_col), "[^a-z0-9]", ""))
+    # ASCII-alnum count: no lowercase involved -> engine-independent
+    alpha_chars = F.length(F.regexp_replace(text_col, "[^A-Za-z0-9]", ""))
     total_chars = F.length(text_col)
     fix6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
     return docs.select(
@@ -93,5 +94,8 @@ def lang_id(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> Dat
 def fingerprint(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(key, fp) — md5 of whitespace-normalized lowercase text (document
     fingerprint; the rolling-hash analogue with an exact SQL twin)."""
-    norm = F.trim(F.regexp_replace(F.lower(text_col), "[^a-z0-9]+", " "))
-    return docs.select(key, F.md5(norm).alias("fp"))
+    from ..functions.sqlglue import SPARK_FP_NORM
+
+    return docs.select(
+        key, F.md5(F.expr(SPARK_FP_NORM.format(col=text_col))).alias("fp")
+    )

@@ -9,11 +9,12 @@ the north rule's "never recompute extraction or tokenization"):
                    norms/           (part_id, first_doc, n_docs, dl_blob)
                    meta.json        (n_docs, avgdl, grid, ...)
     -> [segments]  segments/chunk=c/   one run per (term, part)   [chunked]
-    -> [compact]   postings/bucket=b/  salted-merged runs          [chunked]
+    -> [compact]   runs_raw/bucket=b/  salted-merged runs          [chunked]
+    -> [fold]      postings/bucket=b/  light terms folded to 1 run [chunked]
                    term_stats/bucket=b/ (term, df)
 
 Chunking = resume granularity: ``segments`` chunks over part_id,
-``compact`` chunks over term bucket. Each chunk is one atomic Spark write
+``compact``/``fold`` chunk over term bucket. Each chunk is one atomic Spark write
 (file-commit protocol) followed by a lineage append; on restart,
 ``committed_partitions`` filters finished chunks out (anti-join semantics).
 
@@ -41,6 +42,7 @@ from ..operators.codec import BLOCK_SIZE, vb_encode
 from ..operators.compaction import (
     TARGET_RUN_BYTES,
     compact_segments,
+    fold_light_runs,
     term_stats_from_runs,
     with_term_bucket,
 )
@@ -50,15 +52,22 @@ from ..operators.docids import (
     offsets_from_counts,
     partition_counts,
 )
+from ..functions.sqlglue import spark_terms
 from ..operators.extract import with_extracted_text
 from ..operators.spimi import build_segments
-from ..sources.tables import iceberg_available, read_meta, write_meta
+from ..sources.tables import (
+    iceberg_available,
+    read_meta,
+    write_bucketed_index,
+    write_meta,
+)
 from .lineage import append_lineage, committed_partitions, stage_metrics
 
 DEFAULT_BUCKETS = 32
 # On-disk index format; bump whenever committed bytes/layout change so
 # cached driver indexes invalidate (see __spark_entry__._engine_index).
-FORMAT_VERSION = 2
+# v3: + n_bytes column, second-level fold stage (light terms -> 1 run).
+FORMAT_VERSION = 3
 
 
 class SimulatedKill(RuntimeError):
@@ -82,6 +91,12 @@ class IndexPaths:
         return os.path.join(self.index_dir, "segments")
 
     @property
+    def runs_raw(self) -> str:
+        """Level-1 (salted) compaction output; input of the fold stage.
+        Kept after folding for resume lineage — production GCs it."""
+        return os.path.join(self.index_dir, "runs_raw")
+
+    @property
     def postings(self) -> str:
         return os.path.join(self.index_dir, "postings")
 
@@ -102,11 +117,19 @@ def build_index(
     target_run_bytes: int = TARGET_RUN_BYTES,
     block_size: int = BLOCK_SIZE,
     stop_after: tuple[str, int] | None = None,
+    fold_light: bool = True,
+    iceberg_table: str | None = None,
 ) -> "IndexPaths":
     """Build (or resume building) the inverted index under ``index_dir``.
 
     ``docs`` must have ``url`` plus ``text`` and/or ``html`` (text wins; html
     is extracted via the shared deterministic extractor).
+
+    ``fold_light`` adds the second-level compaction stage: light terms
+    (total bytes <= one target run) fold from ~P/parts_per_group salted runs
+    to 1 run each (``compaction.fold_light_runs``) — one extra pass over
+    index bytes at build time buys the long tail a single-run read at query
+    time. ``fold_light=False`` keeps the round-1 single-level layout.
     """
     import sys
     import time as _time
@@ -134,9 +157,7 @@ def build_index(
         # (see operators/docids.py for the re-execution hazard this avoids).
         positioned = add_partition_pos(src, num_partitions).withColumn(
             "doc_len",
-            F.size(
-                F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), "")
-            ).cast("long"),
+            F.size(F.expr(spark_terms("text"))).cast("long"),
         )
         (
             positioned.write.mode("overwrite")
@@ -209,6 +230,12 @@ def build_index(
         _mark("extract_metadata", _t)
 
     meta = read_meta(index_dir)
+    if int(meta.get("format_version", 0)) != FORMAT_VERSION:
+        raise ValueError(
+            f"index at {index_dir} has format_version={meta.get('format_version')} "
+            f"(current {FORMAT_VERSION}); delete the directory to rebuild — "
+            "resuming across formats would mix layouts"
+        )
     avgdl = float(meta["avgdl"])
     grid = list(meta["grid"])
 
@@ -250,6 +277,7 @@ def build_index(
 
     # ---------------- stage: compact (chunked by term bucket) ----------------
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    compact_dir = paths.runs_raw if fold_light else paths.postings
     done = committed_partitions(spark, index_dir, "compact")
     for chunk in range(n_bucket_chunks):
         if chunk in done:
@@ -260,22 +288,28 @@ def build_index(
         ).filter(F.col("bucket") % n_bucket_chunks == chunk)
         runs = compact_segments(segs.drop("bucket"), target_run_bytes)
         runs_b = with_term_bucket(runs, n_buckets)
-        runs_b.write.mode("overwrite").partitionBy("bucket").parquet(paths.postings)
+        if fold_light:  # intermediate runs always go to the parquet staging
+            runs_b.write.mode("overwrite").partitionBy("bucket").parquet(compact_dir)
+        else:
+            write_bucketed_index(runs_b, compact_dir, spark, n_buckets, iceberg_table)
         _mark(f"compact_chunk{chunk}", _t)
         _t = _time.time()
-        # term_stats derives from the COMMITTED postings (metadata columns
-        # only — column-pruned read); recomputing it from `runs` would
-        # re-execute the whole shuffle+merge a second time.
-        written = spark.read.parquet(paths.postings).filter(
+        # stats derive from the COMMITTED runs (column-pruned metadata read:
+        # n_bytes, never blobs); recomputing from `runs` would re-execute
+        # the whole shuffle+merge a second time.
+        written = spark.read.parquet(compact_dir).filter(
             F.col("bucket") % n_bucket_chunks == chunk
         )
-        ts = with_term_bucket(term_stats_from_runs(written.drop("bucket")), n_buckets)
-        ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
+        if not fold_light:
+            ts = with_term_bucket(
+                term_stats_from_runs(written.drop("bucket")), n_buckets
+            )
+            ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
         m = (
             written
             .agg(
                 F.countDistinct("term").alias("terms"),
-                F.sum(F.length("doc_blob") + F.length("tf_blob")).alias("bytes"),
+                F.sum("n_bytes").alias("bytes"),
                 F.sum("n_docs").alias("docs"),
             )
             .collect()[0]
@@ -289,6 +323,47 @@ def build_index(
         )
         if stop_after == ("compact", chunk):
             raise SimulatedKill(f"stopped after compact chunk {chunk}")
+
+    # -------- stage: fold (second-level compaction, chunked by bucket) ------
+    if fold_light:
+        done = committed_partitions(spark, index_dir, "fold")
+        for chunk in range(n_bucket_chunks):
+            if chunk in done:
+                continue
+            _t = _time.time()
+            raw = spark.read.parquet(paths.runs_raw).filter(
+                F.col("bucket") % n_bucket_chunks == chunk
+            )
+            folded = fold_light_runs(raw.drop("bucket"), target_run_bytes)
+            folded_b = with_term_bucket(folded, n_buckets)
+            write_bucketed_index(folded_b, paths.postings, spark, n_buckets, iceberg_table)
+            _mark(f"fold_chunk{chunk}", _t)
+            _t = _time.time()
+            written = spark.read.parquet(paths.postings).filter(
+                F.col("bucket") % n_bucket_chunks == chunk
+            )
+            ts = with_term_bucket(
+                term_stats_from_runs(written.drop("bucket")), n_buckets
+            )
+            ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
+            m = (
+                written
+                .agg(
+                    F.countDistinct("term").alias("terms"),
+                    F.sum("n_bytes").alias("bytes"),
+                    F.count("*").alias("docs"),  # row count = run count here
+                )
+                .collect()[0]
+            )
+            _mark(f"fold_meta{chunk}", _t)
+            append_lineage(
+                spark,
+                index_dir,
+                "fold",
+                [(chunk, int(m["docs"] or 0), int(m["bytes"] or 0), int(m["terms"] or 0))],
+            )
+            if stop_after == ("fold", chunk):
+                raise SimulatedKill(f"stopped after fold chunk {chunk}")
 
     return paths
 

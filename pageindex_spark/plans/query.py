@@ -220,7 +220,9 @@ def _search_impl(
             if out["cell"]:
                 yield from pa.table(out, schema=_SLICE_PA).to_batches()
 
-    slices = runs.drop("bucket", "run_id").mapInArrow(slice_runs, schema=_SLICE_DDL)
+    slices = runs.drop("bucket", "run_id", "n_bytes").mapInArrow(
+        slice_runs, schema=_SLICE_DDL
+    )
 
     norms = se.norms
     use_dense = mode == "dense"

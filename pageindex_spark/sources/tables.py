@@ -28,6 +28,40 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+def write_bucketed_index(
+    df: DataFrame,
+    path: str,
+    spark: SparkSession,
+    n_buckets: int,
+    table: str | None = None,
+) -> str:
+    """Write index runs partitioned by term bucket; returns the storage used.
+
+    Iceberg branch (north rule names Iceberg): when a catalog table name is
+    given AND the Iceberg runtime resolves, write via
+    ``writeTo(table).partitionedBy(bucket(B, term))`` — Iceberg computes the
+    bucket transform itself, commits a snapshot, and resume can key off
+    snapshot metadata. The sandbox has no jars (offline), so the shim writes
+    the SAME layout to parquet using the precomputed ``bucket`` column
+    (``compaction.with_term_bucket`` — Spark-hash, matched driver-side by
+    ``functions.murmur3`` for pruning). Both layouts prune query reads to
+    the query terms' buckets.
+    """
+    if table and iceberg_available(spark):
+        from pyspark.sql import functions as F
+
+        (
+            df.drop("bucket")
+            .writeTo(table)
+            .using("iceberg")
+            .partitionedBy(F.bucket(n_buckets, F.col("term")))
+            .createOrReplace()
+        )
+        return "iceberg"
+    df.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    return "parquet"
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -62,13 +62,13 @@ def stream_extract(
     schema: str = "url string, warc_ts timestamp, html binary, lang string",
 ):
     """html stream -> extracted text stream (parquet sink, exactly-once)."""
+    from ..functions.sqlglue import spark_terms
+
     raw = spark.readStream.schema(schema).parquet(input_dir)
     extracted = with_extracted_text(raw).select(
         "url",
         "text",
-        F.size(F.array_remove(F.split(F.lower("text"), "[^a-z0-9]+"), ""))
-        .cast("long")
-        .alias("doc_len"),
+        F.size(F.expr(spark_terms("text"))).cast("long").alias("doc_len"),
     )
     return (
         extracted.writeStream.format("parquet")

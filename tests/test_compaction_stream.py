@@ -59,3 +59,28 @@ def test_merge_identical_across_arrow_batch_sizes(spark, segments):
     # sanity: every term produced a run and each group (8 segment rows)
     # spanned >= 4 two-row input batches under the tiny setting
     assert len(whole) >= 12
+
+
+def test_fold_light_runs_collapses_long_tail(spark, segments):
+    """Second-level compaction: salted-then-folded == direct unsalted merge
+    (blob-identical), every light term ends at exactly 1 run, heavy terms
+    keep their salted runs untouched."""
+    from pageindex_spark.operators.compaction import fold_light_runs
+
+    salted = compact_segments(segments, target_run_bytes=4096, parts_per_group=2)
+    salted.cache().count()
+    folded = fold_light_runs(salted, target_run_bytes=1 << 20)
+    per_term = folded.groupBy("term").count().collect()
+    assert per_term and all(r["count"] == 1 for r in per_term)
+    # zero-decode concat preserves posting bytes exactly
+    tot = lambda df: df.agg(F.sum("n_bytes").alias("b")).collect()[0]["b"]
+    assert tot(folded) == tot(salted)
+    # folded output == a direct single-group merge of the same segments
+    direct = compact_segments(
+        segments, target_run_bytes=1 << 20, parts_per_group=64
+    )
+    assert _collect_runs(folded) == _collect_runs(direct)
+    # heavy terms (total > target) pass through byte-identical
+    tiny_fold = fold_light_runs(salted, target_run_bytes=1)
+    assert _collect_runs(tiny_fold) == _collect_runs(salted)
+    salted.unpersist()

@@ -94,6 +94,50 @@ def test_simhash_near_duplicates_close(spark, docs):
     assert max(close) <= 6  # light perturbation flips few bits
 
 
+def test_simhash_wide_matches_twin_and_finds_planted_neardups(spark, docs):
+    """64-bit SimHash DataFrame ops == their SQL twins, and planted
+    near-duplicates land at small Hamming distance sharing >= 1 band."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_hamming_pairs,
+        simhash_wide,
+    )
+
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    pert = base.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    corpus = base.unionByName(pert)
+    corpus.createOrReplaceTempView("documents")
+    sqls = paired_sql()
+    assert _rows(simhash_wide(corpus)) == _rows(spark.sql(sqls["simhash_wide"][0]))
+    assert _rows(simhash_band_candidates(corpus)) == _rows(
+        spark.sql(sqls["simhash_band_candidates"][0])
+    )
+    ham_pairs = _rows(simhash_hamming_pairs(corpus))
+    assert ham_pairs == _rows(spark.sql(sqls["simhash_hamming"][0]))
+    ham = {(a, b): h for a, b, h in ham_pairs}
+    sig = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in simhash_wide(corpus).collect()}
+
+    def hamming(x, y):
+        return bin(sig[x][0] ^ sig[y][0]).count("1") + bin(sig[x][1] ^ sig[y][1]).count("1")
+
+    planted = [hamming(d, d + 100) for d in range(20)]
+    unrelated = [hamming(d, (d + 1) % 20) for d in range(20)]
+    # light perturbation flips few of 64 bits; unrelated docs ~32
+    assert max(planted) <= 16 and sum(planted) / 20 < sum(unrelated) / 20 / 2
+    # pigeonhole guarantee: hamming < 4 MUST share a band -> pair surfaced
+    for d in range(20):
+        if hamming(d, d + 100) < 4:
+            assert (d, d + 100) in ham, d
+    # every surfaced pair's reported distance is the true 64-bit distance
+    for (a, b), h in ham.items():
+        assert h == hamming(a, b)
+    spark.catalog.dropTempView("documents")
+
+
 def test_minhash_lsh_catches_planted_duplicates(spark, docs):
     """Plant near-duplicates; every (d, d+10000) pair must share a band
     bucket (exact copies have identical signatures in every band)."""
