@@ -2,7 +2,12 @@
 """spark-submit entry: BM25 top-k search over a built index.
 
     spark-submit --py-files pageindex_spark.zip jobs/query_index.py \
-        --index /path/to/index --query "rare term" --k 10 [--mode bmw|dense]
+        --index /path/to/index --query "rare term" --k 10 [--mode bmw|dense] \
+        [--with-text] [--fixed-point]
+
+--with-text returns each winner's extracted text (reference retrieval
+parity); --fixed-point ranks over floor(score*1e6) with doc_id tie-break
+(cross-engine-deterministic rank assignment).
 """
 
 from __future__ import annotations
@@ -18,6 +23,8 @@ def main() -> None:
     ap.add_argument("--query", action="append", required=True, help="repeatable")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--mode", choices=["bmw", "dense"], default="bmw")
+    ap.add_argument("--with-text", action="store_true")
+    ap.add_argument("--fixed-point", action="store_true")
     ap.add_argument("--cores", type=int, default=None, help="local mode only")
     args = ap.parse_args()
 
@@ -34,12 +41,18 @@ def main() -> None:
         spark = SparkSession.builder.appName("query_index").getOrCreate()
 
     queries = [(i + 1, q) for i, q in enumerate(args.query)]
-    rows = search(spark, args.index, queries, k=args.k, mode=args.mode).collect()
+    rows = search(
+        spark, args.index, queries, k=args.k, mode=args.mode,
+        fixed_point=args.fixed_point, with_text=args.with_text,
+    ).collect()
     for r in rows:
-        json.dump(
-            {"query_id": r["query_id"], "rank": r["rank"], "url": r["url"], "score": r["score"]},
-            sys.stdout,
-        )
+        rec = {
+            "query_id": r["query_id"], "rank": r["rank"],
+            "url": r["url"], "score": r["score"],
+        }
+        if args.with_text:
+            rec["text"] = r["text"]
+        json.dump(rec, sys.stdout)
         print()
 
 

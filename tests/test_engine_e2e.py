@@ -121,6 +121,35 @@ def test_resume_after_kill(spark, sf_micro_dir):
     shutil.rmtree(kill_dir, ignore_errors=True)
 
 
+def test_resume_after_kill_in_fold_stage(spark, sf_micro_dir):
+    """Kill between the two fold chunks; resume must finish the remaining
+    fold chunk only (compact untouched) and the folded index must still be
+    oracle rank-identical."""
+    kill_dir = "/root/repo/data/index-fold-resume-test"
+    shutil.rmtree(kill_dir, ignore_errors=True)
+    docs = spark.read.parquet(os.path.join(sf_micro_dir, "documents.parquet"))
+    kwargs = dict(num_partitions=4, n_buckets=4, n_seg_chunks=2, n_bucket_chunks=2)
+    with pytest.raises(SimulatedKill):
+        build_index(
+            spark, docs.select("url", "text"), kill_dir,
+            stop_after=("fold", 0), **kwargs,
+        )
+    m1 = stage_metrics(spark, kill_dir)
+    assert m1["compact"]["partitions"] == 2 and m1["fold"]["partitions"] == 1
+    build_index(spark, docs.select("url", "text"), kill_dir, **kwargs)
+    m2 = stage_metrics(spark, kill_dir)
+    assert m2["compact"]["partitions"] == 2  # compact did NOT re-run
+    assert m2["fold"]["partitions"] == 2
+    tbl = pq.read_table(
+        os.path.join(sf_micro_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    golden_micro = bm25_topk(rows, make_queries(), k=10)
+    got = search(spark, kill_dir, make_queries(), k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden_micro)
+    shutil.rmtree(kill_dir, ignore_errors=True)
+
+
 def test_extraction_byte_identity_through_build(spark, sf_micro_dir):
     """Build from the html column only (no text): the extract stage's output
     must be byte-identical to the ground-truth text for every url."""
