@@ -133,17 +133,39 @@ def main() -> None:
     register_views(spark, SF_DIR)
     pairs = paired_sql()
 
+    # Canary-gate EVERY timed section (VERDICT r2 #1): the r2 artifact's
+    # 3.4x query-p50 regression was unadjudicable because only the scaling
+    # block recorded CPU-speed evidence. Each section now waits for credit
+    # recovery, then records the canary before/after — a section whose
+    # gated flag is false is invalid by construction, not a perf signal.
+    canaries: dict[str, dict] = {}
+
+    def _gate(section: str, threshold_ms: float = 100.0) -> None:
+        before = _wait_for_cpu(threshold_ms=threshold_ms, timeout_s=600.0)
+        canaries[section] = {"before_ms": round(before, 1), "gated": before < threshold_ms}
+
+    def _gate_end(section: str) -> None:
+        after = _canary_ms()
+        canaries[section]["after_ms"] = round(after, 1)
+        canaries[section]["gated"] = bool(
+            canaries[section]["gated"] and after < 4 * canaries[section]["before_ms"] + 100
+        )
+
     queries: dict[str, float] = {}
     total = 0.0
+    _gate("headline")
     for name in HEADLINE:
         t0 = time.time()
         spark.sql(pairs[name][0]).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         queries[name] = round(dt, 3)
         total += dt
+    _gate_end("headline")
 
     # Engine build + query latency.
+    _gate("build")
     build_sec, n_docs = _build_once(spark, f"cpu{CPUS}", CPUS)
+    _gate_end("build")
     queries["engine_build"] = round(build_sec, 3)
     total += build_sec
     idx = f"/root/repo/data/bench_index_cpu{CPUS}"
@@ -153,6 +175,7 @@ def main() -> None:
     # long-lived cluster amortizes; latency numbers reflect steady state.
     search(spark, idx, BM25_QUERIES[:1], k=10, mode="bmw").collect()
 
+    _gate("latency")
     lat = []
     for qid, qtext in BM25_QUERIES:
         t0 = time.time()
@@ -161,6 +184,7 @@ def main() -> None:
     batch0 = time.time()
     search(spark, idx, BM25_QUERIES, k=10, mode="bmw").collect()
     batch_sec = time.time() - batch0
+    _gate_end("latency")
     queries["engine_query_batch5"] = round(batch_sec, 3)
     total += sum(lat) + batch_sec
 
@@ -175,6 +199,8 @@ def main() -> None:
         "build_docs_per_sec": round(n_docs / build_sec, 1),
         "query_p50_ms": round(statistics.median(lat) * 1000, 1),
         "query_p95_ms": round(max(lat) * 1000, 1),
+        "cpu_canaries": canaries,
+        "gated": all(c["gated"] for c in canaries.values()),
     }
 
     if SCALING:

@@ -27,6 +27,8 @@ class BuildConfig:
     target_run_bytes: int = field(default=TARGET_RUN_BYTES)
     block_size: int = field(default=BLOCK_SIZE)
     fold_light: bool = True
+    iceberg_table: str | None = None
+    gc_runs_raw: bool = True
 
     def as_kwargs(self) -> dict:
         return asdict(self)

@@ -253,15 +253,25 @@ from bands group by band_id, band_val having count(*) > 1
 
 
 def _simhash_hamming_sql(d: _Dialect) -> str:
+    """Mirrors ``dedup.simhash_hamming_pairs`` INCLUDING the bucket-size cap
+    (MAX_VERIFY_BUCKET): oversized band buckets are skipped in BOTH engines,
+    so the oracle pins the production semantics, not an uncapped variant."""
+    from .operators.dedup import MAX_VERIFY_BUCKET
+
     ham = (
         f"bit_count({d.xor('wa.sim_hi', 'wb.sim_hi')}) + "
         f"bit_count({d.xor('wa.sim_lo', 'wb.sim_lo')})"
     )
     return f"""
 with {_simhash_bands_core(d)},
+ok as (
+  select band_id, band_val from bands group by band_id, band_val
+  having count(*) > 1 and count(*) <= {MAX_VERIFY_BUCKET}
+),
+bok as (select bands.* from bands join ok using (band_id, band_val)),
 pairs as (
   select distinct a.doc_id as a, b.doc_id as b
-  from bands a join bands b on a.band_id = b.band_id and a.band_val = b.band_val
+  from bok a join bok b on a.band_id = b.band_id and a.band_val = b.band_val
    and a.doc_id < b.doc_id
 )
 select p.a, p.b, cast({ham} as bigint) as hamming
@@ -296,6 +306,40 @@ bands as (
 )
 select band_id, band_hash, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
 from bands group by band_id, band_hash having count(*) > 1
+"""
+
+
+def _lsh_jaccard_sql(d: _Dialect) -> str:
+    """SQL twin of ``dedup.lsh_verified_pairs``: MinHash-LSH candidates from
+    band buckets of 2..MAX_VERIFY_BUCKET members, verified with exact
+    distinct-shingle Jaccard (fixed-point x1e6)."""
+    from .operators.dedup import MAX_VERIFY_BUCKET
+
+    b0 = d.concat("mh_0", "'|'", "mh_1")
+    b1 = d.concat("mh_2", "'|'", "mh_3")
+    inter = d.size(d.arr_intersect("sa.s", "sb.s"))
+    union = f"{d.size('sa.s')} + {d.size('sb.s')} - {inter}"
+    return f"""
+with {_minhash_core(d)},
+bands as (
+  select doc_id, 0 as band_id, md5({b0}) as band_hash from sig
+  union all
+  select doc_id, 1 as band_id, md5({b1}) as band_hash from sig
+),
+ok as (
+  select band_id, band_hash from bands group by band_id, band_hash
+  having count(*) > 1 and count(*) <= {MAX_VERIFY_BUCKET}
+),
+bok as (select bands.* from bands join ok using (band_id, band_hash)),
+pairs as (
+  select distinct a.doc_id as a, b.doc_id as b
+  from bok a join bok b on a.band_id = b.band_id and a.band_hash = b.band_hash
+   and a.doc_id < b.doc_id
+),
+ds as (select doc_id, {d.arr_distinct('sh')} as s from shj)
+select p.a, p.b,
+       cast(floor(cast({inter} as double) * 1000000.0 / ({union})) as bigint) as jaccard6
+from pairs p join ds sa on sa.doc_id = p.a join ds sb on sb.doc_id = p.b
 """
 
 
@@ -481,6 +525,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["simhash_band_candidates"] = both(_simhash_bands_sql)
     pairs["simhash_hamming"] = both(_simhash_hamming_sql)
     pairs["ngram_jaccard"] = both(_jaccard_sql)
+    pairs["lsh_jaccard"] = both(_lsh_jaccard_sql)
     pairs["ann_cosine_topk"] = both(_ann_sql)
     pairs["lsh_ann_topk"] = both(_lsh_ann_sql)
     pairs["embedding_norms"] = both(

@@ -24,7 +24,7 @@ of operations: STRIP to the ASCII alphabet FIRST (``ASCII_SEP_PATTERN`` —
 pure codepoint-class match, no case semantics), THEN lowercase, which only
 ever sees [A-Za-z0-9 ] where every engine agrees. Tokens are therefore the
 maximal ASCII-alphanumeric runs of the raw text, lowercased; non-ASCII
-letters are separators by definition. ``tests/test_codec.py``'s
+letters are separators by definition. ``tests/test_tokenizer_lockstep.py``'s
 adversarial-Unicode property test pins all four implementations on exactly
 these characters; extend it before ever widening the token alphabet.
 """

@@ -204,14 +204,53 @@ def simhash_band_candidates(
     )
 
 
+# Bucket-size cap for pairwise verification (VERDICT r2): a degenerate band
+# bucket (e.g. thousands of near-empty docs hashing alike) would otherwise go
+# quadratic in ONE task. Buckets above the cap are SKIPPED by the verifiers —
+# a bucket that large is an exact-duplicate cluster in practice, which
+# ``exact_groups`` already collapses for ~n cost; report skipped buckets via
+# ``oversized_buckets`` when auditing.
+MAX_VERIFY_BUCKET = 256
+
+
+def _capped_buckets(bands: DataFrame, bucket_cols: list[str], max_bucket: int) -> DataFrame:
+    """bands filtered to buckets with 2..max_bucket members (one extra agg
+    on the same shuffle key; no blob/text columns involved)."""
+    sizes = (
+        bands.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter((F.col("_n") > 1) & (F.col("_n") <= max_bucket))
+        .select(*bucket_cols)
+    )
+    return bands.join(sizes, bucket_cols)
+
+
+def oversized_buckets(
+    bands: DataFrame, bucket_cols: list[str], max_bucket: int = MAX_VERIFY_BUCKET
+) -> DataFrame:
+    """Audit view: buckets the verifiers skipped (size > max_bucket)."""
+    return (
+        bands.groupBy(*bucket_cols)
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
 def simhash_hamming_pairs(
-    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_VERIFY_BUCKET,
 ) -> DataFrame:
     """(a, b, hamming) for candidate pairs sharing >= 1 band: exact 64-bit
     Hamming distance via bit_count(xor) on the two halves. The pairwise join
-    is bounded to band buckets (bucket-local verification, like LSH)."""
+    is bounded to band buckets of <= max_bucket members (bucket-local
+    verification; oversized buckets are skipped — see MAX_VERIFY_BUCKET).
+    SQL twin ``driverq._simhash_hamming_sql`` applies the same cap."""
     wide = simhash_wide(docs, key, text_col)
-    bands = simhash_bands(wide, key)
+    bands = _capped_buckets(
+        simhash_bands(wide, key), ["band_id", "band_val"], max_bucket
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -243,10 +282,11 @@ def ngram_jaccard_pairs(
     docs: DataFrame, key: str = "doc_id", text_col: str = "text", max_key: int = 40
 ) -> DataFrame:
     """Pairwise 3-gram Jaccard for a bounded candidate set (keys < max_key):
-    (a, b, jaccard6). The bounded filter mirrors what LSH candidate buckets
-    look like in production — verification is always bucket-local. Docs with
-    < 3 tokens have no shingles and are dropped (SQL-twin semantics; also
-    dodges 0/0 Jaccard on empty shingle sets)."""
+    (a, b, jaccard6). DEMO/ORACLE variant — the explicit key bound keeps the
+    SQL twin trivially expressible; production uses ``lsh_verified_pairs``,
+    which draws candidates from LSH buckets instead. Docs with < 3 tokens
+    have no shingles and are dropped (SQL-twin semantics; also dodges 0/0
+    Jaccard on empty shingle sets)."""
     small = _shingled_docs(docs.filter(F.col(key) < max_key), key, text_col).select(
         F.col(key).alias("id"), F.array_distinct("sh").alias("sh")
     )
@@ -259,6 +299,60 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.id").alias("a"),
             F.col("b.id").alias("b"),
+            F.floor(inter * 1_000_000 / union).cast("long").alias("jaccard6"),
+        )
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    max_bucket: int = MAX_VERIFY_BUCKET,
+) -> DataFrame:
+    """Production near-dup pipeline (VERDICT r2 #5a): MinHash-LSH candidate
+    generation -> bucket-local exact 3-gram Jaccard verification -> (a, b,
+    jaccard6). Replaces ``ngram_jaccard_pairs``'s demo-shaped ``doc_id <
+    max_key`` bound with the real LSH wiring:
+
+    * candidates come ONLY from band buckets with 2..max_bucket members
+      (one shuffle on the band key; oversized/degenerate buckets skipped —
+      they are exact-dup clusters, ``exact_groups`` territory);
+    * each bucket self-joins locally (<= max_bucket^2 / 2 pairs per bucket
+      — the per-task work bound that holds at ANY corpus size);
+    * verification joins each pair back to its two distinct-shingle sets and
+      computes exact Jaccard, fixed-point x1e6.
+
+    SQL twin: ``driverq._lsh_jaccard_sql`` (driver entry ``lsh_jaccard``).
+    """
+    shd = _shingled_docs(docs, key, text_col)
+    sig = minhash_signatures(docs, key, text_col)
+    bands = _capped_buckets(
+        lsh_bands(sig, key), ["band_id", "band_hash"], max_bucket
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{key}") < F.col(f"b.{key}")),
+        )
+        .select(F.col(f"a.{key}").alias("a"), F.col(f"b.{key}").alias("b"))
+        .distinct()
+    )
+    ds = shd.select(F.col(key).alias("id"), F.array_distinct("sh").alias("s"))
+    sa = ds.select(F.col("id").alias("a"), F.col("s").alias("s_a"))
+    sb = ds.select(F.col("id").alias("b"), F.col("s").alias("s_b"))
+    inter = F.size(F.array_intersect(F.col("s_a"), F.col("s_b")))
+    union = F.size(F.array_union(F.col("s_a"), F.col("s_b")))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
             F.floor(inter * 1_000_000 / union).cast("long").alias("jaccard6"),
         )
     )

@@ -8,9 +8,9 @@ become columnar stages over the documents DataFrame:
   iterator UDF (``mapInArrow``-style ``pandas_udf``) applying the SAME pure
   function the pytest oracle uses — byte-identical per url by construction.
 * ``with_terms`` / ``with_doc_len``: tokenization kept **JVM-side**
-  (``F.split`` + ``F.filter`` lambda — whole-stage-codegen'd, no Python at
-  all) because the token pattern is a plain regex. The Python ``tokenize``
-  is only the oracle's mirror of the same pattern.
+  (whole-stage-codegen'd, no Python at all) via the locked
+  ``sqlglue.SPARK_TERMS`` expression — the single SQL tokenizer shared with
+  the DuckDB oracle twins. The Python ``tokenize`` is the oracle's mirror.
 
 At 100 TB the ``html`` column dominates I/O: both helpers select/prune so a
 query that only needs ``text`` never deserializes ``html`` (column pruning is
@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
 from ..functions.extraction import extract_text
-from ..functions.tokenizer import TOKEN_SPLIT_PATTERN
+from ..functions.sqlglue import spark_terms
 
 
 @F.pandas_udf(StringType())
@@ -43,15 +43,15 @@ def with_extracted_text(docs: DataFrame, out_col: str = "text") -> DataFrame:
     return docs.withColumn(out_col, _extract_udf(F.col("html")))
 
 
-def terms_col(text_col: str | Column = "text") -> Column:
+def terms_col(text_col: str = "text") -> Column:
     """JVM-side tokenizer: array<string> of non-empty lowercase tokens.
 
-    ``array_remove(..., '')`` rather than a higher-order ``filter`` lambda:
-    HOFs fall out of whole-stage codegen in Spark, array_remove does not
-    (verified via .explain; semantics identical — '' is the only junk token
-    the split can produce)."""
-    c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.array_remove(F.split(F.lower(c), TOKEN_SPLIT_PATTERN), "")
+    Delegates to the ONE locked SQL tokenizer (``sqlglue.SPARK_TERMS``) so
+    the DataFrame API shares the ASCII-strip-first discipline of the other
+    implementations (see ``functions/tokenizer.py`` docstring; pinned by
+    ``tests/test_tokenizer_lockstep.py``). Do NOT re-implement split/lower
+    here — a bare ``split(lower(text))`` diverges on U+0130 et al."""
+    return F.expr(spark_terms(text_col))
 
 
 def with_terms(docs: DataFrame, text_col: str = "text", out_col: str = "terms") -> DataFrame:

@@ -40,7 +40,10 @@ def append_lineage(
     rows: list[tuple[int, int, int, int]],  # (partition_id, docs, bytes, terms)
     committed_at: datetime | None = None,
 ) -> None:
-    ts = committed_at or datetime(2025, 1, 1, tzinfo=timezone.utc)
+    # Real commit timestamp (ADVICE r2): resume only keys off (stage,
+    # partition_id, status) so a wall-clock stamp never affects determinism
+    # of WHAT resumes — it only makes the manifest auditable.
+    ts = committed_at or datetime.now(timezone.utc)
     data = [
         (stage, int(pid), "committed", int(docs), int(nbytes), int(terms), ts)
         for pid, docs, nbytes, terms in rows

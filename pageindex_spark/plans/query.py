@@ -40,7 +40,7 @@ from ..operators.wand import (
     idf_value,
     slice_run_to_cells,
 )
-from ..sources.tables import read_meta
+from ..sources.tables import read_index_runs, read_meta
 from .build_index import IndexPaths
 
 _SLICE_FIELDS = [
@@ -65,6 +65,15 @@ _SLICE_DDL = (
 )
 
 
+# Extra per-cell candidates kept in fixed_point mode. PROBABILISTIC (ADVICE
+# r2): per-cell heaps truncate by RAW score, so if more than tie_margin docs
+# in one cell share the floored 1e-6 value exactly at the cut, a smaller
+# doc_id tie winner can be dropped and ranks diverge from the oracle. 16 is
+# far beyond any tie multiplicity observed in the fixtures; raise per-call
+# via ``tie_margin=`` when a corpus has pathological score collisions.
+FIXED_POINT_TIE_MARGIN = 16
+
+
 class Searcher:
     """Warm handle over a built index: caches the tiny norms relation and
     the meta, computes term buckets driver-side (Spark-compatible murmur3 in
@@ -79,6 +88,14 @@ class Searcher:
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
         self.n_buckets = int(self.meta["n_buckets"])
+        # Read postings through the storage branch they were written with
+        # (ADVICE r2): parquet shim by default, the Iceberg table when the
+        # build recorded one.
+        self.iceberg_table = (
+            self.meta.get("iceberg_table")
+            if self.meta.get("storage") == "iceberg"
+            else None
+        )
         self.grid_parts = np.asarray(self.meta["grid"], dtype=np.int64)
         self.cell_parts = cell_parts
         self.cell_grid = self.grid_parts[::cell_parts].copy()
@@ -89,6 +106,14 @@ class Searcher:
             # norms is one row per build partition (P rows total — tiny even
             # at 10^12 docs with millions of partitions); safe to cache.
             self.norms = self.norms.cache()
+        # idf per term, filled lazily from pruned term_stats reads. Sound
+        # because a Searcher is pinned to one immutable index version
+        # (get_searcher keys on meta.json mtime). Repeat-term queries skip
+        # the term_stats job entirely — one fewer sequential Spark job on
+        # the latency path (real workloads repeat query terms heavily).
+        # Entries are per-queried-term, so the cache stays O(distinct terms
+        # asked), never O(vocabulary).
+        self._idf_cache: dict[str, float | None] = {}
 
     def search(
         self,
@@ -97,8 +122,9 @@ class Searcher:
         mode: str = "bmw",
         fixed_point: bool = False,
         with_text: bool = False,
+        tie_margin: int = FIXED_POINT_TIE_MARGIN,
     ) -> DataFrame:
-        return _search_impl(self, queries, k, mode, fixed_point, with_text)
+        return _search_impl(self, queries, k, mode, fixed_point, with_text, tie_margin)
 
 
 _SEARCHERS: dict[tuple, Searcher] = {}
@@ -146,6 +172,7 @@ def _search_impl(
     mode: str,
     fixed_point: bool = False,
     with_text: bool = False,
+    tie_margin: int = FIXED_POINT_TIE_MARGIN,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -157,7 +184,7 @@ def _search_impl(
     # share a floored cell but may sit in opposite raw order. Keeping a few
     # extra candidates per cell makes the floored global cut exact unless
     # > margin docs land in one 1e-6 cell right at the boundary.
-    cell_k = k + 16 if fixed_point else k
+    cell_k = k + tie_margin if fixed_point else k
     out_schema = "query_id int, rank int, url string, score double" + (
         ", text string" if with_text else ""
     )
@@ -168,17 +195,23 @@ def _search_impl(
     if not terms:
         return empty
 
-    # Bucket per term computed driver-side (no Spark job; matches F.hash).
-    buckets = sorted({term_bucket(t, n_buckets) for t in terms})
-
-    # Pruned term_stats read -> idf per present term.
-    ts_rows = (
-        spark.read.parquet(paths.term_stats)
-        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    idf = {r["term"]: idf_value(n_docs, int(r["df"])) for r in ts_rows}
+    # Buckets per term are computed driver-side (no Spark job; the Python
+    # murmur3 matches F.hash) for both the term_stats and postings prunes.
+    # idf per term: cache hits skip the term_stats job; only unseen terms
+    # trigger a pruned read (None caches an absent term).
+    misses = [t for t in terms if t not in se._idf_cache]
+    if misses:
+        miss_buckets = sorted({term_bucket(t, n_buckets) for t in misses})
+        ts_rows = (
+            spark.read.parquet(paths.term_stats)
+            .filter(F.col("bucket").isin(miss_buckets) & F.col("term").isin(misses))
+            .select("term", "df")
+            .collect()
+        )
+        found = {r["term"]: idf_value(n_docs, int(r["df"])) for r in ts_rows}
+        for t in misses:
+            se._idf_cache[t] = found.get(t)
+    idf = {t: v for t in terms if (v := se._idf_cache[t]) is not None}
     payload = [
         (qid, [(t, idf[t]) for t in qts if t in idf]) for qid, qts in qterms.items()
     ]
@@ -188,9 +221,13 @@ def _search_impl(
     bc_payload = spark.sparkContext.broadcast(payload)
     bc_grid = spark.sparkContext.broadcast(cell_grid)
 
-    runs = spark.read.parquet(paths.postings).filter(
-        F.col("bucket").isin(buckets) & F.col("term").isin(terms)
-    )
+    # Scan prunes to PRESENT terms only (absent terms would widen the
+    # bucket IN-list for directories that can't contribute runs).
+    present = sorted(idf)
+    buckets = sorted({term_bucket(t, n_buckets) for t in present})
+    runs = read_index_runs(
+        spark, paths.postings, n_buckets, se.iceberg_table
+    ).filter(F.col("bucket").isin(buckets) & F.col("term").isin(present))
 
     def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         grid = bc_grid.value

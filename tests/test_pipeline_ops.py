@@ -155,6 +155,50 @@ def test_minhash_lsh_catches_planted_duplicates(spark, docs):
         ), d
 
 
+def test_lsh_verified_pairs_production_wiring(spark, docs):
+    """VERDICT r2 #5a: pairwise Jaccard drawn from LSH candidate buckets
+    (not a doc_id bound). Planted exact dups must surface at jaccard6 =
+    1e6, and the DataFrame API must hash-match its SQL twin."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.dedup import lsh_verified_pairs
+
+    base = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    dups = base.select((F.col("doc_id") + 10000).alias("doc_id"), F.col("text"))
+    corpus = base.unionByName(dups)
+    corpus.createOrReplaceTempView("documents")
+    got = _rows(lsh_verified_pairs(corpus))
+    assert got == _rows(spark.sql(paired_sql()["lsh_jaccard"][0]))
+    pairs = {(a, b): j for a, b, j in got}
+    for d in range(30):
+        assert pairs.get((d, d + 10000)) == 1_000_000, d
+    spark.catalog.dropTempView("documents")
+
+
+def test_degenerate_buckets_capped(spark):
+    """VERDICT r2 #5b: 1,000 identical short docs must NOT go quadratic —
+    every band bucket exceeds MAX_VERIFY_BUCKET, the verifiers skip them
+    (zero pairs, bounded work), and the skipped buckets are auditable."""
+    from pageindex_spark.operators.dedup import (
+        lsh_bands,
+        lsh_verified_pairs,
+        minhash_signatures,
+        oversized_buckets,
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, "alpha beta gamma delta epsilon") for i in range(1000)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    assert lsh_verified_pairs(corpus).count() == 0
+    assert simhash_hamming_pairs(corpus).count() == 0
+    skipped = oversized_buckets(
+        lsh_bands(minhash_signatures(corpus)), ["band_id", "band_hash"]
+    ).collect()
+    assert len(skipped) == 2 and all(r["n_docs"] == 1000 for r in skipped)
+    # the cap is the only gate: a small identical set under the cap pairs up
+    small = corpus.filter(F.col("doc_id") < 10)
+    assert lsh_verified_pairs(small, max_bucket=64).count() == 45  # C(10,2)
+
+
 def test_lsh_ann_recall_vs_exact(spark, vecs):
     from pageindex_spark.operators.similarity import cosine_topk, lsh_ann_topk
 

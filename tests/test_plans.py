@@ -77,6 +77,37 @@ def test_whole_stage_codegen_on_tokenize(spark, sf_unit_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_fold_routing_broadcasts_heavy_set(spark):
+    """VERDICT r2 #2: both fold branches must route via a BROADCAST of the
+    small heavy-term set — never a SortMergeJoin keyed on bare term over
+    blob-carrying rows (that re-melts the heavy-hitter skew the salted
+    level-1 merge defused). Auto-broadcast is disabled so only the explicit
+    broadcast() hint can produce the BroadcastHashJoins."""
+    from pageindex_spark.operators.compaction import fold_light_runs
+
+    rows = [
+        ("ta", 0, 0, 1, 2, 4, b"\x01\x02", b"\x01\x01", [1], [1.0], [0, 2], [0, 2], [2]),
+        ("ta", 1 << 16, 2, 3, 2, 4, b"\x02\x01", b"\x01\x01", [3], [1.0], [0, 2], [0, 2], [2]),
+        ("zu", 0, 0, 0, 1, 2, b"\x00", b"\x01", [0], [1.0], [0, 1], [0, 1], [1]),
+    ]
+    schema = (
+        "term string, run_id long, first_doc long, last_doc long, n_docs long, "
+        "n_bytes long, doc_blob binary, tf_blob binary, bm_last array<long>, "
+        "bm_maxq array<double>, bm_doc_off array<int>, bm_tf_off array<int>, "
+        "bm_ndocs array<int>"
+    )
+    runs = spark.createDataFrame(rows, schema)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _explain(fold_light_runs(runs, target_run_bytes=4), mode="simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+
+
 def test_norms_and_postings_sizes_bounded(spark, index_dir):
     """Every compacted run stays under the target byte budget + slack
     (the invariant that bounds scoring-task memory at any corpus size)."""
