@@ -38,7 +38,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .runfmt import Run, concat_runs
+from .runfmt import Run, concat_runs, split_run
 
 # Target compressed bytes per merged run; bounds reducer memory and the
 # maximum single-task work unit at any corpus size.
@@ -162,16 +162,21 @@ def compact_segments(
                 if key != cur:
                     close_group()
                     cur = key
-                run = run_from_row({k: cols[k][r_idx] for k in cols})
-                rb = len(run.doc_blob) + len(run.tf_blob)
-                if pend and pend_bytes + rb > target_run_bytes:
-                    r = concat_runs(pend)
-                    _run_cols(cur[0], (int(cur[1]) << 16) | emitted, r, out)
-                    out_bytes += len(r.doc_blob) + len(r.tf_blob)
-                    emitted += 1
-                    pend, pend_bytes = [], 0
-                pend.append(run)
-                pend_bytes += rb
+                raw = run_from_row({k: cols[k][r_idx] for k in cols})
+                # An input run can exceed the target on its own (one giant
+                # per-partition posting list); split it at block boundaries
+                # so no committed run ever exceeds ~target (SURVEY §2.1 #38
+                # large-node re-split — pure byte slicing, runfmt.split_run).
+                for run in split_run(raw, target_run_bytes):
+                    rb = len(run.doc_blob) + len(run.tf_blob)
+                    if pend and pend_bytes + rb > target_run_bytes:
+                        r = concat_runs(pend)
+                        _run_cols(cur[0], (int(cur[1]) << 16) | emitted, r, out)
+                        out_bytes += len(r.doc_blob) + len(r.tf_blob)
+                        emitted += 1
+                        pend, pend_bytes = [], 0
+                    pend.append(run)
+                    pend_bytes += rb
                 if len(out["term"]) >= flush_rows or out_bytes >= flush_bytes:
                     yield from pa.table(out, schema=_INDEX_PA).to_batches()
                     out = {n2: [] for n2 in _INDEX_PA.names}

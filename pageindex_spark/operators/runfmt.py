@@ -142,6 +142,59 @@ def decode_run(run: Run) -> tuple[np.ndarray, np.ndarray]:
     return docs, tfs
 
 
+def first_doc_of_blob(doc_blob: bytes) -> int:
+    """First encoded docID of a block-aligned blob (block starts are encoded
+    ABSOLUTE, so the first varbyte value is the docID itself)."""
+    end = 0
+    while doc_blob[end] >= 128:
+        end += 1
+    return int(vb_decode(doc_blob[: end + 1])[0])
+
+
+def split_run(run: Run, target_bytes: int) -> list[Run]:
+    """Split an oversized run into block-aligned pieces of <= target_bytes
+    each (a single block larger than the target still yields one piece).
+
+    Reference parity: the recursive large-node split
+    (``/root/reference/pageindex/page_index.py`` oversized-node re-split) —
+    here a pure byte-slicing operation, valid because delta-gaps reset at
+    every block boundary (each block is independently decodable). Pieces
+    keep disjoint, ordered docID ranges, so downstream treats them exactly
+    like separately-built runs. Zero decode except one varbyte value per
+    piece (its absolute first docID).
+    """
+    total = len(run.doc_blob) + len(run.tf_blob)
+    if total <= target_bytes or run.n_blocks <= 1:
+        return [run]
+    do, to = run.bm_doc_off, run.bm_tf_off
+    pieces: list[Run] = []
+    start = 0
+    n = run.n_blocks
+    while start < n:
+        end = start + 1
+        while end < n and (
+            int(do[end + 1] - do[start]) + int(to[end + 1] - to[start])
+        ) <= target_bytes:
+            end += 1
+        doc_blob = run.doc_blob[do[start] : do[end]]
+        pieces.append(
+            Run(
+                first_doc=first_doc_of_blob(doc_blob),
+                last_doc=int(run.bm_last[end - 1]),
+                n_docs=int(run.bm_ndocs[start:end].sum()),
+                doc_blob=doc_blob,
+                tf_blob=run.tf_blob[to[start] : to[end]],
+                bm_last=run.bm_last[start:end].copy(),
+                bm_maxq=run.bm_maxq[start:end].copy(),
+                bm_doc_off=(do[start : end + 1] - do[start]).astype(np.int32),
+                bm_tf_off=(to[start : end + 1] - to[start]).astype(np.int32),
+                bm_ndocs=run.bm_ndocs[start:end].copy(),
+            )
+        )
+        start = end
+    return pieces
+
+
 def concat_runs(runs: list[Run]) -> Run:
     """Merge docID-disjoint ordered runs by pure concatenation (no decode).
 

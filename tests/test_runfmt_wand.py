@@ -68,6 +68,33 @@ def test_concat_runs_equals_single_encode_blocks():
     assert merged.n_docs == 700
 
 
+@given(st.integers(min_value=2, max_value=1500), st.integers(min_value=64, max_value=4096))
+@settings(max_examples=40, deadline=None)
+def test_split_run_block_aligned_and_lossless(n, target):
+    """SURVEY §2.1 #38 (large-node re-split): splitting an oversized run at
+    block boundaries must be lossless (concat of pieces decodes to the
+    original postings), keep every piece <= target unless it is a single
+    block, and keep piece metadata (first/last/n_docs) consistent."""
+    from pageindex_spark.operators.runfmt import split_run
+
+    rng = np.random.default_rng(n * 31 + target)
+    docs, tfs, dls = _random_postings(rng, n, 10 * n + 10)
+    run = encode_run(docs, tfs, dls, avgdl=400.0, block_size=32)
+    pieces = split_run(run, target)
+    assert pieces
+    for p in pieces:
+        size = len(p.doc_blob) + len(p.tf_blob)
+        assert size <= target or p.n_blocks == 1, (size, target, p.n_blocks)
+        d, t = decode_run(p)
+        assert p.first_doc == int(d[0]) and p.last_doc == int(d[-1])
+        assert p.n_docs == len(d)
+    for a, b in zip(pieces, pieces[1:]):
+        assert a.last_doc < b.first_doc
+    merged = concat_runs(pieces) if len(pieces) > 1 else pieces[0]
+    d2, t2 = decode_run(merged)
+    assert np.array_equal(d2, docs) and np.array_equal(t2, tfs)
+
+
 def test_slice_to_cells_partition_and_reassembly():
     rng = np.random.default_rng(11)
     grid = np.array([0, 1000, 2500, 6000, 9000], dtype=np.int64)
