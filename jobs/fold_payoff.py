@@ -20,7 +20,10 @@ import argparse
 import json
 import os
 import shutil
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _canary_ms() -> float:
