@@ -36,6 +36,12 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_SCALING", "0") == "1"
+# SCALING_ONLY skips the headline/build/latency sections and runs JUST the
+# N->4N scaling cells: every section burns burst CPU credits, and the
+# scaling cells are the ones that need a full credit pool to record a
+# gated (canary < 60ms) measurement.  Implies SCALING.
+SCALING_ONLY = os.environ.get("SPARK_GRAFT_SCALING_ONLY", "0") == "1"
+SCALING = SCALING or SCALING_ONLY
 
 # Headline SQL queries (subset of the driver-contract surface; each is one
 # Spark job over the sf tables).
@@ -153,6 +159,19 @@ def main() -> None:
 
     queries: dict[str, float] = {}
     total = 0.0
+    if SCALING_ONLY:
+        out = {
+            "metric": "scaling-only run (headline sections skipped to save CPU credits)",
+            "value": 0.0,
+            "unit": "sec",
+            "queries": {},
+            "sf": SF_DIR,
+            "cpus": CPUS,
+            "cpu_canaries": canaries,
+        }
+        _run_scaling(out)
+        print(json.dumps(out))
+        return
     _gate("headline")
     for name in HEADLINE:
         t0 = time.time()
@@ -204,59 +223,69 @@ def main() -> None:
     }
 
     if SCALING:
-        from pageindex_spark.sources.corpus import ensure_scale
-
-        # Corpus for the N->4N pair. r2 measured that a 50k-doc build
-        # (~90-200 s) OUTLASTS one burst-credit window, so whichever run
-        # starts with more credits wins — set SPARK_GRAFT_SCALE_NAME to
-        # sf-small (10k docs, ~15-25 s at full speed) to fit a build inside
-        # one window; the canary gate then ensures each timed run starts at
-        # full speed AND can finish before credits drain.
-        scale_name = os.environ.get("SPARK_GRAFT_SCALE_NAME", "sf-mid")
-        bench_dir = ensure_scale(scale_name)
-        scaling = {}
-        for cores in (2, 8, 32):
-            spark = _fresh_session(cores)
-            mid = spark.read.parquet(
-                os.path.join(bench_dir, "documents.parquet")
-            ).select("url", "text")
-            # untimed warm build (JIT/codegen parity between timed runs);
-            # small on purpose — every warm doc burns burst credits the
-            # timed run needs.
-            _build_once(spark, f"warm{cores}", cores, docs=mid.limit(500))
-            # long gate: credits refill over minutes; a timed run that
-            # starts throttled measures the PREVIOUS run's debt. `gated`
-            # records whether full speed was actually reached — numbers
-            # with gated=false are invalid by construction.
-            canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=1800.0)
-            sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
-            after = _canary_ms()
-            scaling[f"local{cores}"] = {
-                "build_sec": round(sec, 2),
-                "docs_per_sec": round(n / sec, 1),
-                "n_docs": n,
-                "cpu_canary_ms": round(canary, 1),
-                "cpu_canary_after_ms": round(after, 1),
-                "gated": canary < 60.0,
-            }
-        t2 = scaling["local2"]["build_sec"]
-        t8 = scaling["local8"]["build_sec"]
-        scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
-        scaling["efficiency_8_to_32"] = round(
-            (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
-        )
-        scaling["scale_name"] = scale_name
-        scaling["valid"] = all(
-            scaling[f"local{c}"]["gated"] for c in (2, 8, 32)
-        )
-        out["scaling"] = scaling
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json"),
-            "w",
-        ) as f:
-            json.dump(out, f, indent=2)
+        _run_scaling(out)
 
     print(json.dumps(out))
+
+
+def _run_scaling(out: dict) -> None:
+    from pageindex_spark.sources.corpus import ensure_scale
+
+    # Corpus for the N->4N pair. r2 measured that a 50k-doc build
+    # (~90-200 s) OUTLASTS one burst-credit window, so whichever run
+    # starts with more credits wins — set SPARK_GRAFT_SCALE_NAME to
+    # sf-small (10k docs, ~15-25 s at full speed) to fit a build inside
+    # one window; the canary gate then ensures each timed run starts at
+    # full speed AND can finish before credits drain.
+    scale_name = os.environ.get("SPARK_GRAFT_SCALE_NAME", "sf-mid")
+    bench_dir = ensure_scale(scale_name)
+    scaling = {}
+    for cores in (2, 8, 32):
+        spark = _fresh_session(cores)
+        mid = spark.read.parquet(
+            os.path.join(bench_dir, "documents.parquet")
+        ).select("url", "text")
+        # untimed warm build (JIT/codegen parity between timed runs);
+        # small on purpose — every warm doc burns burst credits the
+        # timed run needs.
+        _build_once(spark, f"warm{cores}", cores, docs=mid.limit(500))
+        # long gate: credits refill over minutes; a timed run that
+        # starts throttled measures the PREVIOUS run's debt. `gated`
+        # records whether full speed was actually reached — numbers
+        # with gated=false are invalid by construction.
+        canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=1800.0)
+        sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
+        after = _canary_ms()
+        scaling[f"local{cores}"] = {
+            "build_sec": round(sec, 2),
+            "docs_per_sec": round(n / sec, 1),
+            "n_docs": n,
+            "cpu_canary_ms": round(canary, 1),
+            "cpu_canary_after_ms": round(after, 1),
+            "gated": canary < 60.0,
+        }
+    t2 = scaling["local2"]["build_sec"]
+    t8 = scaling["local8"]["build_sec"]
+    scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
+    scaling["efficiency_8_to_32"] = round(
+        (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
+    )
+    scaling["scale_name"] = scale_name
+    # The north rule names ONE cell: N -> 4N. local2 -> local8 is that pair
+    # (local32 is extra color; this box's raw-CPU ceiling caps 8->32 at
+    # ~0.67 before Spark runs — see module docstring).
+    scaling["valid_2_to_8"] = bool(
+        scaling["local2"]["gated"] and scaling["local8"]["gated"]
+    )
+    scaling["valid"] = all(
+        scaling[f"local{c}"]["gated"] for c in (2, 8, 32)
+    )
+    out["scaling"] = scaling
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_scaling.json"),
+        "w",
+    ) as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

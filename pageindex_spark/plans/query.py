@@ -103,8 +103,14 @@ class Searcher:
             "cell", (F.col("part_id") / cell_parts).cast("int")
         )
         if cache:
-            # norms is one row per build partition (P rows total — tiny even
-            # at 10^12 docs with millions of partitions); safe to cache.
+            # norms is one row per build partition (P rows), but each row
+            # carries a varbyte blob of that part's doc lengths, so the
+            # relation is O(n_docs) BYTES total (~1-2 B/doc ≈ 1-2 TB at the
+            # 10^12-doc target). cache() distributes it across executor
+            # storage memory — appropriate on a real cluster sized for the
+            # index, and it saves the parquet scan (not the per-query
+            # cogroup shuffle, which moves only the cells each query
+            # touches). Pass cache=False where executor memory is tight.
             self.norms = self.norms.cache()
         # idf per term, filled lazily from pruned term_stats reads. Sound
         # because a Searcher is pinned to one immutable index version
