@@ -238,13 +238,24 @@ def _run_scaling(out: dict) -> None:
     # one window; the canary gate then ensures each timed run starts at
     # full speed AND can finish before credits drain.
     scale_name = os.environ.get("SPARK_GRAFT_SCALE_NAME", "sf-mid")
+    # "2,8" runs just the north rule's N -> 4N pair — the local[32] cell
+    # costs a third warm+timed build's worth of burst credits and the rule
+    # doesn't need it (8->32 is hardware-capped at ~0.67 on this box).
+    cells = tuple(
+        int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CELLS", "2,8,32").split(",")
+    )
+    gate_timeout = float(os.environ.get("SPARK_GRAFT_GATE_TIMEOUT", "1800"))
     bench_dir = ensure_scale(scale_name)
     scaling = {}
-    for cores in (2, 8, 32):
+    for cores in cells:
         spark = _fresh_session(cores)
         mid = spark.read.parquet(
             os.path.join(bench_dir, "documents.parquet")
         ).select("url", "text")
+        # Gate BEFORE the warm build too (r4 lesson: warming while
+        # throttled burns minutes of wall at 50-100x slowdown and deepens
+        # the very credit debt the timed gate then waits out).
+        _wait_for_cpu(threshold_ms=60.0, timeout_s=gate_timeout)
         # untimed warm build (JIT/codegen parity between timed runs);
         # small on purpose — every warm doc burns burst credits the
         # timed run needs.
@@ -253,7 +264,7 @@ def _run_scaling(out: dict) -> None:
         # starts throttled measures the PREVIOUS run's debt. `gated`
         # records whether full speed was actually reached — numbers
         # with gated=false are invalid by construction.
-        canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=1800.0)
+        canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=gate_timeout)
         sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
         after = _canary_ms()
         scaling[f"local{cores}"] = {
@@ -267,9 +278,10 @@ def _run_scaling(out: dict) -> None:
     t2 = scaling["local2"]["build_sec"]
     t8 = scaling["local8"]["build_sec"]
     scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
-    scaling["efficiency_8_to_32"] = round(
-        (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
-    )
+    if "local32" in scaling:
+        scaling["efficiency_8_to_32"] = round(
+            (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
+        )
     scaling["scale_name"] = scale_name
     # The north rule names ONE cell: N -> 4N. local2 -> local8 is that pair
     # (local32 is extra color; this box's raw-CPU ceiling caps 8->32 at
@@ -278,7 +290,7 @@ def _run_scaling(out: dict) -> None:
         scaling["local2"]["gated"] and scaling["local8"]["gated"]
     )
     scaling["valid"] = all(
-        scaling[f"local{c}"]["gated"] for c in (2, 8, 32)
+        scaling[f"local{c}"]["gated"] for c in cells
     )
     out["scaling"] = scaling
     with open(

@@ -15,10 +15,18 @@ from pyspark.sql import functions as F
 from ..functions.sqlglue import SPARK_SHINGLES, spark_terms
 
 # Defaults match the DuckDB twin (driverq._minhash_core / _lsh_bands_sql) so
-# the DataFrame API and the driver-verified SQL are the same operator; widen
-# per-call (n_hashes/n_bands) for production recall targets.
+# the DataFrame API and the driver-verified SQL are the same operator —
+# DEMO/ORACLE-sized: 4 hashes cannot discriminate near-dups from noise.
 N_MINHASH = 4  # permutations
 N_BANDS = 2  # -> 2 hashes per band
+
+# Production preset (VERDICT r3 next #5): 128 hashes / 16 bands of 8 rows.
+# Band-collision probability 1-(1-s^8)^16 gives the classic S-curve:
+# ~0.95 at shingle-Jaccard 0.8 (the usual web near-dup target), ~0.06 at
+# 0.5 — high recall where it matters, cheap candidate volume below.
+# Recall at 0.8 is pinned by tests/test_pipeline_ops.py (planted mutants).
+PROD_MINHASH = 128
+PROD_BANDS = 16
 
 
 def _shingles(text_col: str = "text"):
@@ -101,13 +109,19 @@ def lsh_bands(
 
 
 def lsh_candidates(
-    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Candidate near-duplicate groups: (band_id, band_hash, n_docs, keep_id)
     for buckets with >1 doc. One shuffle on the band key; bucket-local
-    verification (n-gram Jaccard) runs on this output, never on the corpus."""
-    sig = minhash_signatures(docs, key, text_col)
-    bands = lsh_bands(sig, key)
+    verification (n-gram Jaccard) runs on this output, never on the corpus.
+    Pass ``n_hashes=PROD_MINHASH, n_bands=PROD_BANDS`` for real recall
+    targets (defaults are oracle-sized)."""
+    sig = minhash_signatures(docs, key, text_col, n_hashes=n_hashes)
+    bands = lsh_bands(sig, key, n_hashes=n_hashes, n_bands=n_bands)
     return (
         bands.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("n_docs"), F.min(key).alias("keep_id"))
@@ -309,6 +323,8 @@ def lsh_verified_pairs(
     key: str = "doc_id",
     text_col: str = "text",
     max_bucket: int = MAX_VERIFY_BUCKET,
+    n_hashes: int = N_MINHASH,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Production near-dup pipeline (VERDICT r2 #5a): MinHash-LSH candidate
     generation -> bucket-local exact 3-gram Jaccard verification -> (a, b,
@@ -323,12 +339,16 @@ def lsh_verified_pairs(
     * verification joins each pair back to its two distinct-shingle sets and
       computes exact Jaccard, fixed-point x1e6.
 
-    SQL twin: ``driverq._lsh_jaccard_sql`` (driver entry ``lsh_jaccard``).
+    SQL twin: ``driverq._lsh_jaccard_sql`` (driver entry ``lsh_jaccard``,
+    which keeps the oracle-sized defaults). For production recall use
+    ``n_hashes=PROD_MINHASH, n_bands=PROD_BANDS``.
     """
     shd = _shingled_docs(docs, key, text_col)
-    sig = minhash_signatures(docs, key, text_col)
+    sig = minhash_signatures(docs, key, text_col, n_hashes=n_hashes)
     bands = _capped_buckets(
-        lsh_bands(sig, key), ["band_id", "band_hash"], max_bucket
+        lsh_bands(sig, key, n_hashes=n_hashes, n_bands=n_bands),
+        ["band_id", "band_hash"],
+        max_bucket,
     )
     a = bands.alias("a")
     b = bands.alias("b")

@@ -27,18 +27,24 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# n_bytes (payload size) lives in the metadata struct, recorded at
+# synthesis/ingest time: any "how big / what shape" probe must answer from
+# metadata alone, never by scanning the payload column (VERDICT r3 nit —
+# F.length("payload") compiles to a full binary-column read).
 MEDIA_SCHEMA = (
     "media_id long, kind string, payload binary, "
-    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int>"
+    "meta struct<width:int, height:int, sample_rate:int, duration_ms:int, "
+    "n_bytes:long>"
 )
 
 
 def probe_metadata(media: DataFrame) -> DataFrame:
-    """Metadata/typed-column projection — payload column pruned away.
-    (Check ReadSchema in .explain: payload must be absent.)"""
+    """Metadata/typed-column projection — payload column pruned away
+    (plan-asserted: tests/test_plans.py checks payload is absent from
+    ReadSchema; the byte size comes from the meta struct)."""
     return media.select(
         "media_id", "kind", F.col("meta.width"), F.col("meta.height"),
-        F.length("payload").alias("payload_bytes"),
+        F.col("meta.n_bytes").alias("payload_bytes"),
     )
 
 
@@ -110,6 +116,11 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         payload = hashlib.sha256(f"media{i}".encode()).digest() * 4
         kind = ("image", "audio", "video")[i % 3]
         rows.append(
-            (i, kind, bytearray(payload), (64 + i % 8, 48, 16000, 2000 + 500 * (i % 4)))
+            (
+                i,
+                kind,
+                bytearray(payload),
+                (64 + i % 8, 48, 16000, 2000 + 500 * (i % 4), len(payload)),
+            )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

@@ -48,6 +48,11 @@ from .runfmt import Run, concat_runs, decode_block, decode_run
 # pytest tolerance is 1e-9, so 1e-10 of slack is free).
 EPS = 1e-10
 
+# Block-decode instrumentation: one integer add per lazy block decode (the
+# decode itself is O(block) numpy work, so the counter is noise). Read /
+# reset by jobs/threshold_payoff.py to measure BMW pruning effectiveness.
+DECODE_STATS = {"blocks": 0}
+
 
 def idf_value(n_docs: int, df: int) -> float:
     return math.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
@@ -191,6 +196,7 @@ class TermCursor:
             return
         self.block = b
         self.docs, self.tfs = decode_block(self.run, b)
+        DECODE_STATS["blocks"] += 1
         self.pos = 0
 
     @property

@@ -70,7 +70,10 @@ DEFAULT_BUCKETS = 32
 # v3: + n_bytes column, second-level fold stage (light terms -> 1 run).
 # v4: fold routes via broadcast heavy-term set — single-salt-group light
 #     terms now fold too (run_id -> 0); runs_raw GC'd after fold commit.
-FORMAT_VERSION = 4
+# v5: norms written distributed (many files, no coalesce(1)); streamed
+#     refreshes store postings/norms under delta=G partitions (incremental
+#     refresh) with exact total_tokens in meta.
+FORMAT_VERSION = 5
 
 
 class SimulatedKill(RuntimeError):
@@ -151,6 +154,14 @@ def build_index(
 
     # ---------------- stage: extract (+ docIDs, norms, meta) ----------------
     if -1 not in committed_partitions(spark, index_dir, "extract"):
+        # FRESH build (no committed extract lineage ⇒ no downstream stage
+        # committed either): wipe any stale outputs from a prior build of
+        # the same index_dir / Iceberg table (ADVICE r3 low). All later
+        # writes run under partitionOverwriteMode=dynamic, which replaces
+        # only the partitions PRESENT in the new data — if the corpus
+        # shrank or params changed, partitions untouched by the new build
+        # would keep serving the previous build's rows.
+        _wipe_stale_outputs(spark, paths, iceberg_table)
         _t = _time.time()
         src = docs
         if "text" not in src.columns:
@@ -365,6 +376,32 @@ def build_index(
             print("[build_index] gc: removed runs_raw staging", file=sys.stderr)
 
     return paths
+
+
+def _wipe_stale_outputs(
+    spark: SparkSession, paths: IndexPaths, iceberg_table: str | None
+) -> None:
+    """Remove derived outputs of a PRIOR build before a fresh one starts.
+
+    Only called when no extract lineage is committed (fresh, not resume).
+    Dynamic partition overwrite cannot be trusted to clear them: it
+    replaces only partitions present in the new data, so e.g. a re-run
+    over a shrunken corpus into the same Iceberg table would serve stale
+    term buckets forever (ADVICE r3 low)."""
+    import shutil
+
+    for p in (
+        paths.docs_extracted,
+        paths.norms,
+        paths.segments,
+        paths.runs_raw,
+        paths.postings,
+        paths.term_stats,
+    ):
+        if os.path.exists(p):
+            shutil.rmtree(p)
+    if iceberg_table and iceberg_available(spark):
+        spark.sql(f"DROP TABLE IF EXISTS {iceberg_table}")
 
 
 def write_norms(ext: DataFrame, offsets: list[int], out_path: str) -> None:

@@ -263,7 +263,10 @@ def _search_impl(
             if out["cell"]:
                 yield from pa.table(out, schema=_SLICE_PA).to_batches()
 
-    slices = runs.drop("bucket", "run_id", "n_bytes").mapInArrow(
+    # "delta" exists only on incrementally-refreshed streamed indexes (one
+    # partition per refresh group); drop() is lenient so batch indexes pass
+    # through unchanged. Runs across deltas stay docID-disjoint per term.
+    slices = runs.drop("bucket", "run_id", "n_bytes", "delta").mapInArrow(
         slice_runs, schema=_SLICE_DDL
     )
 

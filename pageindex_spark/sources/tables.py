@@ -5,9 +5,9 @@ SURVEY.md §7(c): the sandbox has no network, so
 therefore writes the SAME layout (partition transforms included) to plain
 parquet and records the substitution in the index metadata + BENCH/BASELINE.
 On a real cluster, pass ``storage="iceberg"`` and the writes switch to
-``writeTo(...).using("iceberg")`` with ``bucket(B, term)`` partitioning and
-snapshot commits; resume then keys off Iceberg snapshot metadata instead of
-the manifest parquet.
+``writeTo(...).using("iceberg")`` partitioned by IDENTITY on the engine's
+term-bucket column, with snapshot commits; resume then keys off Iceberg
+snapshot metadata instead of the manifest parquet.
 """
 
 from __future__ import annotations
@@ -39,13 +39,12 @@ def write_bucketed_index(
 
     Iceberg branch (north rule names Iceberg): when a catalog table name is
     given AND the Iceberg runtime resolves, write via
-    ``writeTo(table).partitionedBy(bucket(B, term))`` — Iceberg computes the
-    bucket transform itself, commits a snapshot, and resume can key off
-    snapshot metadata. The sandbox has no jars (offline), so the shim writes
-    the SAME layout to parquet using the precomputed ``bucket`` column
-    (``compaction.with_term_bucket`` — Spark-hash, matched driver-side by
-    ``functions.murmur3`` for pruning). Both layouts prune query reads to
-    the query terms' buckets.
+    ``writeTo(table).partitionedBy(F.col("bucket"))`` — identity partition
+    on the engine's precomputed term bucket, with a snapshot commit; resume
+    can key off snapshot metadata. The sandbox has no jars (offline), so
+    the shim writes the SAME layout to plain parquet
+    (``partitionBy("bucket")``). Both layouts prune query reads to the
+    query terms' buckets via the driver-side ``functions.murmur3`` filter.
 
     Chunked/resumed builds call this once per bucket chunk (ADVICE r2):
     ``createOrReplace`` per chunk would wipe previously committed chunks, so
@@ -53,19 +52,27 @@ def write_bucketed_index(
     ``overwritePartitions`` (dynamic overwrite — replaces exactly the
     partitions present in the chunk, idempotent on resume), mirroring the
     parquet shim's ``partitionOverwriteMode=dynamic`` overwrite.
+
+    The Iceberg table partitions by IDENTITY on the engine's precomputed
+    ``bucket`` column, NOT by Iceberg's hidden ``bucket(B, term)`` transform
+    (ADVICE r3 high): chunk membership is ``engine_bucket % n_chunks``, and
+    Iceberg's own bucket transform hashes term with a DIFFERENT murmur3
+    seed, so under the transform a chunk's rows would scatter across nearly
+    every physical partition and each chunk's ``overwritePartitions`` would
+    dynamically delete the previous chunk's committed rows. Identity on the
+    engine bucket makes chunks own disjoint partition sets (idempotent
+    resume, chunk-safe), keeps the driver-side murmur3 pruning filter
+    aligned with the physical layout, and still prunes scans to the query
+    terms' buckets.
     """
     if table and iceberg_available(spark):
         from pyspark.sql import functions as F
 
-        w = df.drop("bucket").writeTo(table)
+        w = df.writeTo(table)
         if spark.catalog.tableExists(table):
             w.overwritePartitions()
         else:
-            (
-                w.using("iceberg")
-                .partitionedBy(F.bucket(n_buckets, F.col("term")))
-                .create()
-            )
+            w.using("iceberg").partitionedBy(F.col("bucket")).create()
         return "iceberg"
     df.write.mode("overwrite").partitionBy("bucket").parquet(path)
     return "parquet"
@@ -100,16 +107,12 @@ def read_index_runs(
     """Read committed index runs through the SAME storage branch they were
     written with (ADVICE r2: an Iceberg-enabled build previously wrote to the
     table but every downstream read still hit the never-written parquet
-    path). In Iceberg mode the ``bucket`` column is re-derived with the
-    engine's own Spark-hash (Iceberg's hidden bucket transform uses a
-    different murmur3 seed, so the physical layout is Iceberg's, but the
-    driver-side ``functions.murmur3`` pruning filter stays consistent with
-    the column it compares against; Iceberg still prunes files on the pushed
-    ``term`` predicate)."""
+    path). The Iceberg table stores the engine's ``bucket`` column as its
+    identity partition (see ``write_bucketed_index``), so both branches
+    return the same schema and a ``bucket`` predicate partition-prunes in
+    both."""
     if table and iceberg_available(spark):
-        from ..operators.compaction import with_term_bucket
-
-        return with_term_bucket(spark.read.table(table), n_buckets)
+        return spark.read.table(table)
     return spark.read.parquet(path)
 
 

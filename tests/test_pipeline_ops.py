@@ -174,6 +174,47 @@ def test_lsh_verified_pairs_production_wiring(spark, docs):
     spark.catalog.dropTempView("documents")
 
 
+def test_prod_preset_recall_at_08_jaccard(spark):
+    """VERDICT r3 next #5: the production preset (128 hashes / 16 bands of
+    8 rows) must catch planted ~0.8-Jaccard near-dups — the regime the
+    4-hash oracle config cannot discriminate (its 2-row bands collide on
+    almost anything OR miss real mutants, depending on the draw). Mutants:
+    3 token edits in a 100-token doc -> distinct-shingle Jaccard ~0.83;
+    band-collision theory 1-(1-s^8)^16 predicts ~0.98 recall there. All
+    hashing is md5 (deterministic), so recall here is a fixed number, not
+    a flaky sample."""
+    import random
+
+    from pageindex_spark.operators.dedup import (
+        PROD_BANDS,
+        PROD_MINHASH,
+        lsh_verified_pairs,
+    )
+
+    rng = random.Random(99)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    word = lambda: "".join(rng.choice(letters) for _ in range(5))
+    rows = []
+    n_pairs = 40
+    for i in range(n_pairs):
+        toks = [word() for _ in range(100)]
+        rows.append((i, " ".join(toks)))
+        mut = list(toks)
+        for pos in (15, 50, 85):  # spaced > 2 apart: 3 shingles killed each
+            mut[pos] = word()
+        rows.append((i + 10_000, " ".join(mut)))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    got = lsh_verified_pairs(
+        corpus, n_hashes=PROD_MINHASH, n_bands=PROD_BANDS
+    ).collect()
+    pairs = {(r["a"], r["b"]): r["jaccard6"] for r in got}
+    hits = [i for i in range(n_pairs) if (i, i + 10_000) in pairs]
+    recall = len(hits) / n_pairs
+    assert recall >= 0.9, f"prod-preset recall {recall} below 0.9"
+    for i in hits:  # verification reports the TRUE Jaccard, not an estimate
+        assert 700_000 < pairs[(i, i + 10_000)] < 950_000
+
+
 def test_degenerate_buckets_capped(spark):
     """VERDICT r2 #5b: 1,000 identical short docs must NOT go quadratic —
     every band bucket exceeds MAX_VERIFY_BUCKET, the verifiers skip them

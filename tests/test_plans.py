@@ -53,6 +53,23 @@ def test_column_pruning_html_never_read(spark, sf_unit_dir):
     assert "url" in read_schema and "text" in read_schema
 
 
+def test_multimodal_probe_never_reads_payload(spark, tmp_path):
+    """VERDICT r3 next #6: probe_metadata must be a true metadata-only
+    read — byte size comes from the meta struct, so the (potentially
+    multi-MB per row) payload binary is absent from ReadSchema."""
+    from pageindex_spark.operators.multimodal import probe_metadata, synth_media
+
+    p = str(tmp_path / "media")
+    synth_media(spark, 16).write.parquet(p)
+    q = probe_metadata(spark.read.parquet(p))
+    plan = _explain(q)
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "payload" not in read_schema
+    assert "meta" in read_schema and "kind" in read_schema
+    rows = {r["media_id"]: r["payload_bytes"] for r in q.collect()}
+    assert rows and all(v == 128 for v in rows.values())  # sha256*4 payloads
+
+
 def test_bm25_query_join_broadcasts_small_sides(spark, sf_unit_dir):
     """The relational BM25 plan must broadcast query terms + term stats
     (never shuffle postings by the query side)."""

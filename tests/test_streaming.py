@@ -99,7 +99,7 @@ def test_stream_segment_batch_replay_is_idempotent(spark, stream_dirs):
     assert (n1, n2) == (120, 120)
     assert runs() == first
     metas = committed_batches(f"{BASE}/state2")
-    assert metas == {0: {"start": 0, "n_docs": 120}}
+    assert metas == {0: {"start": 0, "n_docs": 120, "num_partitions": 4}}
     # a later batch starts where batch 0 ended
     n3 = segment_batch(docs, 1, f"{BASE}/segs2", f"{BASE}/state2", num_partitions=4)
     assert n3 == 120
@@ -148,4 +148,102 @@ def test_stream_refresh_then_search_rank_identity(spark):
     for g, w in zip(got, want):
         assert (g["query_id"], g["rank"], g["url"]) == (w["query_id"], w["rank"], w["url"])
         assert abs(g["score"] - w["score"]) < 1e-9
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _snap_files(root):
+    """(size, mtime_ns) per file — detects any rewrite of committed bytes."""
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[p] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_incremental_refresh_touches_only_new_batches(spark):
+    """VERDICT r3 missing #3 e2e: a refresh after a new batch must be
+    O(new-batch bytes) — every file the previous refresh committed under
+    docs_extracted/, norms/ and postings/ stays byte-for-byte untouched
+    (size+mtime) — and the result must rank+score-match a from-scratch full
+    refresh over the same corpus. Also pins: no-op refresh rewrites
+    nothing, stale uncommitted delta dirs are GC'd, and a conflicting
+    num_partitions errors instead of corrupting the grid (ADVICE r3
+    medium)."""
+    from pageindex_spark.plans.query import search
+    from pageindex_spark.sources.corpus import make_queries
+    from pageindex_spark.sources.tables import read_meta
+    from pageindex_spark.streaming.ingest import (
+        refresh_streamed_index,
+        segment_batch,
+    )
+
+    base = "/root/repo/data/stream-incr-test"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = make_documents(300, seed=13)
+    rows = list(zip(corpus.url, corpus.text))
+    segs, state, idx = f"{base}/segs", f"{base}/state", f"{base}/index"
+    mk = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "url string, text string")
+
+    assert segment_batch(mk(0, 100), 0, segs, state, num_partitions=4) == 100
+    assert segment_batch(mk(100, 200), 1, segs, state, num_partitions=4) == 100
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)  # full: delta=1
+
+    before = {
+        d: _snap_files(f"{idx}/{d}") for d in ("docs_extracted", "norms", "postings")
+    }
+    assert all(before.values())
+
+    assert segment_batch(mk(200, 300), 2, segs, state, num_partitions=4) == 100
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)  # incremental
+
+    after = {
+        d: _snap_files(f"{idx}/{d}") for d in ("docs_extracted", "norms", "postings")
+    }
+    for d in before:
+        for p, sig in before[d].items():
+            assert after[d].get(p) == sig, f"refresh rewrote committed file {p}"
+        assert set(after[d]) > set(before[d]), f"no new files under {d}"
+    assert any("delta=2" in p for p in after["postings"])
+    assert any("delta=2" in p for p in after["norms"])
+
+    meta = read_meta(idx)
+    assert meta["streamed"]["batches"] == [0, 1, 2]
+    assert meta["streamed"]["deltas"] == [1, 2]
+    assert meta["n_docs"] == 300
+
+    # rank+score identity vs a from-scratch full refresh of all 3 batches
+    refresh_streamed_index(spark, segs, state, f"{base}/index-full", n_buckets=8)
+    queries = make_queries()[:12]
+    got = search(spark, idx, queries, k=10).orderBy("query_id", "rank").collect()
+    want = (
+        search(spark, f"{base}/index-full", queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["url"]) == (w["query_id"], w["rank"], w["url"])
+        assert abs(g["score"] - w["score"]) < 1e-9
+
+    # no-op refresh: nothing new committed -> zero writes anywhere
+    snap_all = {
+        d: _snap_files(f"{idx}/{d}")
+        for d in ("docs_extracted", "norms", "postings", "term_stats")
+    }
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)
+    for d, s in snap_all.items():
+        assert _snap_files(f"{idx}/{d}") == s, f"no-op refresh rewrote {d}"
+
+    # stale delta GC: an uncommitted dir from a "crashed" refresh is removed
+    os.makedirs(f"{idx}/postings/delta=99")
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)
+    assert not os.path.exists(f"{idx}/postings/delta=99")
+
+    # frozen P: conflicting num_partitions must error, not corrupt
+    with pytest.raises(ValueError, match="conflicts"):
+        refresh_streamed_index(spark, segs, state, idx, num_partitions=8, n_buckets=8)
+    with pytest.raises(ValueError, match="conflicts"):
+        segment_batch(mk(0, 50), 3, segs, state, num_partitions=8)
     shutil.rmtree(base, ignore_errors=True)
