@@ -97,6 +97,25 @@ def _engine_bm25_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "dense")
 
 
+def _engine_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BMW with prune_norms=True (the 100-TB switch: norms cogroup side
+    filtered to the partitions the pruned runs can touch) — must be
+    hash-identical to the plain path and the SQL oracle."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
+        fixed_point=True, prune_norms=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference retrieval parity: winners come back WITH their text
     (/root/reference/README.md:179-188 returns node text). text_fp = md5 of
@@ -167,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # engine BM25 variants, which DO have the bm25_topk oracle)
     q["engine_bm25_wand"] = _engine_bm25_wand
     q["engine_bm25_dense"] = _engine_bm25_dense
+    q["engine_bm25_pruned"] = _engine_bm25_pruned
     q["engine_bm25_text"] = _engine_bm25_text
     q["lsh_ann_topk"] = _lsh_ann
     q["lsh_jaccard"] = _lsh_jaccard  # DataFrame API vs the DuckDB twin
@@ -181,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
     # (same doc_ids, ranks and fixed-point scores) — strongest cross-check.
     o["engine_bm25_wand"] = o["bm25_topk"]
     o["engine_bm25_dense"] = o["bm25_topk"]
+    o["engine_bm25_pruned"] = o["bm25_topk"]
     o["engine_bm25_text"] = o["bm25_text"]
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame

@@ -80,12 +80,24 @@ def _canary_ms() -> float:
 
 
 def _wait_for_cpu(threshold_ms: float = 100.0, timeout_s: float = 600.0) -> float:
-    """Block until CPU credits recover (canary under threshold); returns the
-    last canary reading, which timed sections record for honesty."""
+    """Block until CPU speed recovers (canary under threshold); returns the
+    last canary reading, which timed sections record for honesty.
+
+    r4 refinement: the box's slowdowns OSCILLATE on a seconds scale (fast
+    windows of tens of seconds between multi-second-canary stretches), so
+    poll every 5 s — a 20 s stride often caught a window at its END, and
+    the timed run then executed in the next slow stretch — and require TWO
+    consecutive fast samples so the run starts at the beginning of a
+    sustained window, not on a one-sample blip."""
+    poll = float(os.environ.get("SPARK_GRAFT_GATE_POLL", "5"))
     deadline = time.time() + timeout_s
+    fast = 0
     ms = _canary_ms()
-    while ms > threshold_ms and time.time() < deadline:
-        time.sleep(20)
+    while time.time() < deadline:
+        fast = fast + 1 if ms <= threshold_ms else 0
+        if fast >= 2:
+            return ms
+        time.sleep(poll)
         ms = _canary_ms()
     return ms
 
@@ -245,6 +257,13 @@ def _run_scaling(out: dict) -> None:
         int(c) for c in os.environ.get("SPARK_GRAFT_SCALE_CELLS", "2,8,32").split(",")
     )
     gate_timeout = float(os.environ.get("SPARK_GRAFT_GATE_TIMEOUT", "1800"))
+    # Min-of-R repeats per cell (r4 protocol): this box's slowdown is
+    # one-sided noise — it only ever ADDS wall time — so the MIN over R
+    # timed builds converges on the true speed even when no single 30-min
+    # canary gate ever fires (observed: 2 h with zero sustained sub-60 ms
+    # windows). Per-repeat canaries are still recorded; if any repeat
+    # started gated, the min is taken over gated repeats only.
+    repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
     bench_dir = ensure_scale(scale_name)
     scaling = {}
     for cores in cells:
@@ -255,25 +274,38 @@ def _run_scaling(out: dict) -> None:
         # Gate BEFORE the warm build too (r4 lesson: warming while
         # throttled burns minutes of wall at 50-100x slowdown and deepens
         # the very credit debt the timed gate then waits out).
-        _wait_for_cpu(threshold_ms=60.0, timeout_s=gate_timeout)
+        _wait_for_cpu(threshold_ms=60.0, timeout_s=min(gate_timeout, 300.0))
         # untimed warm build (JIT/codegen parity between timed runs);
         # small on purpose — every warm doc burns burst credits the
         # timed run needs.
         _build_once(spark, f"warm{cores}", cores, docs=mid.limit(500))
-        # long gate: credits refill over minutes; a timed run that
-        # starts throttled measures the PREVIOUS run's debt. `gated`
-        # records whether full speed was actually reached — numbers
-        # with gated=false are invalid by construction.
-        canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=gate_timeout)
-        sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
-        after = _canary_ms()
+        tries = []
+        for _ in range(repeats):
+            # gate: a timed run that starts throttled measures the PREVIOUS
+            # run's debt. `gated` records whether full speed was actually
+            # reached — single-shot numbers with gated=false are invalid by
+            # construction; min-of-R reports the best honest attempt.
+            canary = _wait_for_cpu(threshold_ms=60.0, timeout_s=gate_timeout)
+            sec, n = _build_once(spark, f"scale{cores}", cores, docs=mid)
+            after = _canary_ms()
+            tries.append(
+                {
+                    "build_sec": round(sec, 2),
+                    "cpu_canary_ms": round(canary, 1),
+                    "cpu_canary_after_ms": round(after, 1),
+                    "gated": canary < 60.0,
+                }
+            )
+        gated_tries = [t for t in tries if t["gated"]] or tries
+        best = min(gated_tries, key=lambda t: t["build_sec"])
         scaling[f"local{cores}"] = {
-            "build_sec": round(sec, 2),
-            "docs_per_sec": round(n / sec, 1),
+            "build_sec": best["build_sec"],
+            "docs_per_sec": round(n / best["build_sec"], 1),
             "n_docs": n,
-            "cpu_canary_ms": round(canary, 1),
-            "cpu_canary_after_ms": round(after, 1),
-            "gated": canary < 60.0,
+            "cpu_canary_ms": best["cpu_canary_ms"],
+            "cpu_canary_after_ms": best["cpu_canary_after_ms"],
+            "gated": best["gated"],
+            "repeats": tries,
         }
     t2 = scaling["local2"]["build_sec"]
     t8 = scaling["local8"]["build_sec"]

@@ -50,6 +50,7 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=64)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--gate-timeout", type=float, default=900.0)
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -100,7 +101,7 @@ def main() -> None:
         search(spark, idx, queries, k=10, mode="bmw").collect()
         walls, canaries = [], []
         for _ in range(args.repeats):
-            c = _wait_for_cpu()
+            c = _wait_for_cpu(timeout_s=args.gate_timeout)
             t0 = time.time()
             search(spark, idx, queries, k=10, mode="bmw").collect()
             walls.append(round(time.time() - t0, 3))

@@ -129,8 +129,11 @@ class Searcher:
         fixed_point: bool = False,
         with_text: bool = False,
         tie_margin: int = FIXED_POINT_TIE_MARGIN,
+        prune_norms: bool = False,
     ) -> DataFrame:
-        return _search_impl(self, queries, k, mode, fixed_point, with_text, tie_margin)
+        return _search_impl(
+            self, queries, k, mode, fixed_point, with_text, tie_margin, prune_norms
+        )
 
 
 _SEARCHERS: dict[tuple, Searcher] = {}
@@ -155,6 +158,7 @@ def search(
     cell_parts: int = 4,
     fixed_point: bool = False,
     with_text: bool = False,
+    prune_norms: bool = False,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
 
@@ -165,10 +169,50 @@ def search(
     ``with_text`` also fetches the winners' extracted text (reference
     retrieval parity: /root/reference/pageindex/utils.py:554-564 returns
     node text, not just ids) — same pruned partition read, one extra column.
+
+    ``prune_norms`` (the 100-TB switch): the scoring cogroup otherwise
+    shuffles the ENTIRE norms relation — O(n_docs) bytes, terabytes at the
+    10^12-doc target — for every query batch, even when the query terms'
+    postings touch a handful of cells. With the flag on, one extra
+    metadata-only job reads the pruned runs' (first_doc, last_doc) ranges
+    (column-pruned: blobs never load), the driver maps them to build
+    partitions via the docID grid, and the norms side of the cogroup is
+    filtered to exactly those partitions before it shuffles. Results are
+    identical (pinned by test); default off because in THIS sandbox the
+    extra sequential job costs more wall than the tiny norms shuffle saves
+    — on a real cluster flip it on for any selective query load.
     """
     return get_searcher(spark, index_dir, cell_parts).search(
-        queries, k, mode, fixed_point, with_text
+        queries, k, mode, fixed_point, with_text, prune_norms=prune_norms
     )
+
+
+def _parts_for_runs(
+    ranges: list[tuple[int, int]],
+    cell_grid,
+    cell_parts: int,
+    total_parts: int,
+) -> list[int] | None:
+    """Build partitions whose docID span can intersect any of the given run
+    ``[first_doc, last_doc]`` ranges — driver-side, metadata only. Returns
+    None when pruning is useless (runs cover most cells, or the part list
+    would be huge); the caller then ships the full norms relation as
+    before. Superset-safe: a part with no matching postings merely adds an
+    empty cogroup side."""
+    n_cells = len(cell_grid)
+    cells: set[int] = set()
+    for first, last in ranges:
+        c0 = int(np.searchsorted(cell_grid, first, side="right")) - 1
+        c1 = int(np.searchsorted(cell_grid, last, side="right")) - 1
+        cells.update(range(max(c0, 0), min(c1, n_cells - 1) + 1))
+    if 2 * len(cells) >= n_cells:
+        return None
+    parts = [
+        p
+        for c in sorted(cells)
+        for p in range(c * cell_parts, min((c + 1) * cell_parts, total_parts))
+    ]
+    return parts if len(parts) <= 8192 else None
 
 
 def _search_impl(
@@ -179,6 +223,7 @@ def _search_impl(
     fixed_point: bool = False,
     with_text: bool = False,
     tie_margin: int = FIXED_POINT_TIE_MARGIN,
+    prune_norms: bool = False,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -271,6 +316,19 @@ def _search_impl(
     )
 
     norms = se.norms
+    if prune_norms:
+        # One metadata-only job (blobs column-pruned away) + a driver map
+        # from run docID ranges to grid cells -> the norms cogroup side
+        # shuffles only the partitions the query can actually touch.
+        ranges = [
+            (int(r["first_doc"]), int(r["last_doc"]))
+            for r in runs.select("first_doc", "last_doc").collect()
+        ]
+        parts = _parts_for_runs(
+            ranges, cell_grid, se.cell_parts, len(se.grid_parts)
+        )
+        if parts is not None:
+            norms = norms.filter(F.col("part_id").isin(parts))
     use_dense = mode == "dense"
 
     def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:

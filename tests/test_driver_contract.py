@@ -73,7 +73,14 @@ def test_pair_matches(name, sviews, duck):
 
 @pytest.mark.parametrize(
     "name",
-    ["lsh_ann_topk", "lsh_jaccard", "media_features", "frame_sample", "engine_bm25_text"],
+    [
+        "lsh_ann_topk",
+        "lsh_jaccard",
+        "media_features",
+        "frame_sample",
+        "engine_bm25_text",
+        "engine_bm25_pruned",
+    ],
 )
 def test_custom_entries_match_their_oracles(name, spark, duck):
     """The non-SQL queries() entries (DataFrame/mapInPandas operators) must

@@ -63,6 +63,16 @@ def test_dense_rank_identity(spark, built_index, golden):
     _assert_matches_golden(got, golden)
 
 
+def test_prune_norms_identity(spark, built_index, golden):
+    """prune_norms=True (filter the norms cogroup side to the partitions
+    the pruned runs can touch — the 100-TB switch) must be invisible in
+    the results: full rank + score identity vs the oracle golden."""
+    got = search(
+        spark, built_index, make_queries(), k=10, mode="bmw", prune_norms=True
+    ).collect()
+    _assert_matches_golden(got, golden)
+
+
 def test_compression_and_metrics(spark, built_index, golden):
     m = stage_metrics(spark, built_index)
     assert set(m) >= {"extract", "segments", "compact"}
