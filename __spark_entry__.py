@@ -155,6 +155,29 @@ def _lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk(vecs, dim, n_query_vecs=5, k=10)
 
 
+def _batch_query_vecs(vecs: DataFrame) -> DataFrame:
+    """Arbitrary query set for the batched ANN surface (must mirror the SQL
+    twins' ``vec_id % 97 = 3`` predicate)."""
+    return vecs.filter(F.col("vec_id") % 97 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def _ann_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pageindex_spark.operators.similarity import cosine_topk_batch
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return cosine_topk_batch(vecs, _batch_query_vecs(vecs), k=10)
+
+
+def _lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pageindex_spark.operators.similarity import lsh_ann_topk_batch
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(vecs.select("embedding").head()["embedding"])
+    return lsh_ann_topk_batch(vecs, _batch_query_vecs(vecs), dim, k=10)
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.operators.multimodal import image_features, synth_media
 
@@ -189,6 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_pruned"] = _engine_bm25_pruned
     q["engine_bm25_text"] = _engine_bm25_text
     q["lsh_ann_topk"] = _lsh_ann
+    q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
+    q["lsh_ann_batch"] = _lsh_ann_batch
     q["lsh_jaccard"] = _lsh_jaccard  # DataFrame API vs the DuckDB twin
     q["media_features"] = _media_features
     q["frame_sample"] = _frame_sample

@@ -293,7 +293,13 @@ def _run_scaling(out: dict) -> None:
                     "build_sec": round(sec, 2),
                     "cpu_canary_ms": round(canary, 1),
                     "cpu_canary_after_ms": round(after, 1),
-                    "gated": canary < 60.0,
+                    # Same rule as _gate_end (VERDICT r4 "what's wrong" #1):
+                    # a repeat that STARTED fast but finished throttled
+                    # (after-canary blown) ran partly at reduced speed — its
+                    # wall time is as invalid as one that started slow. The
+                    # before-only check recorded two mid-run-throttled builds
+                    # as gated and produced a false valid_2_to_8 artifact.
+                    "gated": canary < 60.0 and after < 4 * canary + 100,
                 }
             )
         gated_tries = [t for t in tries if t["gated"]] or tries
@@ -307,20 +313,25 @@ def _run_scaling(out: dict) -> None:
             "gated": best["gated"],
             "repeats": tries,
         }
-    t2 = scaling["local2"]["build_sec"]
-    t8 = scaling["local8"]["build_sec"]
-    scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
-    if "local32" in scaling:
+    # Ratios are guarded per cell pair (ADVICE r4 low: SPARK_GRAFT_SCALE_CELLS
+    # subsets like "8,32" crashed here with KeyError AFTER the expensive
+    # builds, discarding the measurements).
+    if 2 in cells and 8 in cells:
+        t2 = scaling["local2"]["build_sec"]
+        t8 = scaling["local8"]["build_sec"]
+        scaling["efficiency_2_to_8"] = round((t2 / t8) / 4.0, 3)
+        # The north rule names ONE cell: N -> 4N. local2 -> local8 is that
+        # pair (local32 is extra color; this box's raw-CPU ceiling caps 8->32
+        # at ~0.67 before Spark runs — see module docstring).
+        scaling["valid_2_to_8"] = bool(
+            scaling["local2"]["gated"] and scaling["local8"]["gated"]
+        )
+    if 8 in cells and 32 in cells:
         scaling["efficiency_8_to_32"] = round(
-            (t8 / scaling["local32"]["build_sec"]) / 4.0, 3
+            (scaling["local8"]["build_sec"] / scaling["local32"]["build_sec"]) / 4.0,
+            3,
         )
     scaling["scale_name"] = scale_name
-    # The north rule names ONE cell: N -> 4N. local2 -> local8 is that pair
-    # (local32 is extra color; this box's raw-CPU ceiling caps 8->32 at
-    # ~0.67 before Spark runs — see module docstring).
-    scaling["valid_2_to_8"] = bool(
-        scaling["local2"]["gated"] and scaling["local8"]["gated"]
-    )
     scaling["valid"] = all(
         scaling[f"local{c}"]["gated"] for c in cells
     )

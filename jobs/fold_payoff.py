@@ -99,18 +99,25 @@ def main() -> None:
         runs_read = postings.filter(F.col("term").isin(mids)).count()
         # warm (payload/codegen), then timed repeats; keep the min.
         search(spark, idx, queries, k=10, mode="bmw").collect()
-        walls, canaries = [], []
+        walls, canaries, afters = [], [], []
         for _ in range(args.repeats):
             c = _wait_for_cpu(timeout_s=args.gate_timeout)
             t0 = time.time()
             search(spark, idx, queries, k=10, mode="bmw").collect()
             walls.append(round(time.time() - t0, 3))
             canaries.append(round(c, 1))
+            afters.append(round(_canary_ms(), 1))
         total_runs = postings.count()
         # Best wall among GATED repeats when any exist (slowdown noise is
         # one-sided: a repeat that started at full speed measures the code,
-        # one that started throttled measures the box).
-        gated_walls = [w for w, c in zip(walls, canaries) if c < 60.0]
+        # one that started throttled measures the box). A repeat is gated
+        # only if it started fast AND was still fast right after — the same
+        # before+after rule as bench.py's _gate_end (VERDICT r4 next #4).
+        gated_walls = [
+            w
+            for w, c, a in zip(walls, canaries, afters)
+            if c < 60.0 and a < 4 * c + 100
+        ]
         best = min(gated_walls) if gated_walls else min(walls)
         out[tag] = {
             "runs_read_for_8_mid_terms": runs_read,
@@ -118,6 +125,7 @@ def main() -> None:
             "query_walls_sec": walls,
             "best_wall_sec": best,
             "canaries_ms": canaries,
+            "after_canaries_ms": afters,
             "gated": bool(gated_walls),
         }
 

@@ -123,10 +123,14 @@ def main() -> None:
         }
 
     # Threading must not change the answer — identical docs AND scores.
+    # ValueError, not assert (ADVICE r4 low): the artifact this job writes
+    # is only meaningful if the identity check actually ran, -O included.
     for qid in payload:
         a, b = results["parallel"]["finals"][qid], results["threaded"]["finals"][qid]
-        assert [d for d, _ in a] == [d for d, _ in b], f"q{qid} docs diverge"
-        assert all(abs(x[1] - y[1]) < 1e-12 for x, y in zip(a, b)), qid
+        if [d for d, _ in a] != [d for d, _ in b]:
+            raise ValueError(f"q{qid} docs diverge between modes")
+        if not all(abs(x[1] - y[1]) < 1e-12 for x, y in zip(a, b)):
+            raise ValueError(f"q{qid} scores diverge between modes")
 
     out = {
         "n_docs": n_docs,

@@ -396,12 +396,12 @@ from toks
 """
 
 
-def _ann_sql(d: _Dialect) -> str:
+def _ann_sql(d: _Dialect, qpred: str = "vec_id < 5") -> str:
     dot = d.dot("q.qe", "c.ce")
     nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
     nc = f"sqrt({d.dot('c.ce', 'c.ce')})"
     return f"""
-with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 5),
+with q as (select vec_id as query_id, embedding as qe from embeddings where {qpred}),
 c as (select vec_id, embedding as ce from embeddings),
 scored as (
   select q.query_id, c.vec_id,
@@ -417,7 +417,7 @@ select query_id, rank, vec_id, cos6 from ranked where rank <= 10
 """
 
 
-def _lsh_ann_sql(d: _Dialect) -> str:
+def _lsh_ann_sql(d: _Dialect, qpred: str = "vec_id < 5") -> str:
     """SQL twin of ``operators.similarity.lsh_ann_topk``: the seeded random
     hyperplanes are emitted as literal double arrays (cast-from-string so both
     engines parse the exact same float64), bucket codes are sign-bit sums, and
@@ -445,7 +445,7 @@ bits as (
   from e cross join planes p
 ),
 b as (select vec_id, tbl, cast(sum(bit) as int) as bucket from bits group by vec_id, tbl),
-q as (select vec_id as query_id, tbl, bucket from b where vec_id < 5),
+q as (select vec_id as query_id, tbl, bucket from b where {qpred}),
 cand as (
   select distinct q.query_id, c.vec_id
   from q join b c on c.tbl = q.tbl and c.bucket = q.bucket and c.vec_id <> q.query_id
@@ -528,6 +528,13 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["lsh_jaccard"] = both(_lsh_jaccard_sql)
     pairs["ann_cosine_topk"] = both(_ann_sql)
     pairs["lsh_ann_topk"] = both(_lsh_ann_sql)
+    # Batched-query surface (VERDICT r4 next #7): same twins over an
+    # arbitrary query set (here: vec_id % 97 = 3) instead of the fixed
+    # first-5; queries() overrides the Spark side with the *_batch
+    # DataFrame operators, so the driver checks the batch API end-to-end.
+    _BATCH_QPRED = "vec_id % 97 = 3"
+    pairs["ann_cosine_batch"] = both(lambda d: _ann_sql(d, _BATCH_QPRED))
+    pairs["lsh_ann_batch"] = both(lambda d: _lsh_ann_sql(d, _BATCH_QPRED))
     pairs["embedding_norms"] = both(
         lambda d: f"""select vec_id,
         cast(floor(sqrt({d.dot('embedding', 'embedding')}) * 1000000) as bigint) as norm6

@@ -27,23 +27,25 @@ def _dot(a, b):
     )
 
 
-def cosine_topk(
-    vectors: DataFrame,
-    n_query_vecs: int = 5,
+def cosine_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
     k: int = 10,
     key: str = "vec_id",
     vec_col: str = "embedding",
+    qkey: str = "query_id",
+    qvec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force cosine top-k: the first ``n_query_vecs`` vectors
-    query the rest. Output (query_id, rank, vec_id, cos6).
+    """Exact brute-force cosine top-k for an ARBITRARY queries DataFrame
+    (``qkey``, ``qvec_col``) against the corpus — the batched surface
+    (VERDICT r4 next #7: the BM25 engine takes a query batch; ANN now does
+    too). Output (query_id, rank, vec_id, cos6); a corpus row whose key
+    equals the query id is excluded (self-match).
 
-    Plan: broadcast the tiny query side into a JVM-codegen'd cross join —
-    one pass over the corpus per batch of queries, no shuffle of the corpus.
-    """
-    q = vectors.filter(F.col(key) < n_query_vecs).select(
-        F.col(key).alias("query_id"), F.col(vec_col).alias("qv")
-    )
-    c = vectors.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("cv"))
+    Plan: broadcast the small query side into a JVM-codegen'd join — one
+    pass over the corpus per query batch, no shuffle of the corpus."""
+    q = queries.select(F.col(qkey).alias("query_id"), F.col(qvec_col).alias("qv"))
+    c = corpus.select(F.col(key).alias("vec_id"), F.col(vec_col).alias("cv"))
     dot = _dot(F.col("qv"), F.col("cv"))
     na = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     nb = F.sqrt(_dot(F.col("cv"), F.col("cv")))
@@ -60,6 +62,24 @@ def cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos6")
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    n_query_vecs: int = 5,
+    k: int = 10,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k: the first ``n_query_vecs`` vectors
+    query the rest (driver-contract convenience over ``cosine_topk_batch``).
+    """
+    queries = vectors.filter(F.col(key) < n_query_vecs).select(
+        F.col(key).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    return cosine_topk_batch(
+        vectors, queries, k, key=key, vec_col=vec_col, qvec_col="qv"
     )
 
 
@@ -116,25 +136,35 @@ def with_lsh_buckets(
     )
 
 
-def lsh_ann_topk(
-    vectors: DataFrame,
+def lsh_ann_topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
     dim: int,
-    n_query_vecs: int = 5,
     k: int = 10,
     key: str = "vec_id",
     vec_col: str = "embedding",
+    qkey: str = "query_id",
+    qvec_col: str = "embedding",
     n_planes: int = LSH_PLANES,
     n_tables: int = LSH_TABLES,
 ) -> DataFrame:
-    """Approximate top-k: candidates = union over tables of the query's
-    bucket co-occupants; dedup, score, rank. One shuffle on (table, bucket)
-    via the broadcast join + a distinct. Output (query_id, rank, vec_id,
-    cos6) — recall vs the exact scan is measured in tests, not asserted
-    exact."""
-    b = with_lsh_buckets(vectors, dim, n_planes, n_tables, vec_col)
-    q = b.filter(F.col(key) < n_query_vecs).select(
-        F.col(key).alias("query_id"),
-        F.col(vec_col).alias("qv"),
+    """Approximate top-k for an ARBITRARY queries DataFrame: both sides get
+    the same seeded LSH bucketing, so external query vectors (not drawn from
+    the corpus) land in the right buckets. Candidates = union over tables of
+    the query's bucket co-occupants; dedup, score, rank. One shuffle on
+    (table, bucket) via the broadcast join + a distinct."""
+    b = with_lsh_buckets(corpus, dim, n_planes, n_tables, vec_col)
+    q = with_lsh_buckets(
+        queries.select(
+            F.col(qkey).alias("query_id"), F.col(qvec_col).alias("qv")
+        ),
+        dim,
+        n_planes,
+        n_tables,
+        "qv",
+    ).select(
+        "query_id",
+        "qv",
         F.col("table").alias("qt"),
         F.col("bucket").alias("qb"),
     )
@@ -162,4 +192,33 @@ def lsh_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "vec_id", "cos6")
+    )
+
+
+def lsh_ann_topk(
+    vectors: DataFrame,
+    dim: int,
+    n_query_vecs: int = 5,
+    k: int = 10,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = LSH_PLANES,
+    n_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Approximate top-k: the first ``n_query_vecs`` vectors query the rest
+    (driver-contract convenience over ``lsh_ann_topk_batch``). Recall vs the
+    exact scan is measured in tests, not asserted exact."""
+    queries = vectors.filter(F.col(key) < n_query_vecs).select(
+        F.col(key).alias("query_id"), F.col(vec_col)
+    )
+    return lsh_ann_topk_batch(
+        vectors,
+        queries,
+        dim,
+        k,
+        key=key,
+        vec_col=vec_col,
+        qvec_col=vec_col,
+        n_planes=n_planes,
+        n_tables=n_tables,
     )

@@ -73,7 +73,11 @@ DEFAULT_BUCKETS = 32
 # v5: norms written distributed (many files, no coalesce(1)); streamed
 #     refreshes store postings/norms under delta=G partitions (incremental
 #     refresh) with exact total_tokens in meta.
-FORMAT_VERSION = 5
+# v6: streamed term_stats versioned under delta=G (readers pin to the
+#     committed max delta); readers filter every postings/norms scan to
+#     meta.streamed.deltas, so a crashed refresh's uncommitted delta dirs
+#     are invisible to queries (ADVICE r4 medium).
+FORMAT_VERSION = 6
 
 
 class SimulatedKill(RuntimeError):
@@ -412,7 +416,8 @@ def write_norms(ext: DataFrame, offsets: list[int], out_path: str) -> None:
     def pack_norms(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy()
-        assert ids[0] + len(ids) - 1 == ids[-1], "docID range not contiguous"
+        if ids[0] + len(ids) - 1 != ids[-1]:  # survives python -O
+            raise ValueError("docID range not contiguous")
         dl = pdf["doc_len"].to_numpy().astype(np.uint64)
         return pd.DataFrame(
             {

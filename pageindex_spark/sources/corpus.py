@@ -46,6 +46,7 @@ EPOCH_2025 = 1735689600  # 2025-01-01T00:00:00Z in seconds
 SCALES = {
     "sf-micro": 300,
     "sf-unit": 1_000,
+    "sf-2k": 2_000,  # burst-window-sized scaling unit (VERDICT r4 next #1b)
     "sf-small": 10_000,
     "sf-mid": 50_000,
     "sf-bench": 200_000,

@@ -73,6 +73,20 @@ def test_prune_norms_identity(spark, built_index, golden):
     _assert_matches_golden(got, golden)
 
 
+def test_prune_norms_auto_identity(spark, built_index, golden, monkeypatch):
+    """prune_norms=None (auto, the default) must be answer-identical on BOTH
+    sides of the PRUNE_NORMS_AUTO_MIN_DOCS threshold — the heuristic picks a
+    plan, never an answer (VERDICT r4 next #5)."""
+    from pageindex_spark.plans import query as qmod
+
+    monkeypatch.setattr(qmod, "PRUNE_NORMS_AUTO_MIN_DOCS", 0)  # auto -> prune
+    got = search(spark, built_index, make_queries(), k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden)
+    monkeypatch.setattr(qmod, "PRUNE_NORMS_AUTO_MIN_DOCS", 1 << 60)  # auto -> full
+    got = search(spark, built_index, make_queries(), k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden)
+
+
 def test_compression_and_metrics(spark, built_index, golden):
     m = stage_metrics(spark, built_index)
     assert set(m) >= {"extract", "segments", "compact"}

@@ -256,6 +256,37 @@ def test_lsh_ann_recall_vs_exact(spark, vecs):
     assert all(qid in range(5) for qid, _ in ap)
 
 
+def test_ann_batch_external_queries(spark, vecs):
+    """Batched ANN surface (VERDICT r4 next #7): queries come in as a
+    DataFrame and may be EXTERNAL vectors (not rows of the corpus). A
+    slightly-perturbed copy of a corpus vector must retrieve its source as
+    top-1 on the exact path, and the LSH path must bucket external queries
+    with the same seeded planes (source retrieved in the candidate set)."""
+    from pyspark.sql import functions as F
+
+    from pageindex_spark.operators.similarity import (
+        cosine_topk_batch,
+        lsh_ann_topk_batch,
+    )
+
+    dim = len(vecs.select("embedding").head()["embedding"])
+    # external queries: vectors 3 and 7 scaled by 1.01 (same direction ->
+    # cosine 1.0 to the source), ids offset far beyond the corpus
+    queries = (
+        vecs.filter(F.col("vec_id").isin([3, 7]))
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("query_id"),
+            F.transform("embedding", lambda x: x * 1.01).alias("embedding"),
+        )
+    )
+    exact = cosine_topk_batch(vecs, queries, k=3).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in exact if r["rank"] == 1}
+    assert top1 == {1_000_003: 3, 1_000_007: 7}
+    approx = lsh_ann_topk_batch(vecs, queries, dim, k=3).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in approx}
+    assert (1_000_003, 3) in got and (1_000_007, 7) in got
+
+
 def test_multimodal_plumbing(spark):
     from pageindex_spark.operators.multimodal import (
         frame_sample,

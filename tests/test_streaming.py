@@ -246,4 +246,153 @@ def test_incremental_refresh_touches_only_new_batches(spark):
         refresh_streamed_index(spark, segs, state, idx, num_partitions=8, n_buckets=8)
     with pytest.raises(ValueError, match="conflicts"):
         segment_batch(mk(0, 50), 3, segs, state, num_partitions=8)
+
+    # legacy state dir (metas predate num_partitions recording): silent
+    # session-conf fallback is the grid-corruption hazard — must raise and
+    # require the explicit one-time migration (ADVICE r4 low)
+    import json as _json
+
+    from pageindex_spark.streaming.ingest import (
+        _resolve_num_partitions,
+        committed_batches,
+    )
+
+    legacy = f"{base}/state-legacy/batches"
+    os.makedirs(legacy)
+    with open(f"{legacy}/0.json", "w") as f:
+        _json.dump({"start": 0, "n_docs": 10}, f)
+    legacy_metas = committed_batches(f"{base}/state-legacy")
+    with pytest.raises(ValueError, match="predate"):
+        _resolve_num_partitions(legacy_metas, None, spark)
+    assert _resolve_num_partitions(legacy_metas, 4, spark) == 4  # migration
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crashed_refresh_invisible_to_queries(spark, monkeypatch):
+    """ADVICE r4 medium: a refresh that crashes AFTER writing its
+    postings/norms/term_stats delta dirs but BEFORE the meta.json commit
+    must leave queries exactly as they were — the uncommitted delta holds
+    docIDs beyond the committed grid/norms, so reading it would mis-score
+    or fail. Readers now filter every scan to meta.streamed.deltas."""
+    from pageindex_spark.plans.query import Searcher
+    from pageindex_spark.sources import tables
+    from pageindex_spark.sources.tables import read_meta
+    from pageindex_spark.streaming.ingest import (
+        refresh_streamed_index,
+        segment_batch,
+    )
+
+    base = "/root/repo/data/stream-crash-test"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = make_documents(180, seed=17)
+    rows = list(zip(corpus.url, corpus.text))
+    segs, state, idx = f"{base}/segs", f"{base}/state", f"{base}/index"
+    mk = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "url string, text string")
+    queries = [(1, rows[5][1].split()[0]), (2, rows[100][1].split()[3])]
+
+    def run(index_dir):
+        return [
+            (r["query_id"], r["rank"], r["url"], round(r["score"], 9))
+            for r in Searcher(spark, index_dir, cache=False)
+            .search(queries, k=10)
+            .orderBy("query_id", "rank")
+            .collect()
+        ]
+
+    assert segment_batch(mk(0, 120), 0, segs, state, num_partitions=3) == 120
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)
+    before = run(idx)
+    assert before
+
+    # batch 1 arrives; the refresh "crashes" at the commit point
+    assert segment_batch(mk(120, 180), 1, segs, state, num_partitions=3) == 60
+    real_write_meta = tables.write_meta
+    monkeypatch.setattr(
+        tables, "write_meta", lambda *a, **k: (_ for _ in ()).throw(OSError("crash"))
+    )
+    with pytest.raises(OSError, match="crash"):
+        refresh_streamed_index(spark, segs, state, idx, n_buckets=8)
+    monkeypatch.setattr(tables, "write_meta", real_write_meta)
+
+    # uncommitted delta dirs exist on disk...
+    assert os.path.isdir(f"{idx}/postings/delta=1")
+    assert os.path.isdir(f"{idx}/norms/delta=1")
+    assert os.path.isdir(f"{idx}/term_stats/delta=1")
+    assert read_meta(idx)["streamed"]["deltas"] == [0]
+    # ...but queries still see exactly the committed index
+    assert run(idx) == before
+
+    # the next (successful) refresh GCs the stale dirs and commits batch 1
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=8)
+    assert read_meta(idx)["streamed"]["deltas"] == [0, 1]
+    refresh_streamed_index(spark, segs, state, f"{base}/index-full", n_buckets=8)
+    assert run(idx) == run(f"{base}/index-full")
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_auto_retighten_collapses_deltas(spark):
+    """VERDICT r4 next #2: deltas must not accumulate without bound. With
+    max_deltas=2, the third refresh collapses everything back to ONE delta
+    (light terms back to 1 run — the measured 8x fold fan-in payoff), with
+    rank+score identity preserved throughout."""
+    from pageindex_spark.plans.query import Searcher
+    from pageindex_spark.sources.corpus import make_queries
+    from pageindex_spark.sources.tables import read_meta
+    from pageindex_spark.streaming.ingest import (
+        refresh_streamed_index,
+        segment_batch,
+    )
+
+    base = "/root/repo/data/stream-retighten-test"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = make_documents(180, seed=19)
+    rows = list(zip(corpus.url, corpus.text))
+    segs, state, idx = f"{base}/segs", f"{base}/state", f"{base}/index"
+    mk = lambda lo, hi: spark.createDataFrame(rows[lo:hi], "url string, text string")
+
+    assert segment_batch(mk(0, 60), 0, segs, state, num_partitions=2) == 60
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=4, max_deltas=2)
+    assert segment_batch(mk(60, 120), 1, segs, state, num_partitions=2) == 60
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=4, max_deltas=2)
+    assert read_meta(idx)["streamed"]["deltas"] == [0, 1]  # still incremental
+
+    assert segment_batch(mk(120, 180), 2, segs, state, num_partitions=2) == 60
+    refresh_streamed_index(spark, segs, state, idx, n_buckets=4, max_deltas=2)
+    meta = read_meta(idx)
+    assert meta["streamed"]["deltas"] == [2]  # collapsed to ONE delta
+    assert meta["streamed"]["batches"] == [0, 1, 2]
+    assert meta["n_docs"] == 180
+    deltas_on_disk = [
+        d for d in os.listdir(f"{idx}/postings") if d.startswith("delta=")
+    ]
+    assert deltas_on_disk == ["delta=2"]
+
+    # light terms re-folded to 1 run each (they had up to 1 run/delta)
+    runs_per_term = (
+        spark.read.parquet(f"{idx}/postings")
+        .groupBy("term")
+        .agg(F.count("*").alias("n_runs"), F.sum("n_bytes").alias("b"))
+    )
+    light = runs_per_term.filter(F.col("b") < 1 << 20)
+    assert light.filter(F.col("n_runs") > 1).count() == 0
+
+    # rank+score identity vs a from-scratch full refresh
+    queries = make_queries()[:8]
+    got = (
+        Searcher(spark, idx, cache=False)
+        .search(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    refresh_streamed_index(spark, segs, state, f"{base}/index-full", n_buckets=4)
+    want = (
+        Searcher(spark, f"{base}/index-full", cache=False)
+        .search(queries, k=10)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for g, w in zip(got, want):
+        assert (g["query_id"], g["rank"], g["url"]) == (w["query_id"], w["rank"], w["url"])
+        assert abs(g["score"] - w["score"]) < 1e-9
     shutil.rmtree(base, ignore_errors=True)
