@@ -178,6 +178,21 @@ def _lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk_batch(vecs, _batch_query_vecs(vecs), dim, k=10)
 
 
+def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pageindex_spark.operators.similarity import ivf_ann_topk
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_ann_topk(vecs, n_query_vecs=5, k=10)
+
+
+def _embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pageindex_spark.operators.similarity import cosine_neardup_pairs
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    dim = len(vecs.select("embedding").head()["embedding"])
+    return cosine_neardup_pairs(vecs, dim)
+
+
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.operators.multimodal import image_features, synth_media
 
@@ -214,6 +229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
+    q["ivf_ann_topk"] = _ivf_ann  # IVF scale path vs the SQL twin
+    q["embedding_neardup"] = _embedding_neardup
     q["lsh_jaccard"] = _lsh_jaccard  # DataFrame API vs the DuckDB twin
     q["media_features"] = _media_features
     q["frame_sample"] = _frame_sample

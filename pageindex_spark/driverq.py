@@ -466,6 +466,99 @@ select query_id, rank, vec_id, cos6 from ranked where rank <= 10
 """
 
 
+def _ivf_ann_sql(d: _Dialect, qpred: str = "vec_id < 5") -> str:
+    """SQL twin of ``operators.similarity.ivf_ann_topk``: centroids are the
+    deterministic ``vec_id % stride = 0`` sample, assignment/probing rank
+    floored cos6 (ties -> smaller centroid id), each query scores only the
+    members of its n_probe nearest cells — structurally the same
+    broadcast-quantizer + one-cell-join plan as the DataFrame operator."""
+    from .operators.similarity import IVF_CENTROID_STRIDE, IVF_N_PROBE
+
+    def cos6(a: str, b: str) -> str:
+        dot = d.dot(a, b)
+        na = f"sqrt({d.dot(a, a)})"
+        nb = f"sqrt({d.dot(b, b)})"
+        return f"cast(floor(({dot}) / (({na}) * ({nb})) * 1000000) as bigint)"
+
+    return f"""
+with cents as (
+  select vec_id as cid, embedding as ce from embeddings
+  where vec_id % {IVF_CENTROID_STRIDE} = 0
+),
+asg as (
+  select e.vec_id, c.cid, {cos6('e.embedding', 'c.ce')} as s
+  from embeddings e cross join cents c
+),
+cells as (
+  select vec_id, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by s desc, cid asc) as rn
+    from asg
+  ) t where rn = 1
+),
+qprobe as (
+  select vec_id as query_id, cid as cell from (
+    select vec_id, cid,
+           row_number() over (partition by vec_id order by s desc, cid asc) as rn
+    from asg where {qpred}
+  ) t where rn <= {IVF_N_PROBE}
+),
+scored as (
+  select q.query_id, m.vec_id, {cos6('qe.embedding', 'ce.embedding')} as cos6
+  from qprobe q
+  join cells m on m.cell = q.cell and m.vec_id <> q.query_id
+  join embeddings qe on qe.vec_id = q.query_id
+  join embeddings ce on ce.vec_id = m.vec_id
+),
+ranked as (
+  select query_id, vec_id, cos6,
+         row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+  from scored
+)
+select query_id, rank, vec_id, cos6 from ranked where rank <= 10
+"""
+
+
+def _neardup_sql(d: _Dialect) -> str:
+    """SQL twin of ``operators.similarity.cosine_neardup_pairs``: the same
+    seeded LSH tables as ``_lsh_ann_sql`` pre-filter candidate pairs (bucket
+    co-occupants in >= 1 table, vid_a < vid_b), then floored cos6 keeps
+    pairs at or above the near-dup threshold."""
+    from .operators.similarity import NEARDUP_COS6, plane_rows
+
+    def arr(vals) -> str:
+        lits = ", ".join(f"cast('{v!r}' as double)" for v in vals)
+        return f"[{lits}]" if d.duck else f"array({lits})"
+
+    rows = ", ".join(f"({t}, {w}, {arr(p)})" for t, w, p in plane_rows())
+    pdot = d.dot("e.embedding", "p.p")
+    dot = d.dot("ea.embedding", "eb.embedding")
+    na = f"sqrt({d.dot('ea.embedding', 'ea.embedding')})"
+    nb = f"sqrt({d.dot('eb.embedding', 'eb.embedding')})"
+    return f"""
+with planes(tbl, weight, p) as (values {rows}),
+e as (select vec_id, embedding from embeddings),
+bits as (
+  select e.vec_id, p.tbl,
+         case when ({pdot}) >= 0 then p.weight else 0 end as bit
+  from e cross join planes p
+),
+b as (select vec_id, tbl, cast(sum(bit) as int) as bucket from bits group by vec_id, tbl),
+pairs as (
+  select distinct a.vec_id as vid_a, c.vec_id as vid_b
+  from b a join b c on c.tbl = a.tbl and c.bucket = a.bucket and a.vec_id < c.vec_id
+),
+scored as (
+  select p.vid_a, p.vid_b,
+         cast(floor(({dot}) / (({na}) * ({nb})) * 1000000) as bigint) as cos6
+  from pairs p
+  join embeddings ea on ea.vec_id = p.vid_a
+  join embeddings eb on eb.vec_id = p.vid_b
+)
+select vid_a, vid_b, cos6 from scored where cos6 >= {NEARDUP_COS6}
+"""
+
+
 def _fingerprint_expr(d: _Dialect) -> str:
     from .functions.sqlglue import DUCK_FP_NORM, SPARK_FP_NORM
 
@@ -535,6 +628,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     _BATCH_QPRED = "vec_id % 97 = 3"
     pairs["ann_cosine_batch"] = both(lambda d: _ann_sql(d, _BATCH_QPRED))
     pairs["lsh_ann_batch"] = both(lambda d: _lsh_ann_sql(d, _BATCH_QPRED))
+    # IVF scale path + embedding-cosine near-dup (round 5): queries()
+    # overrides the Spark side with the DataFrame operators.
+    pairs["ivf_ann_topk"] = both(_ivf_ann_sql)
+    pairs["embedding_neardup"] = both(_neardup_sql)
     pairs["embedding_norms"] = both(
         lambda d: f"""select vec_id,
         cast(floor(sqrt({d.dot('embedding', 'embedding')}) * 1000000) as bigint) as norm6

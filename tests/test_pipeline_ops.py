@@ -287,6 +287,62 @@ def test_ann_batch_external_queries(spark, vecs):
     assert (1_000_003, 3) in got and (1_000_007, 7) in got
 
 
+def test_ivf_ann_recall_and_twin_identity(spark, vecs):
+    """IVF scale path (round 5): the DataFrame operator must hash-match its
+    SQL twin exactly (same floored cos6, same centroid/probe tie-breaks),
+    and probing n_probe of the cells must retain non-trivial recall vs the
+    exact scan."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    vecs.createOrReplaceTempView("embeddings")
+    got = _rows(ivf_ann_topk(vecs, n_query_vecs=5, k=10))
+    assert got == _rows(spark.sql(paired_sql()["ivf_ann_topk"][0]))
+    ex = {(r[0], r[2]) for r in _rows(cosine_topk(vecs, n_query_vecs=5, k=10))}
+    ap = {(r[0], r[2]) for r in got}
+    assert len(ex & ap) / len(ex) >= 0.2, len(ex & ap) / len(ex)
+    spark.catalog.dropTempView("embeddings")
+
+
+def test_ivf_assignment_covers_corpus_once(spark, vecs):
+    """Every vector lands in exactly one cell, and every cell id is a
+    centroid id — the invariant that makes the probe join's candidate sets
+    disjoint (no distinct needed downstream)."""
+    from pageindex_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(vecs)
+    assigned = ivf_assign(vecs, cents)
+    assert assigned.count() == vecs.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= {cid for cid, _ in cents}
+
+
+def test_embedding_neardup_planted_and_twin_identity(spark, vecs):
+    """Embedding-cosine near-dup (round 5): a planted near-identical vector
+    must pair with its source at cos6 ~ 1e6, and the DataFrame operator
+    must hash-match the SQL twin on the raw corpus."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.similarity import cosine_neardup_pairs
+
+    dim = len(vecs.select("embedding").head()["embedding"])
+    vecs.createOrReplaceTempView("embeddings")
+    got = _rows(cosine_neardup_pairs(vecs, dim))
+    assert got == _rows(spark.sql(paired_sql()["embedding_neardup"][0]))
+    spark.catalog.dropTempView("embeddings")
+    # planted: vector 11 scaled by 1.001 (same direction -> cosine ~ 1.0;
+    # scaling preserves the sign-bit LSH code, so the pair always collides)
+    planted = vecs.filter(F.col("vec_id") == 11).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    both = vecs.select("vec_id", "embedding").unionByName(planted)
+    pairs = {
+        (r["vid_a"], r["vid_b"]): r["cos6"]
+        for r in cosine_neardup_pairs(both, dim).collect()
+    }
+    assert pairs.get((11, 500_011), 0) >= 999_999
+
+
 def test_multimodal_plumbing(spark):
     from pageindex_spark.operators.multimodal import (
         frame_sample,
