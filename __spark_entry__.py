@@ -89,6 +89,26 @@ def _engine_bm25(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
     )
 
 
+def _engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over the committed index (round 5): conjunctive
+    candidates from the postings intersection, adjacency verified against
+    the candidates' text (the index stores no positions). Must reproduce
+    the relational phrase_topk SQL exactly."""
+    from pageindex_spark.driverq import PHRASE_QUERIES
+    from pageindex_spark.plans.query import search_phrase
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_phrase(
+        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "bmw")
 
@@ -226,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_dense"] = _engine_bm25_dense
     q["engine_bm25_pruned"] = _engine_bm25_pruned
     q["engine_bm25_text"] = _engine_bm25_text
+    q["engine_phrase"] = _engine_phrase  # phrase via conjunctive + verify
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
@@ -245,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_dense"] = o["bm25_topk"]
     o["engine_bm25_pruned"] = o["bm25_topk"]
     o["engine_bm25_text"] = o["bm25_text"]
+    o["engine_phrase"] = o["phrase_topk"]
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame
     # operator, so the driver checks DataFrame-API vs DuckDB directly.

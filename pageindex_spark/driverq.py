@@ -34,6 +34,16 @@ BM25_QUERIES = [
     (5, "join filter group"),
 ]
 
+# Fixed phrase queries (bigrams; the twin's adjacency check is written for
+# 2-term phrases — engine `search_phrase` itself takes any length).
+PHRASE_QUERIES = [
+    (1, "data spark"),
+    (2, "merge sort"),
+    (3, "fast slow"),
+    (4, "join filter"),
+    (5, "stream batch"),
+]
+
 STOPWORDS_SQL = "'the','of','and','to','a','in','is','it','data','for'"
 LANGS = {
     "de": "'der','die','und','das','ist'",
@@ -159,6 +169,67 @@ contrib as (
 scored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
   from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= 10
+"""
+
+
+def _phrase_sql(d: _Dialect) -> str:
+    """Phrase top-k twin: docs where the bigram appears CONTIGUOUSLY in the
+    token sequence, ranked by BM25 over the phrase's two terms (same scoring
+    pipeline as ``_bm25_sql``). DuckDB lists are 1-based, Spark arrays
+    0-based; Spark's ``sequence(0, n)`` is DESCENDING for n < 0, so the
+    short-doc guard is explicit."""
+    qlist = ", ".join(
+        f"({qid}, '{t.split()[0]}', '{t.split()[1]}')" for qid, t in PHRASE_QUERIES
+    )
+    if d.duck:
+        adj = (
+            "len(list_filter(generate_series(1, len(t.terms) - 1), "
+            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2)) > 0"
+        )
+    else:
+        adj = (
+            "case when size(t.terms) >= 2 then "
+            "exists(sequence(0, size(t.terms) - 2), "
+            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2) else false end"
+        )
+    return f"""
+with phrases(query_id, t1, t2) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+matched as (
+  select q.query_id, t.doc_id
+  from phrases q join toks t on {adj}
+),
+qterms as (
+  select distinct query_id, t1 as term from phrases
+  union
+  select distinct query_id, t2 as term from phrases
+),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  join dfreq d on d.term = q.term
+  cross join corpus c
+),
+scored as (
+  select m.query_id, m.doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from matched m join contrib cb on cb.query_id = m.query_id and cb.doc_id = m.doc_id
+  group by m.query_id, m.doc_id
 ),
 ranked as (
   select query_id, doc_id, score6,
@@ -601,6 +672,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     )
     pairs["bm25_topk"] = both(_bm25_sql)
     pairs["bm25_text"] = both(_bm25_text_sql)
+    pairs["phrase_topk"] = both(_phrase_sql)
     pairs["quality_score"] = both(_quality_sql)
     pairs["lang_id"] = both(_lang_sql)
     pairs["fingerprint"] = both(

@@ -164,6 +164,37 @@ def dense_score_cell(
     return idx + norms.lo, acc[idx]
 
 
+def conjunctive_score_cell(
+    term_runs: dict[str, Run],
+    norms: CellNorms,
+    query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
+    avgdl: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Docs containing EVERY query term (postings intersection within the
+    cell — exact, because cells partition docID space so a doc's postings
+    for all terms live in the same cell), with their full BM25 scores.
+    Any term absent from the cell -> empty. Vectorized per-term decode +
+    a match-count mask; for very long posting lists a galloping cursor
+    intersection (rarest term drives) is the next optimization — same
+    decode machinery, fewer touched blocks."""
+    width = len(norms.dl)
+    acc = np.zeros(width, dtype=np.float64)
+    cnt = np.zeros(width, dtype=np.int32)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+    if not query_terms:
+        return empty
+    for term, idf in query_terms:
+        run = term_runs.get(term)
+        if run is None:
+            return empty
+        docs, tfs = decode_run(run)
+        local = docs.astype(np.int64) - norms.lo
+        acc[local] += idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
+        cnt[local] += 1
+    idx = np.flatnonzero(cnt == len(query_terms))
+    return idx + norms.lo, acc[idx]
+
+
 # ---------------------------------------------------------------------------
 # Block-Max WAND (doc-at-a-time)
 # ---------------------------------------------------------------------------

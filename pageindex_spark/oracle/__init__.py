@@ -1,1 +1,1 @@
-from .bm25 import OracleIndex, bm25_topk  # noqa: F401
+from .bm25 import OracleIndex, bm25_topk, phrase_topk  # noqa: F401

@@ -82,3 +82,39 @@ def bm25_topk(
         for rank, (url, score) in enumerate(idx.topk(qtext, k), start=1):
             out.append((qid, rank, url, score))
     return out
+
+
+def phrase_topk(
+    rows: list[tuple[str, object]],
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    from_html: bool = False,
+) -> list[tuple[int, int, str, float]]:
+    """Golden phrase top-k: docs whose token sequence contains the phrase
+    CONTIGUOUSLY, ranked by BM25 over the phrase terms (same scoring and
+    tie-break as ``bm25_topk``; phrase containment implies every term is
+    present, so this equals conjunctive-candidates + adjacency)."""
+    idx = OracleIndex(rows, from_html=from_html)
+    toks: list[list[str]] = []
+    for url, payload in sorted(rows, key=lambda r: r[0]):
+        text = extract_text(payload) if from_html else payload
+        toks.append(tokenize(text))
+    out: list[tuple[int, int, str, float]] = []
+    for qid, qtext in phrases:
+        terms = tokenize(qtext)
+        n = len(terms)
+        if n == 0:
+            continue
+        scores = idx.score_all(qtext)
+        matched = [
+            (d, s)
+            for d, s in scores.items()
+            if any(
+                toks[d][i : i + n] == terms
+                for i in range(len(toks[d]) - n + 1)
+            )
+        ]
+        ranked = sorted(matched, key=lambda kv: (-kv[1], idx.urls[kv[0]]))[:k]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            out.append((qid, rank, idx.urls[d], s))
+    return out

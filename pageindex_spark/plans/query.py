@@ -36,6 +36,7 @@ from ..operators.wand import (
     CellNorms,
     assemble_cell_runs,
     bmw_score_cell,
+    conjunctive_score_cell,
     dense_score_cell,
     idf_value,
     slice_run_to_cells,
@@ -214,6 +215,91 @@ def search(
     )
 
 
+def _adjacency_expr(tokens_col: str, terms: list[str]):
+    """JVM predicate: ``terms`` appears as a CONTIGUOUS subsequence of the
+    token array (codegen'd ``exists`` over positions; no Python UDF).
+    Spark ``sequence(0, n)`` is descending when n < 0, so short docs are
+    guarded explicitly."""
+    n = len(terms)
+    conds = " and ".join(
+        f"{tokens_col}[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return F.expr(
+        f"case when size({tokens_col}) >= {n} then "
+        f"exists(sequence(0, size({tokens_col}) - {n}), i -> {conds}) "
+        f"else false end"
+    )
+
+
+def search_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: list[tuple[int, str]],
+    k: int = 10,
+    cand_cap: int = 1000,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    prune_norms: bool | None = None,
+) -> DataFrame:
+    """Top-k phrase search: docs where the phrase's tokens appear
+    CONTIGUOUSLY, ranked by BM25 over the phrase terms ->
+    (query_id, rank, url, score[, text]).
+
+    The index stores no positions (bag-of-words postings), so phrase
+    matching is the classic two-stage plan: (1) CONJUNCTIVE candidates
+    from the committed index — same pruned postings scan and cell cogroup
+    as BM25, but the cell scorer intersects the phrase terms' postings
+    (``conjunctive_score_cell``; exact per cell since cells partition
+    docID space) — then (2) adjacency VERIFICATION on the candidates'
+    text, distributed and codegen'd (tokenize + ``exists`` over
+    positions, no Python). A term the index has never seen drops out of
+    stage 1, widening candidates to a superset; stage 2 is the exact
+    final filter either way. Results are exact whenever a query's
+    conjunctive candidate count <= ``cand_cap`` (always, for phrases
+    with at least one non-stopword term); an all-stopword phrase may
+    truncate recall at the cap — raise ``cand_cap`` for those, or add a
+    positions sidecar to the index (the documented scale-up path).
+    """
+    from ..functions.sqlglue import spark_terms
+
+    cand = get_searcher(spark, index_dir, cell_parts).search(
+        phrases,
+        k=cand_cap,
+        mode="conjunctive",
+        fixed_point=fixed_point,
+        with_text=True,
+        prune_norms=prune_norms,
+    )
+    qterms = {qid: tokenize(text) for qid, text in phrases}
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, terms in qterms.items():
+        if terms:
+            cond = F.when(
+                F.col("query_id") == qid, _adjacency_expr("tk", terms)
+            ).otherwise(cond)
+    matched = (
+        cand.withColumn("tk", toks)
+        .filter(cond)
+        .drop("tk", "rank")
+    )
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("url"))
+    out_cols = ["query_id", "rank", "url", "score"] + (
+        ["text"] if with_text else []
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(*out_cols)
+    )
+
+
 def _parts_for_runs(
     ranges: list[tuple[int, int]],
     cell_grid,
@@ -371,7 +457,8 @@ def _search_impl(
         )
         if parts is not None:
             norms = norms.filter(F.col("part_id").isin(parts))
-    use_dense = mode == "dense"
+    use_dense = mode in ("dense", "conjunctive")
+    conjunctive = mode == "conjunctive"
 
     def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         if slices_pdf.empty or norms_pdf.empty:
@@ -398,7 +485,8 @@ def _search_impl(
             if not any(t in term_runs for t, _ in term_idf):
                 continue
             if use_dense:
-                d, s = dense_score_cell(term_runs, norms_obj, term_idf, avgdl)
+                scorer = conjunctive_score_cell if conjunctive else dense_score_cell
+                d, s = scorer(term_runs, norms_obj, term_idf, avgdl)
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
                     order = np.lexsort((d, -s))[:cell_k]

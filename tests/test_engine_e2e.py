@@ -87,6 +87,59 @@ def test_prune_norms_auto_identity(spark, built_index, golden, monkeypatch):
     _assert_matches_golden(got, golden)
 
 
+def test_phrase_rank_identity(spark, built_index, sf_unit_dir):
+    """Phrase search (round 5): conjunctive candidates + adjacency verify
+    must reproduce the pure-Python phrase oracle rank- and score-exactly,
+    including phrases that never occur (empty result, clean)."""
+    from pageindex_spark.oracle import phrase_topk
+    from pageindex_spark.plans.query import search_phrase
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    # phrases drawn from real data: the first two and middle two tokens of
+    # doc 0 (guaranteed >= 1 match), plus a vocab bigram that may or may
+    # not occur and a nonsense phrase (must be empty).
+    t0 = rows[0][1].split()
+    phrases = [
+        (1, f"{t0[0]} {t0[1]}"),
+        (2, f"{t0[len(t0) // 2]} {t0[len(t0) // 2 + 1]}"),
+        (3, f"{t0[2]} {t0[0]}"),
+        (4, "zzzabsent zzzmissing"),
+    ]
+    want = phrase_topk(rows, phrases, k=10)
+    got = search_phrase(spark, built_index, phrases, k=10).collect()
+    assert len(got) == len(want)
+    for g, (qid, rank, url, score) in zip(
+        sorted(got, key=lambda r: (r["query_id"], r["rank"])), want
+    ):
+        assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url)
+        assert abs(g["score"] - score) < 1e-9
+    assert not [r for r in got if r["query_id"] == 4]
+
+
+def test_phrase_adjacency_planted(spark, tmp_path):
+    """Word ORDER matters: 'alpha beta' must match only docs where beta
+    immediately follows alpha, not any doc containing both terms."""
+    from pageindex_spark.plans.query import search_phrase
+
+    docs = spark.createDataFrame(
+        [
+            ("d/1", "alpha beta gamma"),
+            ("d/2", "beta alpha gamma"),
+            ("d/3", "alpha gamma beta alpha beta"),
+        ],
+        "url string, text string",
+    )
+    idx = str(tmp_path / "phrase_idx")
+    build_index(spark, docs, idx, num_partitions=2, n_buckets=2)
+    got = search_phrase(spark, idx, [(1, "alpha beta")], k=10).collect()
+    assert {r["url"] for r in got} == {"d/1", "d/3"}
+    got2 = search_phrase(spark, idx, [(1, "gamma beta")], k=10).collect()
+    assert {r["url"] for r in got2} == {"d/3"}
+
+
 def test_compression_and_metrics(spark, built_index, golden):
     m = stage_metrics(spark, built_index)
     assert set(m) >= {"extract", "segments", "compact"}
