@@ -109,6 +109,12 @@ def _engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AND-semantics retrieval (round 5): only docs matching EVERY query
+    term rank; a query with a corpus-absent term matches nothing."""
+    return _engine_bm25(spark, sf_dir, "conjunctive")
+
+
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "bmw")
 
@@ -198,6 +204,13 @@ def _lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_ann_topk_batch(vecs, _batch_query_vecs(vecs), dim, k=10)
 
 
+def _token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pageindex_spark.operators.textstats import token_estimates
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return token_estimates(docs)
+
+
 def _ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.operators.similarity import ivf_ann_topk
 
@@ -247,9 +260,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_pruned"] = _engine_bm25_pruned
     q["engine_bm25_text"] = _engine_bm25_text
     q["engine_phrase"] = _engine_phrase  # phrase via conjunctive + verify
+    q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
+    q["token_count"] = _token_count  # DataFrame API vs the SQL twin
     q["ivf_ann_topk"] = _ivf_ann  # IVF scale path vs the SQL twin
     q["embedding_neardup"] = _embedding_neardup
     q["lsh_jaccard"] = _lsh_jaccard  # DataFrame API vs the DuckDB twin
@@ -267,6 +282,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_pruned"] = o["bm25_topk"]
     o["engine_bm25_text"] = o["bm25_text"]
     o["engine_phrase"] = o["phrase_topk"]
+    o["engine_bm25_conj"] = o["bm25_conj"]
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame
     # operator, so the driver checks DataFrame-API vs DuckDB directly.

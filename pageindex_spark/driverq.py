@@ -240,6 +240,25 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
+def _bm25_conj_sql(d: _Dialect) -> str:
+    """Conjunctive (AND-semantics) BM25 twin: same scoring pipeline as
+    ``_bm25_sql`` but only docs matching EVERY query term rank (a query
+    with a corpus-absent term matches nothing). ``contrib`` holds one row
+    per (query, term, doc) — matched-term count == query term count is the
+    intersection test."""
+    base = _bm25_sql(d).strip()
+    head, tail = base.split("scored as (", 1)
+    _, tail = tail.split("ranked as (", 1)
+    return f"""{head}qn as (select query_id, cast(count(*) as bigint) as nt from qterms group by query_id),
+scored as (
+  select c.query_id, c.doc_id, cast(floor(sum(c.w) * 1000000) as bigint) as score6
+  from contrib c join qn on qn.query_id = c.query_id
+  group by c.query_id, c.doc_id, qn.nt
+  having cast(count(*) as bigint) = qn.nt
+),
+ranked as ({tail}"""
+
+
 def _bm25_text_sql(d: _Dialect) -> str:
     """bm25_topk + winner text fetch (md5-fingerprinted): the oracle for the
     engine's ``with_text`` retrieval surface (reference returns node text)."""
@@ -673,6 +692,23 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_topk"] = both(_bm25_sql)
     pairs["bm25_text"] = both(_bm25_text_sql)
     pairs["phrase_topk"] = both(_phrase_sql)
+    pairs["bm25_conj"] = both(_bm25_conj_sql)
+
+    def _token_count_sql(d: _Dialect) -> str:
+        from .operators.textstats import BPE_PATTERN
+
+        if d.duck:
+            ws = "len(regexp_extract_all(text, '[^ ]+'))"
+            bpe = f"len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))"
+        else:
+            ws = "size(regexp_extract_all(text, '[^ ]+', 0))"
+            bpe = f"size(regexp_extract_all(lower(text), '{BPE_PATTERN}', 0))"
+        return (
+            f"select doc_id, cast({ws} as bigint) as ws_tokens, "
+            f"cast({bpe} as bigint) as bpe_tokens from documents"
+        )
+
+    pairs["token_count"] = both(_token_count_sql)
     pairs["quality_score"] = both(_quality_sql)
     pairs["lang_id"] = both(_lang_sql)
     pairs["fingerprint"] = both(

@@ -38,6 +38,30 @@ def token_count(docs: DataFrame, key: str = "doc_id", text_col: str = "text") ->
     )
 
 
+# BPE-ish subword pattern: alnum chunks of <= 4 chars + each non-alnum
+# non-space symbol as its own piece — the standard cheap estimator for
+# "how many LLM tokens is this corpus" capacity planning. No backslash
+# classes: Spark SQL string literals process \-escapes, DuckDB's don't,
+# so a pattern with them would silently diverge between the twins.
+BPE_PATTERN = "[a-z0-9]{1,4}|[^a-z0-9 ]"
+
+
+def token_estimates(
+    docs: DataFrame, key: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(key, ws_tokens, bpe_tokens): whitespace token count + the BPE-ish
+    subword estimate. Pure JVM regex (codegen), one pass per column."""
+    ws = F.size(F.expr(f"regexp_extract_all({text_col}, '[^ ]+', 0)"))
+    bpe = F.size(
+        F.expr(f"regexp_extract_all(lower({text_col}), '{BPE_PATTERN}', 0)")
+    )
+    return docs.select(
+        key,
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
 def quality_score(docs: DataFrame, key: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(key, n_tokens, alpha_ratio6, stop_ratio6, avg_token_len6).
 

@@ -388,6 +388,13 @@ def _search_impl(
         (qid, [(t, idf[t]) for t in qts if t in idf]) for qid, qts in qterms.items()
     ]
     payload = [(qid, tl) for qid, tl in payload if tl]
+    if mode == "conjunctive":
+        # AND semantics: a query term the index has never seen means NO doc
+        # can match — drop the query here rather than intersecting the
+        # remaining terms (which would silently widen the semantics).
+        payload = [
+            (qid, tl) for qid, tl in payload if len(tl) == len(qterms[qid])
+        ]
     if not payload:
         return empty
     bc_payload = spark.sparkContext.broadcast(payload)

@@ -140,6 +140,28 @@ def test_phrase_adjacency_planted(spark, tmp_path):
     assert {r["url"] for r in got2} == {"d/3"}
 
 
+def test_conjunctive_and_semantics(spark, tmp_path):
+    """mode='conjunctive' ranks only docs matching EVERY query term; a
+    query containing a corpus-absent term matches nothing (AND semantics,
+    not best-effort over the present terms)."""
+    docs = spark.createDataFrame(
+        [
+            ("d/1", "alpha beta gamma"),
+            ("d/2", "beta alpha gamma"),
+            ("d/3", "alpha gamma"),
+        ],
+        "url string, text string",
+    )
+    idx = str(tmp_path / "conj_idx")
+    build_index(spark, docs, idx, num_partitions=2, n_buckets=2)
+    got = search(spark, idx, [(1, "alpha beta")], k=10, mode="conjunctive").collect()
+    assert {r["url"] for r in got} == {"d/1", "d/2"}
+    got2 = search(
+        spark, idx, [(1, "alpha zzzabsent")], k=10, mode="conjunctive"
+    ).collect()
+    assert got2 == []
+
+
 def test_compression_and_metrics(spark, built_index, golden):
     m = stage_metrics(spark, built_index)
     assert set(m) >= {"extract", "segments", "compact"}

@@ -343,6 +343,26 @@ def test_embedding_neardup_planted_and_twin_identity(spark, vecs):
     assert pairs.get((11, 500_011), 0) >= 999_999
 
 
+def test_token_estimates_twin_and_values(spark, docs):
+    """BPE-ish token estimator (round 5): DataFrame API == SQL twin, and
+    the piece rule is pinned on a hand case (<=4-char alnum chunks + each
+    symbol its own piece; 'hello world!!' -> hell|o|worl|d|!|! = 6)."""
+    from pageindex_spark.driverq import paired_sql
+    from pageindex_spark.operators.textstats import token_estimates
+
+    docs.createOrReplaceTempView("documents")
+    got = _rows(token_estimates(docs))
+    assert got == _rows(spark.sql(paired_sql()["token_count"][0]))
+    spark.catalog.dropTempView("documents")
+    hand = spark.createDataFrame(
+        [(1, "hello world!!"), (2, "  a  b "), (3, "")],
+        "doc_id long, text string",
+    )
+    vals = {r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"]) for r in
+            token_estimates(hand).collect()}
+    assert vals == {1: (2, 6), 2: (2, 2), 3: (0, 0)}
+
+
 def test_multimodal_plumbing(spark):
     from pageindex_spark.operators.multimodal import (
         frame_sample,
