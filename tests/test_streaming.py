@@ -1,9 +1,13 @@
 """Structured Streaming ingestion: extraction byte-identity through the
-stream path + incremental segment appends with persisted docID offsets."""
+stream path + incremental segment appends with persisted docID offsets;
+stateful sessionization (applyInPandasWithState) vs the batch oracle."""
 
+import datetime
 import os
 import shutil
 
+import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 from pyspark.sql import functions as F
@@ -395,4 +399,106 @@ def test_auto_retighten_collapses_deltas(spark):
     for g, w in zip(got, want):
         assert (g["query_id"], g["rank"], g["url"]) == (w["query_id"], w["rank"], w["url"])
         assert abs(g["score"] - w["score"]) < 1e-9
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _batch_sessions(rows, gap_s):
+    """Pure-pandas gap sessionizer: the oracle for the stateful stream."""
+    out = []
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "value"]).sort_values(
+        ["user_id", "ts"]
+    )
+    for uid, g in df.groupby("user_id"):
+        cur = None
+        for _, r in g.iterrows():
+            t = r["ts"]
+            if cur is None:
+                cur = [t, t, 1, float(r["value"])]
+            elif (t - cur[1]).total_seconds() <= gap_s:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(r["value"])
+            else:
+                out.append((uid, cur[0], cur[1], cur[2], cur[3]))
+                cur = [t, t, 1, float(r["value"])]
+        if cur is not None:
+            out.append((uid, cur[0], cur[1], cur[2], cur[3]))
+    return out
+
+
+def test_stream_sessionize_stateful(spark):
+    """Custom stateful operator (applyInPandasWithState + event-time
+    timeout): gap sessions emitted by the stream must equal the batch
+    oracle's CLOSED sessions once the watermark passes them. Driven as
+    three availableNow passes over a growing file source (arrival order ==
+    event order), restarting from the same checkpoint — the state store
+    must carry open sessions across restarts."""
+    from pageindex_spark.streaming.sessionize import stream_sessionize
+
+    base = "/root/repo/data/stream-sessionize"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/in")
+    t0 = datetime.datetime(2024, 1, 1)
+    GAP = 60  # seconds; watermark 120s
+
+    def ev(uid, sec, val):
+        return (uid, t0 + datetime.timedelta(seconds=sec), float(val))
+
+    # user 1: two sessions (gap 300s between); user 2: one long session;
+    # user 3: single event. Session boundaries straddle the file split.
+    rows = [
+        ev(1, 0, 1), ev(1, 30, 2), ev(1, 59, 3),        # u1 session A
+        ev(2, 10, 5), ev(2, 60, 5),                     # u2 session (open)
+        ev(1, 400, 7), ev(1, 430, 1),                   # u1 session B
+        ev(2, 110, 5), ev(2, 165, 5),                   # u2 continues
+        ev(3, 50, 9),                                   # u3 single
+    ]
+    part1, part2 = rows[:5], rows[5:]
+    # flush events far in the future: advance the watermark past every
+    # session end + gap so all sessions close deterministically.
+    flush = [ev(99, 100_000, 0), ev(98, 100_001, 0)]
+
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")), ("value", pa.float64())]
+    )
+
+    def write(part, name):
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"user_id": u, "ts": t, "value": v} for u, t, v in part],
+                schema=schema,
+            ),
+            f"{base}/in/{name}.parquet",
+        )
+
+    def run_pass():
+        events = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(f"{base}/in")
+        q = (
+            stream_sessionize(events, gap_s=GAP, watermark="120 seconds")
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    write(part1, "p0")
+    run_pass()
+    write(part2, "p1")
+    run_pass()
+    write(flush, "p2")
+    run_pass()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    want = {w for w in _batch_sessions(rows, GAP)}  # all real sessions close
+    # flush users' own sessions may still be open (watermark never passes
+    # them) — exclude them from the comparison.
+    got = {g for g in got if g[0] not in (98, 99)}
+    assert got == want, (sorted(got), sorted(want))
     shutil.rmtree(base, ignore_errors=True)
