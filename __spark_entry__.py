@@ -162,6 +162,102 @@ def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dead_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic delete set (driverq.DELETE_PRED: doc_id % 7 = 3)
+    as engine urls — must mirror the SQL twins exactly."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.filter(F.expr("doc_id % 7 = 3")).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url")
+    )
+
+
+def _engine_bm25_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time delete masking (plans/deletes.py layer 2): tombstone
+    every 7th doc on a dedicated copy of the batch index, search WITHOUT
+    rebuilding. Must reproduce the bm25_masked SQL exactly — full-corpus
+    stats (Lucene stale-stats semantics), deleted docs absent, ranks
+    compacted with deeper docs backfilled (the pre-heap mask)."""
+    import json
+    import shutil
+
+    from pageindex_spark import build_index, search
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
+    from pageindex_spark.plans.deletes import delete_docs
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"{_INDEX_CACHE_ROOT}_msk_{tag}"
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
+                shutil.rmtree(index_dir)
+    if not os.path.exists(meta_path):
+        build_index(
+            spark, _docs_as_corpus(spark, sf_dir), index_dir,
+            num_partitions=8, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+        )
+    delete_docs(spark, index_dir, _dead_urls(spark, sf_dir))  # idempotent
+    top = search(spark, index_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical delete application (plans/deletes.py layer 3): streamed
+    build -> tombstone every 7th doc -> force_full refresh (the expunge).
+    Must reproduce the bm25_expunged SQL exactly — df/avgdl/n_docs
+    recomputed over survivors, postings physically clean."""
+    import json
+    import shutil
+
+    from pageindex_spark import search
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
+    from pageindex_spark.plans.deletes import delete_docs
+    from pageindex_spark.streaming.ingest import (
+        refresh_streamed_index,
+        segment_batch,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{_INDEX_CACHE_ROOT}_exp_{tag}"
+    index_dir = os.path.join(root, "index")
+    meta_path = os.path.join(index_dir, "meta.json")
+    fresh = True
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            m = json.load(f)
+        if m.get("format_version") == FORMAT_VERSION and "deletes" not in m:
+            fresh = False  # cached: already built + expunged
+        else:
+            shutil.rmtree(root)
+    if fresh:
+        segment_batch(
+            _docs_as_corpus(spark, sf_dir), 0,
+            os.path.join(root, "segs"), os.path.join(root, "state"),
+            num_partitions=8,
+        )
+        refresh_streamed_index(
+            spark, os.path.join(root, "segs"), os.path.join(root, "state"),
+            index_dir, num_partitions=8, n_buckets=8,
+        )
+        delete_docs(spark, index_dir, _dead_urls(spark, sf_dir))
+        refresh_streamed_index(
+            spark, os.path.join(root, "segs"), os.path.join(root, "state"),
+            index_dir, num_partitions=8, n_buckets=8, force_full=True,
+        )
+    top = search(spark, index_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production near-dup wiring (VERDICT r2 #5a): MinHash-LSH candidate
     buckets (capped) -> bucket-local exact Jaccard. DataFrame API on the
@@ -261,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_text"] = _engine_bm25_text
     q["engine_phrase"] = _engine_phrase  # phrase via conjunctive + verify
     q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
+    q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
+    q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
@@ -283,6 +381,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_text"] = o["bm25_text"]
     o["engine_phrase"] = o["phrase_topk"]
     o["engine_bm25_conj"] = o["bm25_conj"]
+    o["engine_bm25_masked"] = o["bm25_masked"]
+    o["engine_bm25_deletes"] = o["bm25_expunged"]
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame
     # operator, so the driver checks DataFrame-API vs DuckDB directly.

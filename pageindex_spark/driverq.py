@@ -144,11 +144,20 @@ class _Dialect:
         )
 
 
-def _bm25_sql(d: _Dialect) -> str:
+def _bm25_sql(
+    d: _Dialect, corpus_pred: str | None = None, mask_pred: str | None = None
+) -> str:
+    """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
+    (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
+    ``mask_pred`` filters scored docs AFTER stats (masked-deletes /
+    Lucene stale-stats semantics: survivors keep their full-corpus
+    scores, ranks compact). Mirrors plans/deletes.py's two layers."""
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    corpus_where = f" where {corpus_pred}" if corpus_pred else ""
+    mask_where = f" where {mask_pred}" if mask_pred else ""
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
+toks as (select doc_id, {d.terms('text')} as terms from documents{corpus_where}),
 doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
 corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
@@ -173,10 +182,15 @@ scored as (
 ranked as (
   select query_id, doc_id, score6,
          row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
-  from scored
+  from scored{mask_where}
 )
 select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
+
+
+# Deterministic delete set for the delete-semantics driver entries: every
+# 7th doc (engine side deletes the same docs by their lpad'd url).
+DELETE_PRED = "doc_id % 7 = 3"
 
 
 def _phrase_sql(d: _Dialect) -> str:
@@ -693,6 +707,14 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_text"] = both(_bm25_text_sql)
     pairs["phrase_topk"] = both(_phrase_sql)
     pairs["bm25_conj"] = both(_bm25_conj_sql)
+    # delete semantics (plans/deletes.py): masked = stale stats + compacted
+    # ranks; expunged = stats recomputed over survivors.
+    pairs["bm25_masked"] = both(
+        lambda d: _bm25_sql(d, mask_pred=f"not ({DELETE_PRED})")
+    )
+    pairs["bm25_expunged"] = both(
+        lambda d: _bm25_sql(d, corpus_pred=f"not ({DELETE_PRED})")
+    )
 
     def _token_count_sql(d: _Dialect) -> str:
         from .operators.textstats import BPE_PATTERN

@@ -38,7 +38,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .runfmt import Run, concat_runs, split_run
+from .runfmt import Run, concat_runs, mask_run, split_run
 
 # Target compressed bytes per merged run; bounds reducer memory and the
 # maximum single-task work unit at any corpus size.
@@ -300,3 +300,49 @@ def with_term_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     """Partition-pruning column for the index sink: murmur3 hash bucket of
     term. Query-time readers filter bucket IN (...) -> directory pruning."""
     return df.withColumn("bucket", F.pmod(F.hash("term"), F.lit(n_buckets)))
+
+
+def mask_deleted_runs(runs: DataFrame, deleted_sorted) -> DataFrame:
+    """Physically remove tombstoned docIDs from a runs relation (Lucene
+    "expunge deletes" — ``plans/deletes.py`` holds the tombstone
+    lifecycle). MAP-ONLY: no shuffle at any corpus size — each task
+    rewrites its own runs, and the per-batch fast path is a vectorized
+    range check (searchsorted of the sorted deleted set against the
+    first_doc/last_doc metadata columns), so batches whose runs contain no
+    deleted docID pass through as UNTOUCHED Arrow buffers (zero decode,
+    zero Python-per-row). Only intersecting runs pay ``mask_run``'s
+    affected-block decode+re-encode. Runs whose postings all die drop out;
+    ``term_stats`` must be recomputed downstream (df shrinks — that is the
+    exactness the expunge buys).
+    """
+    spark = runs.sparkSession
+    dead = np.asarray(deleted_sorted, dtype=np.int64)
+    bc = spark.sparkContext.broadcast(dead)
+
+    cols = [f.name for f in _INDEX_PA]
+
+    def rewrite(batches):
+        d = bc.value
+        for batch in batches:
+            batch = batch.select(cols)
+            first = batch.column("first_doc").to_numpy(zero_copy_only=False)
+            last = batch.column("last_doc").to_numpy(zero_copy_only=False)
+            touched = np.searchsorted(d, first, side="left") < np.searchsorted(
+                d, last, side="right"
+            )
+            if not touched.any():
+                yield batch
+                continue
+            clean = batch.filter(pa.array(~touched))
+            if clean.num_rows:
+                yield clean
+            out = {k: [] for k in cols}
+            sub = batch.filter(pa.array(touched)).to_pylist()
+            for row in sub:
+                masked = mask_run(run_from_row(row), d)
+                if masked is not None:
+                    _run_cols(row["term"], row["run_id"], masked, out)
+            if out["term"]:
+                yield from pa.table(out, schema=_INDEX_PA).to_batches()
+
+    return runs.select(cols).mapInArrow(rewrite, schema=INDEX_SCHEMA)

@@ -224,3 +224,82 @@ def concat_runs(runs: list[Run]) -> Run:
         bm_tf_off=np.concatenate(tf_off_parts).astype(np.int32),
         bm_ndocs=np.concatenate([r.bm_ndocs for r in runs]),
     )
+
+
+def mask_run(run: Run, deleted_sorted: np.ndarray) -> Run | None:
+    """Remove the docIDs in ``deleted_sorted`` (int64, ascending) from the
+    run — the physical delete-application primitive (Lucene "expunge
+    deletes"). Returns the run UNCHANGED (same object, zero decode) when no
+    deleted docID falls in its range, ``None`` when every posting dies.
+
+    Block boundaries are PRESERVED: untouched blocks pass through as byte
+    slices; a touched block is decoded, filtered and re-encoded alone
+    (blocks legitimately shrink below BLOCK_SIZE — ``bm_ndocs`` is
+    per-block). This keeps the "posting blocks never span build-partition
+    boundaries" invariant that query-time cell slicing relies on, and keeps
+    the cost proportional to AFFECTED blocks, not run size. Surviving
+    blocks keep their old ``bm_maxq``: the max quality over a SUBSET of a
+    block's postings can only be <= the recorded value, so the Block-Max
+    WAND bound stays valid (merely a touch loose) with no doc-length
+    lookup needed.
+    """
+    lo = np.searchsorted(deleted_sorted, run.first_doc, side="left")
+    hi = np.searchsorted(deleted_sorted, run.last_doc, side="right")
+    if lo == hi:
+        return run
+    dead = deleted_sorted[lo:hi]
+    do, to = run.bm_doc_off, run.bm_tf_off
+    starts = block_starts(run)
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    bm_last: list[int] = []
+    bm_maxq: list[float] = []
+    bm_ndocs: list[int] = []
+    # Block b is touched iff some deleted id lies in [block_first, bm_last[b]].
+    for b in range(run.n_blocks):
+        blk_last = int(run.bm_last[b])
+        blk_first = first_doc_of_blob(run.doc_blob[do[b] : do[b + 1]])
+        a = np.searchsorted(dead, blk_first, side="left")
+        z = np.searchsorted(dead, blk_last, side="right")
+        if a == z:  # untouched: byte passthrough
+            doc_parts.append(run.doc_blob[do[b] : do[b + 1]])
+            tf_parts.append(run.tf_blob[to[b] : to[b + 1]])
+            bm_last.append(blk_last)
+            bm_maxq.append(float(run.bm_maxq[b]))
+            bm_ndocs.append(int(run.bm_ndocs[b]))
+        else:
+            docs, tfs = decode_block(run, b)
+            keep = ~np.isin(docs.astype(np.int64), dead, assume_unique=True)
+            if not keep.any():
+                continue  # whole block deleted
+            d = docs[keep].astype(np.uint64)
+            t = tfs[keep].astype(np.uint64)
+            gaps = np.empty(len(d), dtype=np.uint64)
+            gaps[0] = d[0]  # block start stays absolute
+            np.subtract(d[1:], d[:-1], out=gaps[1:])
+            doc_parts.append(vb_encode(gaps))
+            tf_parts.append(vb_encode(t))
+            bm_last.append(int(d[-1]))
+            bm_maxq.append(float(run.bm_maxq[b]))  # still an upper bound
+            bm_ndocs.append(len(d))
+    if not bm_ndocs:
+        return None
+    doc_off = np.concatenate(
+        ([0], np.cumsum([len(p) for p in doc_parts]))
+    ).astype(np.int32)
+    tf_off = np.concatenate(
+        ([0], np.cumsum([len(p) for p in tf_parts]))
+    ).astype(np.int32)
+    doc_blob = b"".join(doc_parts)
+    return Run(
+        first_doc=first_doc_of_blob(doc_blob),
+        last_doc=bm_last[-1],
+        n_docs=int(np.sum(bm_ndocs)),
+        doc_blob=doc_blob,
+        tf_blob=b"".join(tf_parts),
+        bm_last=np.asarray(bm_last, dtype=np.int64),
+        bm_maxq=np.asarray(bm_maxq, dtype=np.float64),
+        bm_doc_off=doc_off,
+        bm_tf_off=tf_off,
+        bm_ndocs=np.asarray(bm_ndocs, dtype=np.int32),
+    )

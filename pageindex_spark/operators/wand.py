@@ -143,10 +143,15 @@ def dense_score_cell(
     norms: CellNorms,
     query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
     avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive vectorized scoring of every matching doc in the cell for
     one query. Returns (doc_ids int64, scores float64) for matched docs.
     Accumulates per-term contributions in sorted term order (oracle parity).
+    ``deleted`` (sorted int64 docIDs) masks tombstoned docs BEFORE any
+    ranking sees them — survivors' scores are untouched (BM25 stats stay
+    at the committed index's values until an expunge re-tightens them;
+    Lucene semantics).
     """
     width = len(norms.dl)
     acc = np.zeros(width, dtype=np.float64)
@@ -160,6 +165,8 @@ def dense_score_cell(
         contrib = idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
         acc[local] += contrib
         touched[local] = True
+    if deleted is not None and len(deleted):
+        touched[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = False
     idx = np.flatnonzero(touched)
     return idx + norms.lo, acc[idx]
 
@@ -169,6 +176,7 @@ def conjunctive_score_cell(
     norms: CellNorms,
     query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
     avgdl: float,
+    deleted: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Docs containing EVERY query term (postings intersection within the
     cell — exact, because cells partition docID space so a doc's postings
@@ -191,6 +199,8 @@ def conjunctive_score_cell(
         local = docs.astype(np.int64) - norms.lo
         acc[local] += idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
         cnt[local] += 1
+    if deleted is not None and len(deleted):
+        cnt[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = 0
     idx = np.flatnonzero(cnt == len(query_terms))
     return idx + norms.lo, acc[idx]
 
@@ -204,16 +214,23 @@ class TermCursor:
     """Lazy block-decoding cursor over one term's postings within a cell."""
 
     __slots__ = (
-        "term", "run", "idf", "weight", "block", "pos", "docs", "tfs",
-        "max_ub", "exhausted",
+        "term", "run", "idf", "weight", "ub_weight", "block", "pos", "docs",
+        "tfs", "max_ub", "exhausted",
     )
 
-    def __init__(self, term: str, run: Run, idf: float):
+    def __init__(self, term: str, run: Run, idf: float, bound_scale: float = 1.0):
         self.term = term
         self.run = run
         self.idf = idf
         self.weight = idf * (BM25_K1 + 1.0)
-        self.max_ub = self.weight * float(run.bm_maxq.max())
+        # Upper bounds use the recorded bm_maxq inflated by bound_scale =
+        # max(1, live_avgdl / bound_avgdl): an expunge that GROWS avgdl
+        # makes true qualities exceed the build-time bm_maxq by at most
+        # that factor (plans/expunge.py docstring carries the proof), so
+        # the inflated bound stays an upper bound and BMW stays exact.
+        # Scoring itself always uses the uninflated weight.
+        self.ub_weight = self.weight * bound_scale
+        self.max_ub = self.ub_weight * float(run.bm_maxq.max())
         self.exhausted = False
         self.block = -1
         self.docs: np.ndarray | None = None
@@ -245,7 +262,7 @@ class TermCursor:
             b = int(np.searchsorted(self.run.bm_last, target, side="left"))
             if b >= self.run.n_blocks:
                 return 0.0
-        return self.weight * float(self.run.bm_maxq[b])
+        return self.ub_weight * float(self.run.bm_maxq[b])
 
     def block_boundary_at(self, target: int) -> int:
         """last_doc of the block containing target (for skip targeting)."""
@@ -311,15 +328,27 @@ def bmw_score_cell(
     avgdl: float,
     k: int,
     prior_threshold: float = -math.inf,
+    deleted: frozenset[int] | set[int] | None = None,
+    bound_scale: float = 1.0,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND top-k for one query within one cell.
 
     ``prior_threshold`` lets the driver thread a global threshold through
     sequential cell batches (tightens pruning; correctness unaffected).
     Returns [(doc_id, score)] of at most k candidates.
+
+    ``deleted`` (tombstoned docIDs in this cell) masks docs PRE-HEAP: a
+    deleted pivot is fully skipped (cursors advance past it, nothing is
+    offered), so it can never displace a surviving doc from the top-k and
+    the threshold only ever reflects survivors — exact masked retrieval.
+    Block-max upper bounds still include deleted docs' quality; bounds
+    stay valid (masking only removes candidates), merely loose until an
+    expunge rewrites the affected runs.
     """
     cursors = [
-        TermCursor(t, term_runs[t], idf) for t, idf in query_terms if t in term_runs
+        TermCursor(t, term_runs[t], idf, bound_scale)
+        for t, idf in query_terms
+        if t in term_runs
     ]
     cursors = [c for c in cursors if not c.exhausted]
     topk = TopK(k)
@@ -350,14 +379,18 @@ def bmw_score_cell(
             for c in at_pivot:
                 ub += c.block_ub_at(pivot_doc)
             if ub > threshold - EPS:
-                # Fully evaluate pivot_doc, accumulating in SORTED TERM
-                # ORDER (oracle-identical float association).
-                score = 0.0
-                for c in sorted(at_pivot, key=lambda c: c.term):
-                    score += c.score_at(norms, avgdl)
-                topk.offer(score, pivot_doc)
-                for c in at_pivot:
-                    c.next()
+                if deleted is not None and pivot_doc in deleted:
+                    for c in at_pivot:  # masked: skip, never offer
+                        c.next()
+                else:
+                    # Fully evaluate pivot_doc, accumulating in SORTED TERM
+                    # ORDER (oracle-identical float association).
+                    score = 0.0
+                    for c in sorted(at_pivot, key=lambda c: c.term):
+                        score += c.score_at(norms, avgdl)
+                    topk.offer(score, pivot_doc)
+                    for c in at_pivot:
+                        c.next()
             else:
                 # Skip: jump past the earliest block boundary among the
                 # pivot's cursors (every boundary >= pivot_doc, so the jump

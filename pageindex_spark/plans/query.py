@@ -95,9 +95,20 @@ class Searcher:
     ):
         self.spark = spark
         self.paths = IndexPaths(index_dir)
+        # Finish a crashed expunge swap before reading anything (the
+        # journal is the commit point — plans/expunge.py): a reader either
+        # sees the pre-journal index or the fully swapped one, never half.
+        from .expunge import recover_expunge
+
+        recover_expunge(index_dir)
         self.meta = read_meta(index_dir)
         self.n_docs = int(self.meta["n_docs"])
         self.avgdl = float(self.meta["avgdl"])
+        # Block-max validity across expunge-driven avgdl growth: committed
+        # bm_maxq bounds were computed at bound_avgdl; inflate by the ratio
+        # when the live avgdl grew past it (plans/expunge.py docstring).
+        _ba = float(self.meta.get("bound_avgdl", self.avgdl))
+        self.bound_scale = max(1.0, self.avgdl / _ba) if _ba > 0 else 1.0
         self.n_buckets = int(self.meta["n_buckets"])
         # Read postings through the storage branch they were written with
         # (ADVICE r2): parquet shim by default, the Iceberg table when the
@@ -122,6 +133,26 @@ class Searcher:
             if "deltas" in streamed
             else None
         )
+        # Tombstoned docIDs (plans/deletes.py): materialized driver-side
+        # from the COMMITTED version only and masked pre-heap in every
+        # scoring kernel. O(deleted) memory — the Lucene delete-bitset
+        # trade; the >broadcast-size upgrade path is a (cell -> deleted)
+        # side relation through the existing norms cogroup.
+        deletes = self.meta.get("deletes") or {}
+        self.deleted_ids: np.ndarray | None = None
+        if int(deletes.get("n_deleted", 0)) > 0:
+            from .deletes import tombstones_dir
+
+            rows = (
+                spark.read.parquet(
+                    tombstones_dir(index_dir, int(deletes["version"]))
+                )
+                .select("doc_id")
+                .collect()
+            )
+            self.deleted_ids = np.sort(
+                np.asarray([r["doc_id"] for r in rows], dtype=np.int64)
+            )
         norms = spark.read.parquet(self.paths.norms)
         if self.committed_deltas is not None:
             norms = norms.filter(
@@ -346,6 +377,7 @@ def _search_impl(
     spark = se.spark
     paths = se.paths
     n_docs, avgdl, n_buckets = se.n_docs, se.avgdl, se.n_buckets
+    bound_scale = se.bound_scale
     cell_grid = se.cell_grid
     # Tie margin: per-cell heaps order by RAW score; two docs < 1e-6 apart
     # share a floored cell but may sit in opposite raw order. Keeping a few
@@ -466,6 +498,11 @@ def _search_impl(
             norms = norms.filter(F.col("part_id").isin(parts))
     use_dense = mode in ("dense", "conjunctive")
     conjunctive = mode == "conjunctive"
+    bc_deleted = (
+        spark.sparkContext.broadcast(se.deleted_ids)
+        if se.deleted_ids is not None and len(se.deleted_ids)
+        else None
+    )
 
     def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         if slices_pdf.empty or norms_pdf.empty:
@@ -487,20 +524,35 @@ def _search_impl(
                 raise ValueError("norms ranges not contiguous")
             expect += int(r["n_docs"])
         norms_obj = CellNorms(lo, dl)
+        cell_deleted = None
+        if bc_deleted is not None:
+            dd = bc_deleted.value
+            a = np.searchsorted(dd, lo)
+            b = np.searchsorted(dd, lo + len(dl))
+            if b > a:
+                cell_deleted = dd[a:b]
+        bmw_deleted = (
+            frozenset(cell_deleted.tolist()) if cell_deleted is not None else None
+        )
         qids, dids, scores = [], [], []
         for qid, term_idf in bc_payload.value:
             if not any(t in term_runs for t, _ in term_idf):
                 continue
             if use_dense:
                 scorer = conjunctive_score_cell if conjunctive else dense_score_cell
-                d, s = scorer(term_runs, norms_obj, term_idf, avgdl)
+                d, s = scorer(
+                    term_runs, norms_obj, term_idf, avgdl, deleted=cell_deleted
+                )
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
                     order = np.lexsort((d, -s))[:cell_k]
                     d, s = d[order], s[order]
                 pairs = list(zip(d.tolist(), s.tolist()))
             else:
-                pairs = bmw_score_cell(term_runs, norms_obj, term_idf, avgdl, cell_k)
+                pairs = bmw_score_cell(
+                    term_runs, norms_obj, term_idf, avgdl, cell_k,
+                    deleted=bmw_deleted, bound_scale=bound_scale,
+                )
             for did, sc in pairs:
                 qids.append(qid)
                 dids.append(did)

@@ -44,6 +44,7 @@ import json
 import math
 import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -303,6 +304,7 @@ def refresh_streamed_index(
     target_run_bytes: int | None = None,
     fold_light: bool = True,
     max_deltas: int = 16,
+    force_full: bool = False,
 ) -> "IndexPaths":
     """Fold the committed ``batch=N`` segment runs into a fully queryable
     index at ``index_dir`` (VERDICT r2 missing #1: streamed segments were
@@ -354,8 +356,22 @@ def refresh_streamed_index(
     (ADVICE r3 medium — sessions with a different shuffle-partitions conf
     can no longer corrupt the grid); a conflicting explicit argument errors.
 
-    A full rebuild (first call, or params/format changed) wipes the four
-    relations and folds every committed batch into ``delta=<max batch>``.
+    A full rebuild (first call, ``force_full=True``, params/format changed,
+    or the auto re-tighten) wipes the four relations and folds every
+    committed batch into ``delta=<max batch>``.
+
+    DELETES (plans/deletes.py): the full-rebuild path is also the streamed
+    index's EXPUNGE — committed tombstones are applied physically: deleted
+    docs' text rows never land in docs_extracted, their postings are masked
+    out of the folded runs (``mask_deleted_runs`` — map-only), term_stats/
+    n_docs/avgdl are recomputed over survivors (exact stats again), and the
+    tombstones are cleared from meta. DocIDs are NOT renumbered: the grid
+    keeps every slot (``streamed.n_slots`` tracks the positional space,
+    which only grows; ``n_docs`` is the live count idf/avgdl use), so
+    surviving docIDs — and any docIDs later batches were assigned — stay
+    stable across expunges. Incremental refreshes carry committed
+    tombstones through untouched (masking keeps working; new batches'
+    docIDs never collide with tombstoned ones).
     """
     import shutil
 
@@ -364,6 +380,7 @@ def refresh_streamed_index(
         TARGET_RUN_BYTES,
         compact_segments,
         fold_light_runs,
+        mask_deleted_runs,
         term_stats_from_runs,
         with_term_bucket,
     )
@@ -391,7 +408,8 @@ def refresh_streamed_index(
     done = set(streamed_old.get("batches") or [])
     pending = set(metas) - done
     incremental = bool(
-        old
+        not force_full
+        and old
         and done
         and int(old.get("format_version", -1)) == FORMAT_VERSION
         and int(old.get("n_buckets", -1)) == n_buckets
@@ -416,9 +434,14 @@ def refresh_streamed_index(
             out = out.unionByName(d)
         return out
 
-    def _fold_to_delta(batch_ids: list[int], group: int) -> None:
+    def _fold_to_delta(
+        batch_ids: list[int], group: int, deleted_ids=None
+    ) -> None:
         """Compact + fold ONLY the given batches' segment runs into
-        ``postings/delta=<group>`` (bucket-partitioned underneath)."""
+        ``postings/delta=<group>`` (bucket-partitioned underneath).
+        ``deleted_ids`` (sorted int64, expunge path only) masks tombstoned
+        docs out of the folded runs — map-only, untouched runs pass
+        through as raw Arrow buffers."""
         segs = (
             spark.read.option("basePath", segments_dir)
             .parquet(segments_dir)
@@ -428,6 +451,8 @@ def refresh_streamed_index(
         runs = compact_segments(segs, target_run_bytes)
         if fold_light:
             runs = fold_light_runs(runs, target_run_bytes)
+        if deleted_ids is not None and len(deleted_ids):
+            runs = mask_deleted_runs(runs, deleted_ids)
         runs_b = with_term_bucket(runs, n_buckets)
         out = _delta_postings_dir(paths, group)
         shutil.rmtree(out, ignore_errors=True)
@@ -448,28 +473,34 @@ def refresh_streamed_index(
         shutil.rmtree(out, ignore_errors=True)
         ts.write.mode("overwrite").partitionBy("bucket").parquet(out)
 
-    def _commit_meta(grid, n_docs, total_tokens, batches, deltas) -> None:
-        write_meta(
-            index_dir,
-            {
-                "format_version": FORMAT_VERSION,
-                "n_docs": n_docs,
-                "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
-                "grid": grid,
-                "num_partitions": len(grid),
-                "n_buckets": n_buckets,
-                "block_size": BLOCK_SIZE,
-                "target_run_bytes": target_run_bytes,
-                "bm25": {"k1": 1.2, "b": 0.75},
-                "storage": "parquet",
-                "streamed": {
-                    "batches": sorted(batches),
-                    "p_per_batch": P,
-                    "deltas": sorted(deltas),
-                    "total_tokens": int(total_tokens),
-                },
+    def _commit_meta(
+        grid, n_docs, total_tokens, batches, deltas, n_slots, deletes=None
+    ) -> None:
+        m = {
+            "format_version": FORMAT_VERSION,
+            "n_docs": n_docs,
+            "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+            "grid": grid,
+            "num_partitions": len(grid),
+            "n_buckets": n_buckets,
+            "block_size": BLOCK_SIZE,
+            "target_run_bytes": target_run_bytes,
+            "bm25": {"k1": 1.2, "b": 0.75},
+            "storage": "parquet",
+            "streamed": {
+                "batches": sorted(batches),
+                "p_per_batch": P,
+                "deltas": sorted(deltas),
+                "total_tokens": int(total_tokens),
+                # positional docID space (grid slots) — differs from n_docs
+                # once an expunge removed docs; only ever GROWS, so later
+                # batches' docIDs never collide with tombstoned ones.
+                "n_slots": int(n_slots),
             },
-        )
+        }
+        if deletes:
+            m["deletes"] = dict(deletes)
+        write_meta(index_dir, m)
 
     if incremental:
         # GC delta dirs a crashed refresh left uncommitted, THEN fold.
@@ -493,9 +524,12 @@ def refresh_streamed_index(
         )
 
         # grid: extend the committed grid over the new batches' parts.
+        # Cumulative positions run over SLOTS (every doc ever ingested,
+        # including expunged ones — the batch metas' start offsets are
+        # positional), not over live docs.
         grid = [int(g) for g in old["grid"]]
         counts = partition_counts(new_ext)
-        acc = int(old["n_docs"])
+        acc = int(streamed_old.get("n_slots", old["n_docs"]))
         for b in range(max(done) + 1, group + 1):
             m = metas.get(b)
             if m is None:  # empty batch never committed: zero-doc parts
@@ -529,30 +563,60 @@ def refresh_streamed_index(
             total_tokens,
             set(metas),
             committed_deltas | {group},
+            n_slots=int(streamed_old.get("n_slots", old["n_docs"])) + int(row["n"]),
+            deletes=old.get("deletes"),  # tombstones survive incremental
         )
         # Reclaim the previous term_stats version now superseded by this
         # commit (readers already pin to the new max delta).
         _gc_stale_deltas(paths, committed_deltas | {group}, {group})
         return paths
 
-    # ---------------- full rebuild (first refresh / params changed) --------
+    # ------- full rebuild (first refresh / params changed / re-tighten /
+    # force_full) — also the EXPUNGE: committed tombstones are applied
+    # physically and cleared (see docstring). Read them BEFORE the wipe.
+    deleted_ids = None
+    dead_urls = None
+    if old is not None and int((old.get("deletes") or {}).get("n_deleted", 0)) > 0:
+        from ..plans.deletes import gc_stale_tombstones, read_tombstones
+
+        tomb = read_tombstones(spark, index_dir, old).select("url", "doc_id")
+        pairs = tomb.collect()
+        deleted_ids = np.sort(np.asarray([r["doc_id"] for r in pairs], dtype=np.int64))
+        dead_urls = spark.createDataFrame(
+            [(r["url"],) for r in pairs], "url string"
+        )
     for p in (paths.docs_extracted, paths.norms, paths.postings, paths.term_stats):
         shutil.rmtree(p, ignore_errors=True)
     group = max(metas)
     ext_all = _union([_staged_global(b) for b in sorted(metas)])
+    surviving = (
+        ext_all.join(F.broadcast(dead_urls), "url", "left_anti")
+        if dead_urls is not None
+        else ext_all
+    )
     (
-        ext_all.select("part_id", "local_pos", "url", "text", "doc_len")
+        surviving.select("part_id", "local_pos", "url", "text", "doc_len")
         .write.mode("overwrite")
         .partitionBy("part_id")
         .parquet(paths.docs_extracted)
     )
     ext = spark.read.parquet(paths.docs_extracted)
     total_parts = (group + 1) * P
-    grid = offsets_from_counts(partition_counts(ext), total_parts)
+    # grid/norms span the full SLOT space (deleted docs keep their
+    # positions — dl padding only, no content), so surviving docIDs and the
+    # batch metas' start offsets stay valid; stats count survivors only.
+    slot_src = ext if deleted_ids is None else ext_all
+    slot_counts = partition_counts(slot_src)
+    n_slots = sum(slot_counts.values())
+    grid = offsets_from_counts(slot_counts, total_parts)
     row = ext.agg(F.count("*").alias("n"), F.sum("doc_len").alias("t")).collect()[0]
     n_docs, total_tokens = int(row["n"]), int(row["t"] or 0)
-    write_norms(ext, grid, _delta_norms_dir(paths, group))
-    _fold_to_delta(sorted(metas), group)
+    write_norms(slot_src, grid, _delta_norms_dir(paths, group))
+    _fold_to_delta(sorted(metas), group, deleted_ids)
     _write_term_stats({group}, group)
-    _commit_meta(grid, n_docs, total_tokens, set(metas), {group})
+    _commit_meta(
+        grid, n_docs, total_tokens, set(metas), {group}, n_slots=n_slots
+    )
+    if deleted_ids is not None:
+        gc_stale_tombstones(index_dir, set())  # expunged: clear everything
     return paths

@@ -80,6 +80,8 @@ def test_pair_matches(name, sviews, duck):
         "frame_sample",
         "engine_bm25_text",
         "engine_bm25_pruned",
+        "engine_bm25_masked",
+        "engine_bm25_deletes",
     ],
 )
 def test_custom_entries_match_their_oracles(name, spark, duck):
