@@ -162,6 +162,45 @@ def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-UI surface: winners with a 3-token-context snippet around the
+    first query-term hit. Snippet strings must hash-match the bm25_snippets
+    SQL twin (same sqlglue first-hit/slice expressions both sides)."""
+    from pageindex_spark import search_snippets
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_snippets(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+        "snippet",
+    )
+
+
+def _engine_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean NOT ('-term' query syntax, plans/query.py): each flagship
+    query excludes its NOT_NEG term — negated postings mask candidates
+    pre-heap through the same path as tombstones. Must reproduce the
+    bm25_not SQL exactly: excluded docs absent, survivor scores identical
+    to plain bm25, ranks compacted."""
+    from pageindex_spark import search
+    from pageindex_spark.driverq import NOT_NEG
+
+    index_dir = _engine_index(spark, sf_dir)
+    q = [(qid, f"{text} -{NOT_NEG[qid]}") for qid, text in BM25_QUERIES]
+    top = search(spark, index_dir, q, k=10, mode="bmw", fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _dead_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic delete set (driverq.DELETE_PRED: doc_id % 7 = 3)
     as engine urls — must mirror the SQL twins exactly."""
@@ -359,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
+    q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
+    q["engine_bm25_snippets"] = _engine_bm25_snippets  # winner excerpts
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
@@ -383,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_conj"] = o["bm25_conj"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
+    o["engine_bm25_not"] = o["bm25_not"]
+    o["engine_bm25_snippets"] = o["bm25_snippets"]
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame
     # operator, so the driver checks DataFrame-API vs DuckDB directly.

@@ -78,6 +78,12 @@ class _Dialect:
             return f"list_contains([{lst}], {x})"
         return f"array_contains(array({lst}), {x})"
 
+    def arr_contains(self, a: str, x: str) -> str:
+        """Membership in an ARRAY COLUMN (contains() builds a literal list)."""
+        if self.duck:
+            return f"list_contains({a}, {x})"
+        return f"array_contains({a}, {x})"
+
     def concat(self, *parts: str) -> str:
         if self.duck:
             return " || ".join(parts)
@@ -145,18 +151,36 @@ class _Dialect:
 
 
 def _bm25_sql(
-    d: _Dialect, corpus_pred: str | None = None, mask_pred: str | None = None
+    d: _Dialect,
+    corpus_pred: str | None = None,
+    mask_pred: str | None = None,
+    neg: list[tuple[int, str]] | None = None,
 ) -> str:
     """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
     (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
     ``mask_pred`` filters scored docs AFTER stats (masked-deletes /
     Lucene stale-stats semantics: survivors keep their full-corpus
-    scores, ranks compact). Mirrors plans/deletes.py's two layers."""
+    scores, ranks compact). Mirrors plans/deletes.py's two layers.
+    ``neg`` = per-query (query_id, negated term): scored docs containing
+    that query's NOT term are dropped after scoring — the '-term' boolean
+    NOT semantics of plans/query.py (exclusion never changes survivor
+    scores)."""
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
     corpus_where = f" where {corpus_pred}" if corpus_pred else ""
-    mask_where = f" where {mask_pred}" if mask_pred else ""
+    neg_cte = ""
+    conds = [mask_pred] if mask_pred else []
+    if neg:
+        nvals = ", ".join(f"({qid}, '{t}')" for qid, t in neg)
+        neg_cte = f"negs(query_id, neg_term) as (values {nvals}),\n"
+        conds.append(
+            "not exists (select 1 from negs n, toks t "
+            "where n.query_id = scored.query_id and t.doc_id = scored.doc_id "
+            f"and {d.arr_contains('t.terms', 'n.neg_term')})"
+        )
+    mask_where = f" where {' and '.join(conds)}" if conds else ""
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
+{neg_cte}
 toks as (select doc_id, {d.terms('text')} as terms from documents{corpus_where}),
 doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
 corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
@@ -191,6 +215,11 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 # Deterministic delete set for the delete-semantics driver entries: every
 # 7th doc (engine side deletes the same docs by their lpad'd url).
 DELETE_PRED = "doc_id % 7 = 3"
+
+# Per-query NOT term for the boolean-exclusion entries (engine side appends
+# " -<term>" to the flagship query; terms chosen present in the testdata
+# vocab and disjoint from each query's positive terms).
+NOT_NEG = {1: "window", 2: "customer", 3: "merge", 4: "table", 5: "row"}
 
 
 def _phrase_sql(d: _Dialect) -> str:
@@ -280,6 +309,41 @@ def _bm25_text_sql(d: _Dialect) -> str:
     return f"""
 select b.query_id, b.rank, b.doc_id, b.score6, md5(doc.text) as text_fp
 from ({base}) b join documents doc on doc.doc_id = b.doc_id
+"""
+
+
+def _bm25_snippet_sql(d: _Dialect, window: int = 3) -> str:
+    """bm25_topk + per-winner snippet: the ``window``-token context around
+    the first occurrence of any query term, computed with the SAME
+    first-hit/slice expressions as the engine (``functions.sqlglue``) so
+    the strings hash-match."""
+    from .functions.sqlglue import (
+        DUCK_FIRST_HIT,
+        DUCK_SNIP,
+        SPARK_FIRST_HIT,
+        SPARK_SNIP,
+    )
+    from .functions.tokenizer import tokenize
+
+    base = _bm25_sql(d).strip()
+    first_hit = DUCK_FIRST_HIT if d.duck else SPARK_FIRST_HIT
+    snip = DUCK_SNIP if d.duck else SPARK_SNIP
+    whens = []
+    for qid, text in BM25_QUERIES:
+        lits = ", ".join(f"'{t}'" for t in sorted(set(tokenize(text))))
+        expr = first_hit.format(tk="tk", terms=lits, size=d.size("tk"))
+        whens.append(f"when {qid} then {expr}")
+    case_i = f"case query_id {' '.join(whens)} end"
+    s = f"greatest(1, i - {int(window)})"
+    e = f"least({d.size('tk')}, i + {int(window)})"
+    return f"""
+with wtok as (
+  select b.query_id, b.rank, b.doc_id, b.score6, {d.terms('doc.text')} as tk
+  from ({base}) b join documents doc on doc.doc_id = b.doc_id
+),
+hit as (select query_id, rank, doc_id, score6, tk, {case_i} as i from wtok)
+select query_id, rank, doc_id, score6, {snip.format(tk='tk', s=s, e=e)} as snippet
+from hit
 """
 
 
@@ -705,6 +769,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     )
     pairs["bm25_topk"] = both(_bm25_sql)
     pairs["bm25_text"] = both(_bm25_text_sql)
+    pairs["bm25_snippets"] = both(_bm25_snippet_sql)
     pairs["phrase_topk"] = both(_phrase_sql)
     pairs["bm25_conj"] = both(_bm25_conj_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted
@@ -714,6 +779,11 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     )
     pairs["bm25_expunged"] = both(
         lambda d: _bm25_sql(d, corpus_pred=f"not ({DELETE_PRED})")
+    )
+    # boolean NOT ('-term' syntax, plans/query.py): scored docs containing
+    # the query's negated term drop out; survivor scores untouched.
+    pairs["bm25_not"] = both(
+        lambda d: _bm25_sql(d, neg=sorted(NOT_NEG.items()))
     )
 
     def _token_count_sql(d: _Dialect) -> str:

@@ -71,6 +71,24 @@ DUCK_SHINGLES = (
     "i -> {a}[i] || ' ' || {a}[i+1] || ' ' || {a}[i+2])"
 )
 
+# -- snippet primitives: first query-term hit + clamped token window --------
+# {tk} = terms array, {terms} = comma'd quoted term literals. The index is
+# 1-BASED in both dialects (Spark arrays are 0-indexed via [], hence the
+# i-1; DuckDB's are 1-indexed) so the window arithmetic below is shared.
+# Callers only apply these to BM25 winners (>= 1 query term present by
+# construction), so the match set is never empty.
+SPARK_FIRST_HIT = (
+    "array_min(filter(sequence(1, size({tk})), "
+    "i -> array_contains(array({terms}), {tk}[i - 1])))"
+)
+DUCK_FIRST_HIT = (
+    "list_min(list_filter(range(1, {size} + 1), "
+    "i -> list_contains([{terms}], {tk}[i])))"
+)
+# {s}/{e} = 1-based INCLUSIVE window bounds (pre-clamped by the caller).
+SPARK_SNIP = "array_join(slice({tk}, {s}, ({e}) - ({s}) + 1), ' ')"
+DUCK_SNIP = "array_to_string({tk}[({s}):({e})], ' ')"
+
 # -- BM25 constants ----------------------------------------------------------
 K1 = "1.2"
 B = "0.75"

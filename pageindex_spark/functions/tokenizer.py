@@ -55,3 +55,23 @@ def tokenize(text: str) -> list[str]:
 
 def token_count(text: str) -> int:
     return len(tokenize(text))
+
+
+def parse_query(text: str) -> tuple[str, list[str]]:
+    """Split a query into (positive text, negated terms): a whitespace word
+    with a LEADING '-' is an exclusion (classic '-term' boolean-NOT syntax —
+    the reference has no query language at all, its retrieval is an LLM
+    prompt over the tree). In-word hyphens ('well-known') are untouched, and
+    a bare '-' is dropped as noise. Shared by the Spark engine and the pure-
+    Python oracle so both parse queries identically (same lockstep rule as
+    ``tokenize`` itself)."""
+    if "-" not in text:
+        return text, []
+    pos_words: list[str] = []
+    neg_terms: list[str] = []
+    for w in text.split():
+        if len(w) > 1 and w.startswith("-"):
+            neg_terms.extend(tokenize(w[1:]))
+        elif w != "-":
+            pos_words.append(w)
+    return " ".join(pos_words), sorted(set(neg_terms))

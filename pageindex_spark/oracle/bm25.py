@@ -20,7 +20,7 @@ import math
 from collections import Counter
 
 from ..functions.extraction import extract_text
-from ..functions.tokenizer import BM25_B, BM25_K1, tokenize
+from ..functions.tokenizer import BM25_B, BM25_K1, parse_query, tokenize
 
 
 class OracleIndex:
@@ -47,7 +47,11 @@ class OracleIndex:
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
     def score_all(self, query_text: str) -> dict[int, float]:
-        terms = sorted(set(tokenize(query_text)))
+        # '-term' boolean NOT (same parse as the engine: parse_query):
+        # negated terms never score; docs containing any of them are
+        # dropped AFTER scoring, so survivors keep identical scores.
+        pos_text, neg_terms = parse_query(query_text)
+        terms = sorted(set(tokenize(pos_text)))
         scores: dict[int, float] = {}
         for term in terms:
             plist = self.postings.get(term)
@@ -59,6 +63,9 @@ class OracleIndex:
                 denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
                 contrib = idf * tf * (BM25_K1 + 1.0) / denom
                 scores[did] = scores.get(did, 0.0) + contrib
+        for term in neg_terms:
+            for did in self.postings.get(term, {}):
+                scores.pop(did, None)
         return scores
 
     def topk(self, query_text: str, k: int = 10) -> list[tuple[str, float]]:

@@ -30,7 +30,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import tokenize
+from ..functions.tokenizer import parse_query, tokenize
 from ..operators.compaction import run_from_row
 from ..operators.wand import (
     CellNorms,
@@ -331,6 +331,61 @@ def search_phrase(
     )
 
 
+def search_snippets(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 3,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    prune_norms: bool | None = None,
+) -> DataFrame:
+    """Top-k BM25 with a per-winner SNIPPET: the ``window``-token context
+    around the first occurrence of any (positive) query term ->
+    (query_id, rank, url, score, snippet). The search-UI surface the
+    reference approximates by returning whole node text
+    (/root/reference/README.md:179-188) — at web scale whole documents are
+    the wrong payload, so winners carry a bounded excerpt instead.
+
+    Plan shape: identical to ``search(with_text=True)`` (pruned postings
+    scan, cell cogroup, winners'-partitions-only text fetch); the snippet
+    is a JVM codegen projection over the <= queries x k winner rows
+    (``functions.sqlglue`` expressions — the DuckDB twin computes the
+    SAME first-hit index and window, so snippets hash-match across
+    engines). Every winner contains >= 1 positive query term by
+    construction, so the first-hit index always exists."""
+    from ..functions.sqlglue import (
+        SPARK_FIRST_HIT,
+        SPARK_SNIP,
+        spark_terms,
+    )
+
+    res = search(
+        spark, index_dir, queries, k=k, mode=mode, cell_parts=cell_parts,
+        fixed_point=fixed_point, with_text=True, prune_norms=prune_norms,
+    )
+    df = res.withColumn("tk", F.expr(spark_terms("text")))
+    hit = F.lit(None).cast("int")
+    for qid, text in queries:
+        pos, _ = parse_query(text)
+        terms = sorted(set(tokenize(pos)))
+        if not terms:
+            continue
+        lits = ", ".join(f"'{t}'" for t in terms)  # tokens are [a-z0-9]+
+        hit = F.when(
+            F.col("query_id") == qid,
+            F.expr(SPARK_FIRST_HIT.format(tk="tk", terms=lits)),
+        ).otherwise(hit)
+    df = df.withColumn("hit", hit)
+    s = f"greatest(1, hit - {int(window)})"
+    e = f"least(size(tk), hit + {int(window)})"
+    return df.withColumn(
+        "snippet", F.expr(SPARK_SNIP.format(tk="tk", s=s, e=e))
+    ).select("query_id", "rank", "url", "score", "snippet")
+
+
 def _parts_for_runs(
     ranges: list[tuple[int, int]],
     cell_grid,
@@ -389,8 +444,17 @@ def _search_impl(
     )
     empty = spark.createDataFrame([], out_schema)
 
-    qterms = {qid: sorted(set(tokenize(text))) for qid, text in queries}
-    terms = sorted({t for ts in qterms.values() for t in ts})
+    # '-term' boolean NOT (functions/tokenizer.parse_query): negated terms
+    # never score — their postings become a per-query exclusion mask fed
+    # through the SAME pre-heap path as tombstoned docs, so an excluded doc
+    # can never displace a survivor and survivors' scores are untouched.
+    parsed = {qid: parse_query(text) for qid, text in queries}
+    qterms = {qid: sorted(set(tokenize(pos))) for qid, (pos, _) in parsed.items()}
+    qneg = {qid: negs for qid, (_, negs) in parsed.items() if negs}
+    terms = sorted(
+        {t for ts in qterms.values() for t in ts}
+        | {t for ns in qneg.values() for t in ns}
+    )
     if not terms:
         return empty
 
@@ -431,6 +495,18 @@ def _search_impl(
         return empty
     bc_payload = spark.sparkContext.broadcast(payload)
     bc_grid = spark.sparkContext.broadcast(cell_grid)
+    # Negated terms PRESENT in the index (an absent neg term excludes
+    # nothing). Their postings ride the same pruned scan as scoring terms —
+    # `terms`/`idf` above already include them — but never enter the
+    # scoring payload.
+    neg_payload = {
+        qid: [t for t in ns if se._idf_cache.get(t) is not None]
+        for qid, ns in qneg.items()
+    }
+    neg_payload = {qid: ns for qid, ns in neg_payload.items() if ns}
+    bc_neg = (
+        spark.sparkContext.broadcast(neg_payload) if neg_payload else None
+    )
 
     # Scan prunes to PRESENT terms only (absent terms would widen the
     # bucket IN-list for directories that can't contribute runs).
@@ -534,14 +610,42 @@ def _search_impl(
         bmw_deleted = (
             frozenset(cell_deleted.tolist()) if cell_deleted is not None else None
         )
+        # NOT terms: decode each negated term's cell postings ONCE (shared
+        # across the query batch), then union with the tombstone mask per
+        # query. Cost is the same class as scoring the term — the exact
+        # semantics of exclusion.
+        neg_docs_by_term: dict[str, np.ndarray] = {}
+        if bc_neg is not None:
+            from ..operators.runfmt import decode_run
+
+            for t in {t for ns in bc_neg.value.values() for t in ns}:
+                if t in term_runs:
+                    neg_docs_by_term[t] = decode_run(term_runs[t])[0].astype(
+                        np.int64
+                    )
         qids, dids, scores = [], [], []
         for qid, term_idf in bc_payload.value:
             if not any(t in term_runs for t, _ in term_idf):
                 continue
+            q_excl = cell_deleted
+            if bc_neg is not None and qid in bc_neg.value:
+                arrs = [
+                    neg_docs_by_term[t]
+                    for t in bc_neg.value[qid]
+                    if t in neg_docs_by_term
+                ]
+                if arrs:
+                    if q_excl is not None:
+                        arrs.append(q_excl)
+                    q_excl = (
+                        np.unique(np.concatenate(arrs))
+                        if len(arrs) > 1
+                        else arrs[0]
+                    )
             if use_dense:
                 scorer = conjunctive_score_cell if conjunctive else dense_score_cell
                 d, s = scorer(
-                    term_runs, norms_obj, term_idf, avgdl, deleted=cell_deleted
+                    term_runs, norms_obj, term_idf, avgdl, deleted=q_excl
                 )
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
@@ -549,9 +653,14 @@ def _search_impl(
                     d, s = d[order], s[order]
                 pairs = list(zip(d.tolist(), s.tolist()))
             else:
+                q_excl_set = (
+                    bmw_deleted
+                    if q_excl is cell_deleted
+                    else frozenset(q_excl.tolist())
+                )
                 pairs = bmw_score_cell(
                     term_runs, norms_obj, term_idf, avgdl, cell_k,
-                    deleted=bmw_deleted, bound_scale=bound_scale,
+                    deleted=q_excl_set, bound_scale=bound_scale,
                 )
             for did, sc in pairs:
                 qids.append(qid)

@@ -82,6 +82,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_pruned",
         "engine_bm25_masked",
         "engine_bm25_deletes",
+        "engine_bm25_not",
+        "engine_bm25_snippets",
     ],
 )
 def test_custom_entries_match_their_oracles(name, spark, duck):

@@ -119,6 +119,69 @@ def test_phrase_rank_identity(spark, built_index, sf_unit_dir):
     assert not [r for r in got if r["query_id"] == 4]
 
 
+def test_not_exclusion_rank_identity(spark, built_index, sf_unit_dir):
+    """'-term' boolean NOT (round 5): engine bmw AND dense must reproduce
+    the oracle with docs containing the negated term dropped post-scoring —
+    excluded docs absent, survivor scores byte-identical to the plain
+    query, deeper docs backfilling the freed ranks. Includes the 'x -x'
+    self-negation edge (empty result set) because query 2's positive term
+    IS the negated head-vocab term."""
+    from pageindex_spark.functions.tokenizer import parse_query
+    from pageindex_spark.sources.corpus import build_vocab
+
+    # in-word hyphens are NOT negation; bare '-' is noise
+    assert parse_query("well-known term") == ("well-known term", [])
+    assert parse_query("data - -spark") == ("data", ["spark"])
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    neg = build_vocab()[1]  # head term: present in many docs
+    base = make_queries()[:10]
+    queries = [(qid, f"{text} -{neg}") for qid, text in base]
+    golden = bm25_topk(rows, queries, k=10)
+    plain = bm25_topk(rows, base, k=10)
+    assert golden != plain  # the exclusion visibly changed rankings
+    got = search(spark, built_index, queries, k=10, mode="bmw").collect()
+    _assert_matches_golden(got, golden)
+    got_d = search(spark, built_index, queries, k=10, mode="dense").collect()
+    _assert_matches_golden(got_d, golden)
+    # survivor scores equal the un-negated run's scores (exclusion never
+    # rescales — stale-stats analogue of the delete mask)
+    plain_scores = {(q, u): s for q, _, u, s in plain}
+    for qid, _, url, score in golden:
+        if (qid, url) in plain_scores:
+            assert plain_scores[(qid, url)] == score
+
+
+def test_snippets_match_python_reference(spark, built_index, sf_unit_dir):
+    """Winner snippets (round 5): the 3-token context around the first
+    query-term hit, computed JVM-side over the winners, must equal a
+    straightforward Python re-derivation from the raw text — and ranks/
+    scores must be the plain search's (snippet is a pure projection)."""
+    from pageindex_spark import search_snippets
+    from pageindex_spark.functions.tokenizer import tokenize
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    text_by_url = dict(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    queries = make_queries()[:6]
+    got = search_snippets(spark, built_index, queries, k=5).collect()
+    plain = search(spark, built_index, queries, k=5).collect()
+    assert [(r["query_id"], r["rank"], r["url"], r["score"]) for r in got] == [
+        (r["query_id"], r["rank"], r["url"], r["score"]) for r in plain
+    ]
+    qmap = dict(queries)
+    for r in got:
+        toks = tokenize(text_by_url[r["url"]])
+        qts = set(tokenize(qmap[r["query_id"]]))
+        i = next(j for j, t in enumerate(toks) if t in qts)  # 0-based hit
+        want = " ".join(toks[max(0, i - 3) : min(len(toks), i + 4)])
+        assert r["snippet"] == want, (r["query_id"], r["url"])
+
+
 def test_phrase_adjacency_planted(spark, tmp_path):
     """Word ORDER matters: 'alpha beta' must match only docs where beta
     immediately follows alpha, not any doc containing both terms."""
