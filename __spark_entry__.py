@@ -162,6 +162,48 @@ def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index merge (plans/merge.py): the corpus split into two url-range-
+    ordered shards, each built independently, then merged — results must
+    reproduce the FULL-corpus bm25_topk SQL exactly (docIDs rebased by
+    varint splice, df/avgdl re-derived over the union)."""
+    import json
+    import shutil
+
+    from pageindex_spark import build_index, search
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
+    from pageindex_spark.plans.merge import merge_indexes
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = f"{_INDEX_CACHE_ROOT}_mrg_{tag}"
+    merged = os.path.join(root, "merged")
+    meta_path = os.path.join(merged, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
+                shutil.rmtree(root)
+    if not os.path.exists(meta_path):
+        corpus = _docs_as_corpus(spark, sf_dir)
+        half = corpus.count() // 2
+        cut = F.lpad(F.lit(half).cast("string"), 10, "0")  # url order == id
+        for name, pred in (("a", F.col("url") < cut), ("b", F.col("url") >= cut)):
+            build_index(
+                spark, corpus.filter(pred), os.path.join(root, name),
+                num_partitions=4, n_buckets=8, n_seg_chunks=1,
+                n_bucket_chunks=1,
+            )
+        merge_indexes(
+            spark, [os.path.join(root, "a"), os.path.join(root, "b")], merged
+        )
+    top = search(spark, merged, BM25_QUERIES, k=10, mode="bmw", fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Search-UI surface: winners with a 3-token-context snippet around the
     first query-term hit. Snippet strings must hash-match the bm25_snippets
@@ -400,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
     q["engine_bm25_snippets"] = _engine_bm25_snippets  # winner excerpts
+    q["engine_bm25_merged"] = _engine_bm25_merged  # shard merge == full build
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
     q["lsh_ann_batch"] = _lsh_ann_batch
@@ -426,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]
     o["engine_bm25_snippets"] = o["bm25_snippets"]
+    o["engine_bm25_merged"] = o["bm25_topk"]  # merged shards == full corpus
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as
     # literal arrays); queries() overrides the Spark side with the DataFrame
     # operator, so the driver checks DataFrame-API vs DuckDB directly.

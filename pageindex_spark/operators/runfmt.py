@@ -303,3 +303,45 @@ def mask_run(run: Run, deleted_sorted: np.ndarray) -> Run | None:
         bm_tf_off=tf_off,
         bm_ndocs=np.asarray(bm_ndocs, dtype=np.int32),
     )
+
+
+def shift_run(run: Run, offset: int) -> Run:
+    """Rebase every docID by ``+offset`` WITHOUT decoding postings — the
+    index-merge primitive (``plans/merge.py``). Only each block's FIRST
+    varint changes (block starts are encoded absolute; all later bytes are
+    gaps, invariant under a uniform shift), so the work per run is
+    n_blocks varint splices regardless of posting count. tf bytes, block
+    quality bounds and per-block doc counts pass through untouched.
+    ``offset == 0`` returns the SAME object (zero copy)."""
+    if offset == 0:
+        return run
+    if offset < 0:
+        raise ValueError("shift_run only rebases forward (offset >= 0)")
+    off = np.uint64(offset)
+    do = run.bm_doc_off
+    parts: list[bytes] = []
+    for b in range(run.n_blocks):
+        blob = run.doc_blob[do[b] : do[b + 1]]
+        end = 0  # first varint ends at the first byte with bit 7 clear
+        while blob[end] >= 128:
+            end += 1
+        end += 1
+        first = vb_decode(blob[:end])[0]
+        parts.append(
+            vb_encode(np.array([first + off], dtype=np.uint64)) + blob[end:]
+        )
+    doc_off = np.concatenate(
+        ([0], np.cumsum([len(p) for p in parts]))
+    ).astype(np.int32)
+    return Run(
+        first_doc=int(run.first_doc) + offset,
+        last_doc=int(run.last_doc) + offset,
+        n_docs=int(run.n_docs),
+        doc_blob=b"".join(parts),
+        tf_blob=run.tf_blob,
+        bm_last=run.bm_last + np.int64(offset),
+        bm_maxq=run.bm_maxq,
+        bm_doc_off=doc_off,
+        bm_tf_off=run.bm_tf_off,
+        bm_ndocs=run.bm_ndocs,
+    )
