@@ -99,7 +99,35 @@ def _engine_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     index_dir = _engine_index(spark, sf_dir)
     top = search_phrase(
-        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True
+        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True,
+        use_positions=False,  # pin the text-verify path (pos path below)
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_phrase_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search via the POSITIONS SIDECAR (plans/positions.py): exact
+    at any scale, no candidate cap, no text fetch. Must reproduce the same
+    relational phrase_topk SQL as the text-verify path."""
+    from pageindex_spark.driverq import PHRASE_QUERIES
+    from pageindex_spark.plans.positions import (
+        build_positions_sidecar,
+        sidecar_ready,
+    )
+    from pageindex_spark.plans.query import search_phrase
+    from pageindex_spark.sources.tables import read_meta
+
+    index_dir = _engine_index(spark, sf_dir)
+    if not sidecar_ready(read_meta(index_dir), index_dir):
+        build_positions_sidecar(spark, index_dir)
+    top = search_phrase(
+        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True,
+        use_positions=True,
     )
     return top.select(
         "query_id",
@@ -437,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_pruned"] = _engine_bm25_pruned
     q["engine_bm25_text"] = _engine_bm25_text
     q["engine_phrase"] = _engine_phrase  # phrase via conjunctive + verify
+    q["engine_phrase_pos"] = _engine_phrase_pos  # phrase via positions sidecar
     q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
@@ -464,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_pruned"] = o["bm25_topk"]
     o["engine_bm25_text"] = o["bm25_text"]
     o["engine_phrase"] = o["phrase_topk"]
+    o["engine_phrase_pos"] = o["phrase_topk"]  # same oracle, sidecar path
     o["engine_bm25_conj"] = o["bm25_conj"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]

@@ -85,6 +85,8 @@ def _apply_swap(index_dir: str, journal: dict) -> None:
             os.rename(tmp, final)
     write_meta(index_dir, journal["meta"])
     gc_stale_tombstones(index_dir, set())
+    # stale positional sidecar (if any): journaled meta has no "positions"
+    shutil.rmtree(os.path.join(index_dir, "positions"), ignore_errors=True)
     jpath = os.path.join(index_dir, JOURNAL)
     if os.path.exists(jpath):
         os.remove(jpath)
@@ -165,7 +167,9 @@ def expunge_index(spark: SparkSession, index_dir: str) -> dict:
         .collect()[0]
     )
 
-    new_meta = {k: v for k, v in meta.items() if k != "deletes"}
+    # "positions" also drops: the sidecar snapshots the pre-expunge corpus
+    # (plans/positions.py staleness rule); _apply_swap removes its dir.
+    new_meta = {k: v for k, v in meta.items() if k not in ("deletes", "positions")}
     new_meta["n_docs"] = int(row["n"])
     new_meta["avgdl"] = float(row["avgdl"] or 0.0)
     # positional docID space (grid slots): diverges from n_docs now; the

@@ -272,6 +272,7 @@ def search_phrase(
     fixed_point: bool = False,
     with_text: bool = False,
     prune_norms: bool | None = None,
+    use_positions: bool | None = None,
 ) -> DataFrame:
     """Top-k phrase search: docs where the phrase's tokens appear
     CONTIGUOUSLY, ranked by BM25 over the phrase terms ->
@@ -289,10 +290,23 @@ def search_phrase(
     final filter either way. Results are exact whenever a query's
     conjunctive candidate count <= ``cand_cap`` (always, for phrases
     with at least one non-stopword term); an all-stopword phrase may
-    truncate recall at the cap — raise ``cand_cap`` for those, or add a
-    positions sidecar to the index (the documented scale-up path).
+    truncate recall at the cap — raise ``cand_cap`` for those, or build
+    the POSITIONS SIDECAR (``plans/positions.py``): when a current
+    sidecar is committed (``use_positions=None`` auto-detects; True
+    forces, False opts out), phrases run exact at any scale with no
+    candidate cap and no text fetch, identical results where both paths
+    are exact.
     """
     from ..functions.sqlglue import spark_terms
+    from .positions import phrase_search_positions, sidecar_ready
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    if use_positions is None:
+        use_positions = sidecar_ready(se.meta, index_dir)
+    if use_positions:
+        return phrase_search_positions(
+            se, phrases, k=k, fixed_point=fixed_point, with_text=with_text
+        )
 
     cand = get_searcher(spark, index_dir, cell_parts).search(
         phrases,
@@ -414,6 +428,32 @@ def _parts_for_runs(
     return parts if len(parts) <= 8192 else None
 
 
+def _ensure_idf(se: Searcher, terms: list[str]) -> None:
+    """Fill the Searcher's idf cache for ``terms`` with ONE bucket- and
+    term-pruned term_stats read covering the misses (None caches an absent
+    term). Shared by the BM25 paths and the positional phrase path."""
+    from ..functions.murmur3 import term_bucket
+
+    misses = [t for t in terms if t not in se._idf_cache]
+    if not misses:
+        return
+    miss_buckets = sorted({term_bucket(t, se.n_buckets) for t in misses})
+    ts = se.spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        # streamed: term_stats is VERSIONED per refresh; pin to the
+        # committed max delta (a crashed refresh's recompute includes
+        # uncommitted docs' df — idf drift on the committed index).
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    ts_rows = (
+        ts.filter(F.col("bucket").isin(miss_buckets) & F.col("term").isin(misses))
+        .select("term", "df")
+        .collect()
+    )
+    found = {r["term"]: idf_value(se.n_docs, int(r["df"])) for r in ts_rows}
+    for t in misses:
+        se._idf_cache[t] = found.get(t)
+
+
 def _search_impl(
     se: Searcher,
     queries: list[tuple[int, str]],
@@ -462,23 +502,7 @@ def _search_impl(
     # murmur3 matches F.hash) for both the term_stats and postings prunes.
     # idf per term: cache hits skip the term_stats job; only unseen terms
     # trigger a pruned read (None caches an absent term).
-    misses = [t for t in terms if t not in se._idf_cache]
-    if misses:
-        miss_buckets = sorted({term_bucket(t, n_buckets) for t in misses})
-        ts = spark.read.parquet(paths.term_stats)
-        if se.committed_deltas is not None:
-            # streamed: term_stats is VERSIONED per refresh; pin to the
-            # committed max delta (a crashed refresh's recompute includes
-            # uncommitted docs' df — idf drift on the committed index).
-            ts = ts.filter(F.col("delta") == max(se.committed_deltas))
-        ts_rows = (
-            ts.filter(F.col("bucket").isin(miss_buckets) & F.col("term").isin(misses))
-            .select("term", "df")
-            .collect()
-        )
-        found = {r["term"]: idf_value(n_docs, int(r["df"])) for r in ts_rows}
-        for t in misses:
-            se._idf_cache[t] = found.get(t)
+    _ensure_idf(se, terms)
     idf = {t: v for t in terms if (v := se._idf_cache[t]) is not None}
     payload = [
         (qid, [(t, idf[t]) for t in qts if t in idf]) for qid, qts in qterms.items()
@@ -680,6 +704,22 @@ def _search_impl(
         .applyInPandas(score_cell, schema="query_id int, doc_id long, score double")
     )
 
+    return _rank_and_lookup(se, scored, k, fixed_point, with_text, empty)
+
+
+def _rank_and_lookup(
+    se: "Searcher",
+    scored: DataFrame,
+    k: int,
+    fixed_point: bool,
+    with_text: bool,
+    empty: DataFrame,
+) -> DataFrame:
+    """Shared tail of every retrieval path ((query_id, doc_id, score) ->
+    ranked winners with urls): global rank over the candidate rows, then a
+    url lookup that reads ONLY the winners' partitions."""
+    spark, paths = se.spark, se.paths
+    out_schema = empty.schema
     if fixed_point:
         # Rank over the FLOORED score (CLAUDE.md invariant: the DuckDB oracle
         # ranks floor(score*1e6) with doc_id tie-break).

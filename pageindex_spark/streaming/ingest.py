@@ -587,6 +587,9 @@ def refresh_streamed_index(
         )
     for p in (paths.docs_extracted, paths.norms, paths.postings, paths.term_stats):
         shutil.rmtree(p, ignore_errors=True)
+    # any positional sidecar snapshots the pre-rebuild corpus: stale now
+    # (plans/positions.py); the fresh meta below carries no "positions".
+    shutil.rmtree(os.path.join(index_dir, "positions"), ignore_errors=True)
     group = max(metas)
     ext_all = _union([_staged_global(b) for b in sorted(metas)])
     surviving = (
