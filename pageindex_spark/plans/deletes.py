@@ -154,3 +154,33 @@ def delete_docs(
     write_meta(index_dir, meta)  # atomic commit point
     gc_stale_tombstones(index_dir, {new_version})
     return dict(meta["deletes"])
+
+
+def delete_matching(
+    spark: SparkSession, index_dir: str, query_text: str
+) -> dict:
+    """Tombstone EVERY document containing all of ``query_text``'s terms
+    (conjunctive delete-by-content — the right-to-be-forgotten shape;
+    Lucene ``deleteByQuery`` parity). Cost is one map-only codegen scan of
+    the extracts (tokenize + array_contains conjunction — no index decode,
+    no shuffle, no top-k cap), then the ordinary ``delete_docs`` commit;
+    all crash/idempotence semantics inherit from it. An empty or
+    corpus-absent query deletes nothing."""
+    from ..functions.sqlglue import spark_terms
+    from ..functions.tokenizer import tokenize
+
+    terms = sorted(set(tokenize(query_text)))
+    meta = read_meta(index_dir)
+    if not terms:
+        return dict(meta.get("deletes") or {})
+    paths = IndexPaths(index_dir)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(F.col("_tk"), t)
+    matching = (
+        spark.read.parquet(paths.docs_extracted)
+        .select("url", F.expr(spark_terms("text")).alias("_tk"))
+        .filter(cond)
+        .select("url")
+    )
+    return delete_docs(spark, index_dir, matching)

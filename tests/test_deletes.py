@@ -237,3 +237,30 @@ def test_mask_run_unit():
         assert len(m.bm_maxq) == len(m.bm_ndocs) == len(m.bm_last)
         # blocks never grew past the originals
         assert m.bm_ndocs.max() <= run.bm_ndocs.max()
+
+
+def test_delete_matching_by_content(spark, tmp_path):
+    """delete_matching: conjunctive delete-by-content — every doc holding
+    ALL query terms is tombstoned in one commit; absent/empty queries are
+    no-ops; idempotent (no version churn on repeat)."""
+    from pageindex_spark import build_index, search
+    from pageindex_spark.plans.deletes import delete_matching
+
+    rows = [
+        ("u0", "alpha beta common"),
+        ("u1", "alpha gamma common"),
+        ("u2", "beta alpha common tail"),
+        ("u3", "delta common"),
+    ]
+    idx = str(tmp_path / "idx")
+    build_index(
+        spark, spark.createDataFrame(rows, "url string, text string"), idx,
+        num_partitions=2, n_buckets=4, n_seg_chunks=1, n_bucket_chunks=1,
+    )
+    info = delete_matching(spark, idx, "alpha beta")
+    assert info["n_deleted"] == 2  # u0 and u2 (order-independent AND)
+    got = {r["url"] for r in search(spark, idx, [(1, "common")], k=10).collect()}
+    assert got == {"u1", "u3"}
+    assert delete_matching(spark, idx, "alpha beta") == info  # idempotent
+    assert delete_matching(spark, idx, "zzzabsent") == info  # no-op
+    assert delete_matching(spark, idx, "") == info  # empty query no-op

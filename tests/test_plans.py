@@ -153,3 +153,25 @@ def test_norms_and_postings_sizes_bounded(spark, index_dir):
         F.length("doc_blob") + F.length("tf_blob") > 2 * TARGET_RUN_BYTES
     ).count()
     assert over == 0
+
+
+def test_positions_scan_pruned_and_pushed(spark, index_dir):
+    """The positional-sidecar phrase scan must prune to the query terms'
+    bucket directories (PartitionFilters) and push the term predicate to
+    parquet — same discipline as the postings scan; the blob column never
+    loads for non-matching terms."""
+    from pageindex_spark.plans.positions import (
+        build_positions_sidecar,
+        positions_dir,
+    )
+    from pageindex_spark.sources.tables import read_meta
+
+    if "positions" not in read_meta(index_dir):
+        build_positions_sidecar(spark, index_dir)
+    pos = spark.read.parquet(positions_dir(index_dir)).filter(
+        (F.col("bucket").isin([2, 5])) & (F.col("term").isin(["ba", "di"]))
+    )
+    plan = _explain(pos)
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1].split("\n")[0]
