@@ -143,6 +143,67 @@ def _engine_bm25_conj(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "conjunctive")
 
 
+def _engine_bm25_msm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minimum_should_match retrieval (round 5): docs matching >= 2 of the
+    query's terms rank (clamped to the query's term count, so the one-term
+    query behaves like OR). Runs the rare-term MSM_QUERIES set, where the
+    requirement genuinely changes winners vs plain OR. Must reproduce the
+    bm25_msm SQL exactly."""
+    from pageindex_spark import search
+    from pageindex_spark.driverq import MSM_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, MSM_QUERIES, k=10, mode="msm",
+        fixed_point=True, min_match=2,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix wildcards ('term*', round 5): stems expand against the term
+    dictionary (one pushed-StartsWith metadata scan), then ordinary OR/BMW
+    retrieval over the union — Lucene's scoring rewrite. Must reproduce the
+    bm25_prefix SQL exactly (query 5's no-match stem yields zero rows on
+    both sides)."""
+    from pageindex_spark import search_prefix
+    from pageindex_spark.driverq import PREFIX_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_prefix(
+        spark, index_dir, PREFIX_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term query boosts ('term^2.5', round 5): weights fold into idf
+    driver-side, so BMW's block-max bounds stay exact. Must reproduce the
+    bm25_boost SQL exactly (the twin derives clean queries + weights from
+    the SAME BOOST_QUERIES via the shared parser)."""
+    from pageindex_spark import search
+    from pageindex_spark.driverq import BOOST_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(spark, index_dir, BOOST_QUERIES, k=10, mode="bmw", fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "bmw")
 
@@ -467,6 +528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_phrase"] = _engine_phrase  # phrase via conjunctive + verify
     q["engine_phrase_pos"] = _engine_phrase_pos  # phrase via positions sidecar
     q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
+    q["engine_bm25_msm"] = _engine_bm25_msm  # minimum_should_match >= 2
+    q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
+    q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
@@ -495,6 +559,9 @@ def oracle_sql() -> dict[str, str]:
     o["engine_phrase"] = o["phrase_topk"]
     o["engine_phrase_pos"] = o["phrase_topk"]  # same oracle, sidecar path
     o["engine_bm25_conj"] = o["bm25_conj"]
+    o["engine_bm25_msm"] = o["bm25_msm"]
+    o["engine_bm25_prefix"] = o["bm25_prefix"]
+    o["engine_bm25_boost"] = o["bm25_boost"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]

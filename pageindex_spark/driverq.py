@@ -44,6 +44,43 @@ PHRASE_QUERIES = [
     (5, "stream batch"),
 ]
 
+# minimum_should_match query set: built around 'dup' — the ONE rare term in
+# the synthetic vocab (df ~5% vs ~80% for everything else; idf ~3.0 vs ~0.3).
+# OR ranking tops dup-only docs on idf alone, so the >=2-matches requirement
+# genuinely changes the winners (queries 1/2/5 differ from plain OR at k=10
+# on sf0.001; query 3 pins the single-term clamp-to-OR behavior).
+MSM_QUERIES = [
+    (1, "dup line"),
+    (2, "dup small group"),
+    (3, "dup"),
+    (4, "dup data join filter"),
+    (5, "dup vector"),
+]
+
+# Prefix-wildcard query set ('term*' syntax, plans/query.py search_prefix):
+# multi-expansion stems ('s*' -> scan/slow/small/sort/spark/stream), mixed
+# literal+prefix, a stem that IS also a full term's prefix ('qu*' -> query),
+# and a no-match stem ('z*' -> query 5 returns zero rows on both sides).
+PREFIX_QUERIES = [
+    (1, "s*"),
+    (2, "qu* dup"),
+    (3, "ta* win*"),
+    (4, "customer or*"),
+    (5, "z*"),
+]
+
+# Per-term boost query set ('term^w' syntax, plans/query.py): weights chosen
+# to actually reorder winners vs plain OR (damping/amplifying the rare 'dup'
+# term flips which docs top the list; query 3 pins uniform score scaling on
+# a single-term query).
+BOOST_QUERIES = [
+    (1, "dup^0.1 line"),
+    (2, "window^4 merge sort"),
+    (3, "customer^2.5"),
+    (4, "dup line^6"),
+    (5, "dup^10 vector^0.2"),
+]
+
 STOPWORDS_SQL = "'the','of','and','to','a','in','is','it','data','for'"
 LANGS = {
     "de": "'der','die','und','das','ist'",
@@ -155,6 +192,8 @@ def _bm25_sql(
     corpus_pred: str | None = None,
     mask_pred: str | None = None,
     neg: list[tuple[int, str]] | None = None,
+    queries: list[tuple[int, str]] | None = None,
+    boosts: list[tuple[int, str, float]] | None = None,
 ) -> str:
     """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
     (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
@@ -164,9 +203,19 @@ def _bm25_sql(
     ``neg`` = per-query (query_id, negated term): scored docs containing
     that query's NOT term are dropped after scoring — the '-term' boolean
     NOT semantics of plans/query.py (exclusion never changes survivor
-    scores)."""
-    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    scores). ``boosts`` = per-(query, term) weights multiplying the term's
+    idf — the 'term^2.5' syntax of plans/query.py (weight placement matches
+    the engine's idf-fold: ``ln(...) * wt``)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in (queries or BM25_QUERIES))
     corpus_where = f" where {corpus_pred}" if corpus_pred else ""
+    boost_cte, boost_join, boost_mul = "", "", ""
+    if boosts:
+        bvals = ", ".join(f"({q}, '{t}', {w!r})" for q, t, w in boosts)
+        boost_cte = f"qw(query_id, term, wt) as (values {bvals}),\n"
+        boost_join = (
+            "\n  left join qw on qw.query_id = q.query_id and qw.term = q.term"
+        )
+        boost_mul = " * coalesce(qw.wt, 1.0)"
     neg_cte = ""
     conds = [mask_pred] if mask_pred else []
     if neg:
@@ -180,7 +229,7 @@ def _bm25_sql(
     mask_where = f" where {' and '.join(conds)}" if conds else ""
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
-{neg_cte}
+{neg_cte}{boost_cte}
 toks as (select doc_id, {d.terms('text')} as terms from documents{corpus_where}),
 doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
 corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
@@ -191,13 +240,13 @@ postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group 
 dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
 contrib as (
   select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0){boost_mul}
            * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
   from qterms q
   join postings p on p.term = q.term
   join dfreq d on d.term = q.term
   join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
+  cross join corpus c{boost_join}
 ),
 scored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
@@ -300,6 +349,86 @@ scored as (
   having cast(count(*) as bigint) = qn.nt
 ),
 ranked as ({tail}"""
+
+
+def _bm25_msm_sql(d: _Dialect, m: int = 2) -> str:
+    """minimum_should_match BM25 twin (plans/query.py mode="msm"): docs
+    matching at least ``least(m, n_query_terms)`` of the query's terms rank,
+    scored over their matched terms only. ``contrib`` holds one row per
+    (query, matched term, doc), so ``count(*)`` per (query, doc) is the
+    matched-term count; the requirement clamps to the query's total term
+    count (qn.nt) so one-term queries behave like OR. Runs the MSM_QUERIES
+    set (rare-term 'dup' queries) — the flagship set's terms are too common
+    for the requirement to ever change a top-10."""
+    base = _bm25_sql(d, queries=MSM_QUERIES).strip()
+    head, tail = base.split("scored as (", 1)
+    _, tail = tail.split("ranked as (", 1)
+    return f"""{head}qn as (select query_id, cast(count(*) as bigint) as nt from qterms group by query_id),
+scored as (
+  select c.query_id, c.doc_id, cast(floor(sum(c.w) * 1000000) as bigint) as score6
+  from contrib c join qn on qn.query_id = c.query_id
+  group by c.query_id, c.doc_id, qn.nt
+  having cast(count(*) as bigint) >= least(cast({int(m)} as bigint), qn.nt)
+),
+ranked as ({tail}"""
+
+
+def _bm25_prefix_sql(d: _Dialect) -> str:
+    """Prefix-wildcard BM25 twin (plans/query.py ``search_prefix``): each
+    'term*' word expands to every CORPUS term with that prefix (the twin's
+    vocabulary = dfreq, the same relation the engine's term dictionary
+    mirrors), then ordinary OR scoring over the union of literal+expansion
+    terms — Lucene's scoring-BooleanQuery rewrite. Uses the shared
+    ``parse_prefix_query`` so both engines split 'lit pre*' identically."""
+    from .functions.tokenizer import parse_prefix_query, tokenize
+
+    lit_rows: list[tuple[int, str]] = []
+    pat_rows: list[tuple[int, str]] = []
+    for qid, text in PREFIX_QUERIES:
+        lits, stems = parse_prefix_query(text)
+        for t in sorted(set(tokenize(" ".join(lits)))):
+            lit_rows.append((qid, t))
+        for s in stems:
+            pat_rows.append((qid, s + "%"))
+    qlits = ", ".join(f"({q}, '{t}')" for q, t in lit_rows) or "(0, '')"
+    qpats = ", ".join(f"({q}, '{p}')" for q, p in pat_rows) or "(0, '')"
+    return f"""
+with qlits(query_id, term) as (values {qlits}),
+qpats(query_id, pat) as (values {qpats}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+qterms as (
+  select distinct query_id, term from (
+    select query_id, term from qlits where query_id > 0
+    union
+    select q.query_id, v.term from qpats q join dfreq v on v.term like q.pat
+  ) u
+),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= 10
+"""
 
 
 def _bm25_text_sql(d: _Dialect) -> str:
@@ -772,6 +901,23 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_snippets"] = both(_bm25_snippet_sql)
     pairs["phrase_topk"] = both(_phrase_sql)
     pairs["bm25_conj"] = both(_bm25_conj_sql)
+    pairs["bm25_msm"] = both(_bm25_msm_sql)
+    pairs["bm25_prefix"] = both(_bm25_prefix_sql)
+
+    def _bm25_boost_sql(d: _Dialect) -> str:
+        # derive (clean queries, per-(qid, term) weights) from the ONE
+        # BOOST_QUERIES structure via the shared lockstep parser.
+        from .functions.tokenizer import parse_boost_query
+
+        clean: list[tuple[int, str]] = []
+        wts: list[tuple[int, str, float]] = []
+        for qid, text in BOOST_QUERIES:
+            txt, b = parse_boost_query(text)
+            clean.append((qid, txt))
+            wts.extend((qid, t, w) for t, w in sorted(b.items()))
+        return _bm25_sql(d, queries=clean, boosts=wts)
+
+    pairs["bm25_boost"] = both(_bm25_boost_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted
     # ranks; expunged = stats recomputed over survivors.
     pairs["bm25_masked"] = both(

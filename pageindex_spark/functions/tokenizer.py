@@ -57,6 +57,63 @@ def token_count(text: str) -> int:
     return len(tokenize(text))
 
 
+_BOOST_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+
+
+def parse_boost_query(text: str) -> tuple[str, dict[str, float]]:
+    """Split a query into (text without boosts, {term: weight}): a word with
+    a TRAILING '^<number>' (classic Lucene 'term^2.5' syntax) weights that
+    word's terms; the word itself stays in the query. Negated words
+    ('-term^2') keep their boost suffix stripped but exclusion never scores,
+    so the weight is ignored downstream. A term boosted twice takes the LAST
+    weight. Shared by the Spark engine (plans/query.py) and the SQL-twin
+    generator (driverq) — same lockstep rule as ``tokenize``."""
+    if "^" not in text:
+        return text, {}
+    words: list[str] = []
+    weights: dict[str, float] = {}
+    for w in text.split():
+        m = _BOOST_RE.match(w)
+        if m:
+            bare = m.group(1)
+            words.append(bare)
+            if not bare.startswith("-"):
+                wt = float(m.group(2))
+                if wt <= 0.0:
+                    # boost 0 would let BMW (upper bound 0 -> prunable) and
+                    # the dense verifier (matched at score 0) legitimately
+                    # disagree on tie-filling; reject rather than diverge.
+                    raise ValueError(f"boost must be > 0: {w!r}")
+                for t in tokenize(bare):
+                    weights[t] = wt
+        else:
+            words.append(w)
+    return " ".join(words), weights
+
+
+def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
+    """Split a query into (literal words, prefix stems): a whitespace word
+    with a TRAILING '*' is a prefix pattern (classic 'term*' wildcard
+    syntax); its stem must tokenize to exactly one term. Literal words pass
+    through untouched (including '-term' negations — ``parse_query`` handles
+    those downstream). Shared by the Spark engine (plans/query.py
+    ``search_prefix``) and the SQL-twin generator (driverq) so both parse
+    prefix queries identically — the same lockstep rule as ``tokenize``."""
+    lits: list[str] = []
+    stems: list[str] = []
+    for w in text.split():
+        if len(w) > 1 and w.endswith("*") and not w.startswith("-"):
+            toks = tokenize(w[:-1])
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix stem {w[:-1]!r} must be a single token, got {toks}"
+                )
+            stems.append(toks[0])
+        elif w != "*":
+            lits.append(w)
+    return lits, sorted(set(stems))
+
+
 def parse_query(text: str) -> tuple[str, list[str]]:
     """Split a query into (positive text, negated terms): a whitespace word
     with a LEADING '-' is an exclusion (classic '-term' boolean-NOT syntax —

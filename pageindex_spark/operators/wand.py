@@ -205,6 +205,42 @@ def conjunctive_score_cell(
     return idx + norms.lo, acc[idx]
 
 
+def msm_score_cell(
+    term_runs: dict[str, Run],
+    norms: CellNorms,
+    query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
+    avgdl: float,
+    min_match: int,
+    deleted: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """minimum_should_match retrieval: docs containing AT LEAST ``min_match``
+    of the query's terms (the Lucene ``minimumShouldMatch`` semantics — the
+    middle ground between OR and AND), with their full BM25 scores over the
+    matched terms. Exact per cell because cells partition docID space, so a
+    doc's postings for every term live in the same cell; a term with no
+    postings in this cell simply contributes no matches here (unlike the
+    conjunctive scorer, which may return empty for the whole cell).
+    ``min_match=1`` degenerates to dense OR; ``min_match=len(query_terms)``
+    to the AND intersection. Callers clamp min_match to the query's total
+    term count BEFORE dropping index-absent terms (plans/query.py), matching
+    the SQL twin's ``least(m, nt)``."""
+    width = len(norms.dl)
+    acc = np.zeros(width, dtype=np.float64)
+    cnt = np.zeros(width, dtype=np.int32)
+    for term, idf in query_terms:
+        run = term_runs.get(term)
+        if run is None:
+            continue
+        docs, tfs = decode_run(run)
+        local = docs.astype(np.int64) - norms.lo
+        acc[local] += idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
+        cnt[local] += 1
+    if deleted is not None and len(deleted):
+        cnt[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = 0
+    idx = np.flatnonzero(cnt >= min_match)
+    return idx + norms.lo, acc[idx]
+
+
 # ---------------------------------------------------------------------------
 # Block-Max WAND (doc-at-a-time)
 # ---------------------------------------------------------------------------

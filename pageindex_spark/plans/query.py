@@ -30,7 +30,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import parse_query, tokenize
+from ..functions.tokenizer import parse_boost_query, parse_query, tokenize
 from ..operators.compaction import run_from_row
 from ..operators.wand import (
     CellNorms,
@@ -39,6 +39,7 @@ from ..operators.wand import (
     conjunctive_score_cell,
     dense_score_cell,
     idf_value,
+    msm_score_cell,
     slice_run_to_cells,
 )
 from ..sources.tables import read_index_runs, read_meta
@@ -189,9 +190,11 @@ class Searcher:
         with_text: bool = False,
         tie_margin: int = FIXED_POINT_TIE_MARGIN,
         prune_norms: bool | None = None,
+        min_match: int = 2,
     ) -> DataFrame:
         return _search_impl(
-            self, queries, k, mode, fixed_point, with_text, tie_margin, prune_norms
+            self, queries, k, mode, fixed_point, with_text, tie_margin,
+            prune_norms, min_match,
         )
 
 
@@ -218,8 +221,16 @@ def search(
     fixed_point: bool = False,
     with_text: bool = False,
     prune_norms: bool | None = None,
+    min_match: int = 2,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
+
+    ``mode`` picks the matching semantics: ``"bmw"`` (default, Block-Max
+    WAND OR), ``"dense"`` (exhaustive OR verifier), ``"conjunctive"`` (AND),
+    or ``"msm"`` — minimum_should_match: docs matching at least
+    ``min_match`` of the query's terms rank (Lucene ``minimumShouldMatch``;
+    clamped to the query's term count, so one-term queries behave like OR
+    and ``min_match >= n_terms`` like AND).
 
     ``fixed_point`` ranks over ``floor(score * 1e6)`` with doc_id tie-break
     (the CLAUDE.md invariant for cross-engine determinism — the DuckDB
@@ -242,7 +253,8 @@ def search(
     — on a real cluster flip it on for any selective query load.
     """
     return get_searcher(spark, index_dir, cell_parts).search(
-        queries, k, mode, fixed_point, with_text, prune_norms=prune_norms
+        queries, k, mode, fixed_point, with_text, prune_norms=prune_norms,
+        min_match=min_match,
     )
 
 
@@ -342,6 +354,84 @@ def search_phrase(
         matched.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(*out_cols)
+    )
+
+
+def _expand_prefixes(
+    se: Searcher, stems: list[str], max_expansions: int
+) -> dict[str, list[str]]:
+    """One term-dictionary scan expanding every prefix stem to its concrete
+    index terms. The scan cannot bucket-prune (buckets hash whole terms) but
+    it is column-pruned to ``term`` and ships a pushed StringStartsWith per
+    stem to parquet (row-group pruning via min/max; terms sort within files)
+    — a metadata-class read, never postings blobs. Raises when a stem
+    matches more than ``max_expansions`` terms: silent truncation would make
+    results depend on scan order."""
+    ts = se.spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        # streamed: the latest committed delta holds the full recompute.
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    cond = F.col("term").startswith(stems[0])
+    for s in stems[1:]:
+        cond = cond | F.col("term").startswith(s)
+    terms = [
+        r["term"] for r in ts.filter(cond).select("term").distinct().collect()
+    ]
+    out: dict[str, list[str]] = {}
+    for s in stems:
+        exp = sorted(t for t in terms if t.startswith(s))
+        if len(exp) > max_expansions:
+            raise ValueError(
+                f"prefix '{s}*' expands to {len(exp)} terms "
+                f"(> max_expansions={max_expansions})"
+            )
+        out[s] = exp
+    return out
+
+
+def search_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    prune_norms: bool | None = None,
+    max_expansions: int = 1000,
+) -> DataFrame:
+    """Top-k BM25 with 'term*' PREFIX wildcards: each trailing-'*' word
+    expands against the term dictionary to every index term with that
+    prefix, then the query runs as ordinary OR retrieval over the union of
+    literal + expansion terms (Lucene's scoring-BooleanQuery rewrite: BM25
+    is a per-distinct-term sum, so driver-side expansion is EXACTLY
+    equivalent — each expansion scores with its own idf). Everything
+    downstream reuses the standard plan: expansions are concrete terms, so
+    bucket pruning, BMW, '-term' negation, deletes and fixed_point all work
+    unchanged. A stem matching nothing contributes no terms (a query left
+    with no terms at all returns no rows)."""
+    from ..functions.tokenizer import parse_prefix_query
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    parsed = {qid: parse_prefix_query(text) for qid, text in queries}
+    stems = sorted({s for _, ss in parsed.values() for s in ss})
+    exp = _expand_prefixes(se, stems, max_expansions) if stems else {}
+    expanded = []
+    for qid, (lits, ss) in parsed.items():
+        words = list(lits)
+        for s in ss:
+            words.extend(exp.get(s, []))
+        if words:
+            expanded.append((qid, " ".join(words)))
+    if not expanded:
+        out_schema = "query_id int, rank int, url string, score double" + (
+            ", text string" if with_text else ""
+        )
+        return spark.createDataFrame([], out_schema)
+    return se.search(
+        expanded, k=k, mode=mode, fixed_point=fixed_point,
+        with_text=with_text, prune_norms=prune_norms,
     )
 
 
@@ -463,6 +553,7 @@ def _search_impl(
     with_text: bool = False,
     tie_margin: int = FIXED_POINT_TIE_MARGIN,
     prune_norms: bool | None = None,
+    min_match: int = 2,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -484,11 +575,17 @@ def _search_impl(
     )
     empty = spark.createDataFrame([], out_schema)
 
+    # 'term^2.5' boosts (functions/tokenizer.parse_boost_query) fold into
+    # the per-(query, term) idf BEFORE it ships in the payload — every
+    # scoring kernel (dense/conjunctive/msm and BMW's block-max bounds,
+    # which scale linearly in idf) stays exact with zero kernel changes.
+    boost_parsed = {qid: parse_boost_query(text) for qid, text in queries}
+    boosts = {qid: b for qid, (_t, b) in boost_parsed.items() if b}
     # '-term' boolean NOT (functions/tokenizer.parse_query): negated terms
     # never score — their postings become a per-query exclusion mask fed
     # through the SAME pre-heap path as tombstoned docs, so an excluded doc
     # can never displace a survivor and survivors' scores are untouched.
-    parsed = {qid: parse_query(text) for qid, text in queries}
+    parsed = {qid: parse_query(txt) for qid, (txt, _b) in boost_parsed.items()}
     qterms = {qid: sorted(set(tokenize(pos))) for qid, (pos, _) in parsed.items()}
     qneg = {qid: negs for qid, (_, negs) in parsed.items() if negs}
     terms = sorted(
@@ -505,7 +602,15 @@ def _search_impl(
     _ensure_idf(se, terms)
     idf = {t: v for t in terms if (v := se._idf_cache[t]) is not None}
     payload = [
-        (qid, [(t, idf[t]) for t in qts if t in idf]) for qid, qts in qterms.items()
+        (
+            qid,
+            [
+                (t, idf[t] * boosts.get(qid, {}).get(t, 1.0))
+                for t in qts
+                if t in idf
+            ],
+        )
+        for qid, qts in qterms.items()
     ]
     payload = [(qid, tl) for qid, tl in payload if tl]
     if mode == "conjunctive":
@@ -514,6 +619,20 @@ def _search_impl(
         # remaining terms (which would silently widen the semantics).
         payload = [
             (qid, tl) for qid, tl in payload if len(tl) == len(qterms[qid])
+        ]
+    msm_by_qid: dict[int, int] = {}
+    if mode == "msm":
+        # minimum_should_match: the requirement clamps to the query's TOTAL
+        # term count (index-absent terms included — they can never match, so
+        # they only reduce what's achievable, exactly like the SQL twin's
+        # least(m, nt) over all query terms). Queries with fewer PRESENT
+        # terms than their requirement can never be satisfied — drop them
+        # driver-side rather than scoring cells for a provably-empty result.
+        msm_by_qid = {
+            qid: min(min_match, len(qts)) for qid, qts in qterms.items()
+        }
+        payload = [
+            (qid, tl) for qid, tl in payload if len(tl) >= msm_by_qid[qid]
         ]
     if not payload:
         return empty
@@ -596,8 +715,9 @@ def _search_impl(
         )
         if parts is not None:
             norms = norms.filter(F.col("part_id").isin(parts))
-    use_dense = mode in ("dense", "conjunctive")
+    use_dense = mode in ("dense", "conjunctive", "msm")
     conjunctive = mode == "conjunctive"
+    bc_msm = spark.sparkContext.broadcast(msm_by_qid) if msm_by_qid else None
     bc_deleted = (
         spark.sparkContext.broadcast(se.deleted_ids)
         if se.deleted_ids is not None and len(se.deleted_ids)
@@ -667,10 +787,18 @@ def _search_impl(
                         else arrs[0]
                     )
             if use_dense:
-                scorer = conjunctive_score_cell if conjunctive else dense_score_cell
-                d, s = scorer(
-                    term_runs, norms_obj, term_idf, avgdl, deleted=q_excl
-                )
+                if bc_msm is not None:
+                    d, s = msm_score_cell(
+                        term_runs, norms_obj, term_idf, avgdl,
+                        bc_msm.value[qid], deleted=q_excl,
+                    )
+                else:
+                    scorer = (
+                        conjunctive_score_cell if conjunctive else dense_score_cell
+                    )
+                    d, s = scorer(
+                        term_runs, norms_obj, term_idf, avgdl, deleted=q_excl
+                    )
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
                     order = np.lexsort((d, -s))[:cell_k]

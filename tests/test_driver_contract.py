@@ -83,6 +83,9 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_masked",
         "engine_bm25_deletes",
         "engine_bm25_not",
+        "engine_bm25_msm",
+        "engine_bm25_prefix",
+        "engine_bm25_boost",
         "engine_bm25_snippets",
         "engine_bm25_merged",
         "engine_phrase_pos",

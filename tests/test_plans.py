@@ -175,3 +175,33 @@ def test_positions_scan_pruned_and_pushed(spark, index_dir):
     assert "PartitionFilters" in plan and "bucket" in plan
     assert "PushedFilters" in plan
     assert "term" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
+def test_prefix_expansion_scan_pushed_and_pruned(spark, index_dir):
+    """The term-dictionary scan behind 'term*' expansion (plans/query.py
+    _expand_prefixes) must push StartsWith to parquet and column-prune to
+    the term column (df never loads; no postings blobs anywhere near)."""
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(F.col("term").startswith("ba") | F.col("term").startswith("qu"))
+        .select("term")
+    )
+    plan = _explain(ts)
+    assert "PushedFilters" in plan
+    assert "StartsWith" in plan.split("PushedFilters")[1].split("\n")[0]
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "term" in read_schema and "df" not in read_schema
+
+
+def test_parse_prefix_query_contract():
+    """'term*' parsing: stems split from literals, '-term' negations pass
+    through as literals, multi-token stems are rejected loudly."""
+    import pytest as _pytest
+
+    from pageindex_spark.functions.tokenizer import parse_prefix_query
+
+    assert parse_prefix_query("qu* dup -row ta*") == (["dup", "-row"], ["qu", "ta"])
+    assert parse_prefix_query("plain words") == (["plain", "words"], [])
+    assert parse_prefix_query("dup* dup*") == ([], ["dup"])
+    with _pytest.raises(ValueError):
+        parse_prefix_query("two-token*")
