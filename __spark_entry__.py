@@ -204,6 +204,32 @@ def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total hit counts (round 5, plans/hits.py): per-cell partial counts
+    over the pruned postings — O(cells) shuffled rows, no norms, no heap.
+    Must reproduce the hits_count SQL exactly."""
+    from pageindex_spark.plans.hits import search_count
+
+    index_dir = _engine_index(spark, sf_dir)
+    return search_count(spark, index_dir, BM25_QUERIES)
+
+
+def _engine_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet counts over the full match set (round 5, plans/hits.py):
+    matched doc coordinates join the partition-pruned extracts for urls,
+    then the (url, lang) dimension. Must reproduce the facet_counts SQL
+    exactly."""
+    from pageindex_spark.plans.hits import facet_counts
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("lang").alias("facet"),
+    )
+    return facet_counts(spark, index_dir, BM25_QUERIES, dim)
+
+
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _engine_bm25(spark, sf_dir, "bmw")
 
@@ -531,6 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_msm"] = _engine_bm25_msm  # minimum_should_match >= 2
     q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
+    q["engine_hits_count"] = _engine_hits_count  # track_total_hits
+    q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
@@ -562,6 +590,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_msm"] = o["bm25_msm"]
     o["engine_bm25_prefix"] = o["bm25_prefix"]
     o["engine_bm25_boost"] = o["bm25_boost"]
+    o["engine_hits_count"] = o["hits_count"]
+    o["engine_facet_counts"] = o["facet_counts"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]

@@ -431,6 +431,37 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
+def _matched_cte(d: _Dialect) -> str:
+    """Shared CTE chain: docs matching ANY query term (the OR match set the
+    engine's plans/hits.py kernels compute per cell)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+matched as (select distinct q.query_id, o.doc_id from qterms q join occ o on o.term = q.term)
+"""
+
+
+def _hits_count_sql(d: _Dialect) -> str:
+    """Total-hit-count twin (plans/hits.py ``search_count``)."""
+    return f"""{_matched_cte(d)}
+select query_id, cast(count(*) as bigint) as n_hits from matched group by query_id
+"""
+
+
+def _facet_counts_sql(d: _Dialect) -> str:
+    """Facet-counts twin (plans/hits.py ``facet_counts``): per-query match
+    counts grouped by the documents table's lang column."""
+    return f"""{_matched_cte(d)}
+select m.query_id, doc.lang as facet, cast(count(*) as bigint) as n_docs
+from matched m join documents doc on doc.doc_id = m.doc_id
+group by m.query_id, doc.lang
+"""
+
+
 def _bm25_text_sql(d: _Dialect) -> str:
     """bm25_topk + winner text fetch (md5-fingerprinted): the oracle for the
     engine's ``with_text`` retrieval surface (reference returns node text)."""
@@ -918,6 +949,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
         return _bm25_sql(d, queries=clean, boosts=wts)
 
     pairs["bm25_boost"] = both(_bm25_boost_sql)
+    pairs["hits_count"] = both(_hits_count_sql)
+    pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted
     # ranks; expunged = stats recomputed over survivors.
     pairs["bm25_masked"] = both(

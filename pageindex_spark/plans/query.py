@@ -490,6 +490,46 @@ def search_snippets(
     ).select("query_id", "rank", "url", "score", "snippet")
 
 
+def _slice_mapper(bc_grid):
+    """Map-side run -> docID-grid-cell slicer for ``mapInArrow`` (shared by
+    the top-k search plan and the full-match count/facet plans in
+    plans/hits.py). ``bc_grid`` is the broadcast cell grid."""
+
+    def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        grid = bc_grid.value
+        for batch in batches:
+            # Columnar rehydration: one to_pylist per column per batch (the
+            # run count for a heavy term grows with build partitions at
+            # scale — per-row pandas iterrows() was the round-1 hot spot).
+            # The Python loop below is bounded by runs-per-query-term per
+            # batch (blob work stays zero-decode byte slicing); if per-term
+            # run counts ever grow past ~10^4 (e.g. an unfolded index at
+            # extreme P), move the slicing to a numpy pass over the offsets.
+            cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
+            terms_col = cols["term"]
+            out = {n: [] for n, _ in _SLICE_FIELDS}
+            for ridx in range(batch.num_rows):
+                row = {name: vals[ridx] for name, vals in cols.items()}
+                run = run_from_row(row)
+                for cell, sub in slice_run_to_cells(run, grid):
+                    out["cell"].append(cell)
+                    out["term"].append(terms_col[ridx])
+                    out["first_doc"].append(sub.first_doc)
+                    out["last_doc"].append(sub.last_doc)
+                    out["n_docs"].append(sub.n_docs)
+                    out["doc_blob"].append(sub.doc_blob)
+                    out["tf_blob"].append(sub.tf_blob)
+                    out["bm_last"].append(sub.bm_last.tolist())
+                    out["bm_maxq"].append(sub.bm_maxq.tolist())
+                    out["bm_doc_off"].append(sub.bm_doc_off.tolist())
+                    out["bm_tf_off"].append(sub.bm_tf_off.tolist())
+                    out["bm_ndocs"].append(sub.bm_ndocs.tolist())
+            if out["cell"]:
+                yield from pa.table(out, schema=_SLICE_PA).to_batches()
+
+    return slice_runs
+
+
 def _parts_for_runs(
     ranges: list[tuple[int, int]],
     cell_grid,
@@ -662,43 +702,11 @@ def _search_impl(
         # streamed: uncommitted delta dirs (crashed refresh) are invisible.
         runs = runs.filter(F.col("delta").isin(se.committed_deltas))
 
-    def slice_runs(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        grid = bc_grid.value
-        for batch in batches:
-            # Columnar rehydration: one to_pylist per column per batch (the
-            # run count for a heavy term grows with build partitions at
-            # scale — per-row pandas iterrows() was the round-1 hot spot).
-            # The Python loop below is bounded by runs-per-query-term per
-            # batch (blob work stays zero-decode byte slicing); if per-term
-            # run counts ever grow past ~10^4 (e.g. an unfolded index at
-            # extreme P), move the slicing to a numpy pass over the offsets.
-            cols = {name: batch.column(name).to_pylist() for name in batch.schema.names}
-            terms_col = cols["term"]
-            out = {n: [] for n, _ in _SLICE_FIELDS}
-            for ridx in range(batch.num_rows):
-                row = {name: vals[ridx] for name, vals in cols.items()}
-                run = run_from_row(row)
-                for cell, sub in slice_run_to_cells(run, grid):
-                    out["cell"].append(cell)
-                    out["term"].append(terms_col[ridx])
-                    out["first_doc"].append(sub.first_doc)
-                    out["last_doc"].append(sub.last_doc)
-                    out["n_docs"].append(sub.n_docs)
-                    out["doc_blob"].append(sub.doc_blob)
-                    out["tf_blob"].append(sub.tf_blob)
-                    out["bm_last"].append(sub.bm_last.tolist())
-                    out["bm_maxq"].append(sub.bm_maxq.tolist())
-                    out["bm_doc_off"].append(sub.bm_doc_off.tolist())
-                    out["bm_tf_off"].append(sub.bm_tf_off.tolist())
-                    out["bm_ndocs"].append(sub.bm_ndocs.tolist())
-            if out["cell"]:
-                yield from pa.table(out, schema=_SLICE_PA).to_batches()
-
     # "delta" exists only on incrementally-refreshed streamed indexes (one
     # partition per refresh group); drop() is lenient so batch indexes pass
     # through unchanged. Runs across deltas stay docID-disjoint per term.
     slices = runs.drop("bucket", "run_id", "n_bytes", "delta").mapInArrow(
-        slice_runs, schema=_SLICE_DDL
+        _slice_mapper(bc_grid), schema=_SLICE_DDL
     )
 
     norms = se.norms

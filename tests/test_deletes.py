@@ -119,6 +119,67 @@ def test_masking_applies_to_phrase(spark, deleted_index):
     assert dead_url not in {r["url"] for r in out}
 
 
+def test_counts_and_facets_respect_masks(spark, deleted_index):
+    """plans/hits.py full-match aggregations share search's exclusion
+    contract: total hit counts and facet counts skip tombstoned docs and
+    '-term'-negated docs, matching a brute-force recount of the corpus."""
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.plans.hits import facet_counts, search_count
+
+    d = deleted_index
+    toks = {u: set(tokenize(t)) for u, t in d["rows"]}
+    # negate a term that provably occurs in a LIVE doc matching query 1 (and
+    # is not one of its positive terms), so the exclusion must bite
+    _qid1, text1 = d["queries"][1]
+    pos1 = set(tokenize(text1))
+    base_match = {
+        u
+        for u, ts in toks.items()
+        if ts & pos1 and u not in d["dead"]
+    }
+    neg = next(
+        t
+        for t in sorted({t for u in base_match for t in toks[u]} - pos1)
+        if any(t not in toks[u] for u in base_match)
+    )
+    queries = [d["queries"][0], (99, f"{text1} -{neg}")]
+
+    def brute(qtext):
+        from pageindex_spark.functions.tokenizer import parse_query
+
+        pos, negs = parse_query(qtext)
+        pts = set(tokenize(pos))
+        return {
+            u
+            for u, ts in toks.items()
+            if ts & pts and u not in d["dead"] and not (ts & set(negs))
+        }
+
+    got = {
+        r["query_id"]: r["n_hits"]
+        for r in search_count(spark, d["idx"], queries).collect()
+    }
+    want = {qid: len(brute(text)) for qid, text in queries}
+    want = {qid: n for qid, n in want.items() if n}
+    assert got == want
+    assert want[99] < len(brute(text1))  # the negation removed >= 1 doc
+
+    dim = spark.createDataFrame(
+        [(u, u[-1]) for u, _ in d["rows"]], "url string, facet string"
+    )
+    fc = {
+        (r["query_id"], r["facet"]): r["n_docs"]
+        for r in facet_counts(spark, d["idx"], queries, dim).collect()
+    }
+    from collections import Counter
+
+    want_fc: dict[tuple[int, str], int] = {}
+    for qid, text in queries:
+        for f, n in Counter(u[-1] for u in brute(text)).items():
+            want_fc[(qid, f)] = n
+    assert fc == want_fc
+
+
 def test_crashed_delete_invisible(spark, deleted_index, monkeypatch):
     """A delete that crashes before its meta commit must leave queries
     (and the committed tombstone version) untouched; the next delete GCs
