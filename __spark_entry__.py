@@ -204,6 +204,25 @@ def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deep paging (round 5): offset=10, k=10 — ranks 11..20 of the SAME
+    global order as bm25_topk (per-cell heaps deepen to offset+k). Must
+    reproduce the bm25_page2 SQL exactly, absolute ranks included."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
+        fixed_point=True, offset=10,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total hit counts (round 5, plans/hits.py): per-cell partial counts
     over the pruned postings — O(cells) shuffled rows, no norms, no heap.
@@ -557,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_msm"] = _engine_bm25_msm  # minimum_should_match >= 2
     q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
+    q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
@@ -590,6 +610,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_msm"] = o["bm25_msm"]
     o["engine_bm25_prefix"] = o["bm25_prefix"]
     o["engine_bm25_boost"] = o["bm25_boost"]
+    o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_bm25_masked"] = o["bm25_masked"]

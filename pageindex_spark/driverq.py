@@ -194,6 +194,7 @@ def _bm25_sql(
     neg: list[tuple[int, str]] | None = None,
     queries: list[tuple[int, str]] | None = None,
     boosts: list[tuple[int, str, float]] | None = None,
+    rank_where: str = "rank <= 10",
 ) -> str:
     """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
     (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
@@ -257,7 +258,7 @@ ranked as (
          row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
   from scored{mask_where}
 )
-select query_id, rank, doc_id, score6 from ranked where rank <= 10
+select query_id, rank, doc_id, score6 from ranked where {rank_where}
 """
 
 
@@ -949,6 +950,11 @@ def paired_sql() -> dict[str, tuple[str, str]]:
         return _bm25_sql(d, queries=clean, boosts=wts)
 
     pairs["bm25_boost"] = both(_bm25_boost_sql)
+    # paging (plans/query.py offset=): ranks 11..20 of the SAME global
+    # order as bm25_topk — absolute ranks preserved.
+    pairs["bm25_page2"] = both(
+        lambda d: _bm25_sql(d, rank_where="rank > 10 and rank <= 20")
+    )
     pairs["hits_count"] = both(_hits_count_sql)
     pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted

@@ -191,10 +191,11 @@ class Searcher:
         tie_margin: int = FIXED_POINT_TIE_MARGIN,
         prune_norms: bool | None = None,
         min_match: int = 2,
+        offset: int = 0,
     ) -> DataFrame:
         return _search_impl(
             self, queries, k, mode, fixed_point, with_text, tie_margin,
-            prune_norms, min_match,
+            prune_norms, min_match, offset,
         )
 
 
@@ -222,8 +223,15 @@ def search(
     with_text: bool = False,
     prune_norms: bool | None = None,
     min_match: int = 2,
+    offset: int = 0,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
+
+    ``offset`` pages past the first results (ranks offset+1..offset+k,
+    absolute ranks preserved): per-cell heaps deepen to offset+k so page N
+    is exactly what an offset-0 search would place there — the classic
+    deep-paging cost model (Elasticsearch from/size), so keep offsets
+    shallow and prefer larger k for exports.
 
     ``mode`` picks the matching semantics: ``"bmw"`` (default, Block-Max
     WAND OR), ``"dense"`` (exhaustive OR verifier), ``"conjunctive"`` (AND),
@@ -254,7 +262,7 @@ def search(
     """
     return get_searcher(spark, index_dir, cell_parts).search(
         queries, k, mode, fixed_point, with_text, prune_norms=prune_norms,
-        min_match=min_match,
+        min_match=min_match, offset=offset,
     )
 
 
@@ -594,6 +602,7 @@ def _search_impl(
     tie_margin: int = FIXED_POINT_TIE_MARGIN,
     prune_norms: bool | None = None,
     min_match: int = 2,
+    offset: int = 0,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -609,7 +618,9 @@ def _search_impl(
     # share a floored cell but may sit in opposite raw order. Keeping a few
     # extra candidates per cell makes the floored global cut exact unless
     # > margin docs land in one 1e-6 cell right at the boundary.
-    cell_k = k + tie_margin if fixed_point else k
+    # Paging: ranks (offset, offset+k] of the GLOBAL order — every per-cell
+    # heap must hold offset+k candidates for the page to be exact.
+    cell_k = k + offset + (tie_margin if fixed_point else 0)
     out_schema = "query_id int, rank int, url string, score double" + (
         ", text string" if with_text else ""
     )
@@ -840,7 +851,9 @@ def _search_impl(
         .applyInPandas(score_cell, schema="query_id int, doc_id long, score double")
     )
 
-    return _rank_and_lookup(se, scored, k, fixed_point, with_text, empty)
+    return _rank_and_lookup(
+        se, scored, k, fixed_point, with_text, empty, offset=offset
+    )
 
 
 def _rank_and_lookup(
@@ -850,6 +863,7 @@ def _rank_and_lookup(
     fixed_point: bool,
     with_text: bool,
     empty: DataFrame,
+    offset: int = 0,
 ) -> DataFrame:
     """Shared tail of every retrieval path ((query_id, doc_id, score) ->
     ranked winners with urls): global rank over the candidate rows, then a
@@ -865,7 +879,7 @@ def _rank_and_lookup(
     w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("doc_id"))
     top_rows = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
         .collect()
     )
     if not top_rows:
