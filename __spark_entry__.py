@@ -204,6 +204,27 @@ def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy terms (round 5): typo tokens expand to index terms within one
+    Levenshtein edit (JVM codegen scan of the term dictionary), then OR/BMW
+    over the union. Must reproduce the bm25_fuzzy SQL exactly (query 5's
+    far-from-everything token yields zero rows on both sides)."""
+    from pageindex_spark import search_fuzzy
+    from pageindex_spark.driverq import FUZZY_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_fuzzy(
+        spark, index_dir, FUZZY_QUERIES, k=10, max_edits=1,
+        mode="bmw", fixed_point=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deep paging (round 5): offset=10, k=10 — ranks 11..20 of the SAME
     global order as bm25_topk (per-cell heaps deepen to offset+k). Must
@@ -576,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_msm"] = _engine_bm25_msm  # minimum_should_match >= 2
     q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
+    q["engine_bm25_fuzzy"] = _engine_bm25_fuzzy  # 1-edit fuzzy terms
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
@@ -610,6 +632,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_msm"] = o["bm25_msm"]
     o["engine_bm25_prefix"] = o["bm25_prefix"]
     o["engine_bm25_boost"] = o["bm25_boost"]
+    o["engine_bm25_fuzzy"] = o["bm25_fuzzy"]
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]

@@ -69,6 +69,18 @@ PREFIX_QUERIES = [
     (5, "z*"),
 ]
 
+# Fuzzy query set (plans/query.py search_fuzzy, max_edits=1): typos one edit
+# from real vocab terms ('custmer'->customer, 'windoq'->window, 'qury'->query,
+# 'dupp'->dup — the rare term, 'merje'->merge+merte-like neighbors), plus one
+# clean term ('line' matches itself and any 1-edit neighbors).
+FUZZY_QUERIES = [
+    (1, "custmer"),
+    (2, "windoq merje"),
+    (3, "qury"),
+    (4, "dupp line"),
+    (5, "zzzzz"),
+]
+
 # Per-term boost query set ('term^w' syntax, plans/query.py): weights chosen
 # to actually reorder winners vs plain OR (damping/amplifying the rare 'dup'
 # term flips which docs top the list; query 3 pins uniform score scaling on
@@ -460,6 +472,54 @@ def _facet_counts_sql(d: _Dialect) -> str:
 select m.query_id, doc.lang as facet, cast(count(*) as bigint) as n_docs
 from matched m join documents doc on doc.doc_id = m.doc_id
 group by m.query_id, doc.lang
+"""
+
+
+def _bm25_fuzzy_sql(d: _Dialect, max_edits: int = 1) -> str:
+    """Fuzzy BM25 twin (plans/query.py ``search_fuzzy``): each query token
+    expands to every CORPUS term within ``max_edits`` Levenshtein edits
+    (both engines ship the same ``levenshtein``), then ordinary OR scoring
+    over the expansion union — pure BM25 per expansion (no Lucene-style
+    similarity down-weighting, deliberately, so the twin is exact)."""
+    from .functions.tokenizer import tokenize
+
+    rows = []
+    for qid, text in FUZZY_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            rows.append((qid, t))
+    qlist = ", ".join(f"({q}, '{t}')" for q, t in rows)
+    return f"""
+with qtoks(query_id, tok) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+qterms as (
+  select distinct q.query_id, v.term
+  from qtoks q join dfreq v on levenshtein(v.term, q.tok) <= {int(max_edits)}
+),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
@@ -935,6 +995,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_conj"] = both(_bm25_conj_sql)
     pairs["bm25_msm"] = both(_bm25_msm_sql)
     pairs["bm25_prefix"] = both(_bm25_prefix_sql)
+    pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

@@ -443,6 +443,86 @@ def search_prefix(
     )
 
 
+def search_fuzzy(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    max_edits: int = 1,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    max_expansions: int = 1000,
+) -> DataFrame:
+    """Top-k BM25 with FUZZY terms (Lucene FuzzyQuery shape): every query
+    token expands to the index terms within ``max_edits`` Levenshtein edits
+    (itself included when present), then the query runs as ordinary OR/BMW
+    retrieval over the expansion union — the same scoring-rewrite as
+    ``search_prefix``, each expansion scoring with its own idf. (Lucene
+    additionally down-weights by similarity; this engine keeps pure BM25 so
+    the DuckDB twin is exact — both engines ship the same ``levenshtein``.)
+
+    The expansion scan is a FULL pass over the term dictionary (edit
+    distance can't push to parquet min/max) but stays column-pruned to
+    ``term`` and JVM-side (``F.levenshtein`` in codegen) — a metadata-class
+    read. At trillion-term vocabularies, swap in a deletion-neighborhood or
+    trigram sidecar keyed like the positions sidecar; the plan downstream
+    is unchanged either way. A token expanding to more than
+    ``max_expansions`` terms raises (never silent truncation)."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    toks = {qid: tokenize(text) for qid, text in queries}
+    uniq = sorted({t for ts in toks.values() for t in ts})
+    if not uniq:
+        out_schema = "query_id int, rank int, url string, score double" + (
+            ", text string" if with_text else ""
+        )
+        return spark.createDataFrame([], out_schema)
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    cond = F.levenshtein(F.col("term"), F.lit(uniq[0])) <= max_edits
+    for t in uniq[1:]:
+        cond = cond | (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+    vocab = [r["term"] for r in ts.filter(cond).select("term").distinct().collect()]
+
+    def _ed(a: str, b: str) -> int:
+        # classic DP; tokens are short and vocab is pre-filtered by the scan
+        if abs(len(a) - len(b)) > max_edits:
+            return max_edits + 1
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expanded = []
+    for qid, qts in toks.items():
+        words: list[str] = []
+        for t in qts:
+            exp = sorted(v for v in vocab if _ed(v, t) <= max_edits)
+            if len(exp) > max_expansions:
+                raise ValueError(
+                    f"fuzzy term {t!r} expands to {len(exp)} terms "
+                    f"(> max_expansions={max_expansions})"
+                )
+            words.extend(exp)
+        if words:
+            expanded.append((qid, " ".join(words)))
+    if not expanded:
+        out_schema = "query_id int, rank int, url string, score double" + (
+            ", text string" if with_text else ""
+        )
+        return spark.createDataFrame([], out_schema)
+    return se.search(
+        expanded, k=k, mode=mode, fixed_point=fixed_point, with_text=with_text
+    )
+
+
 def search_snippets(
     spark: SparkSession,
     index_dir: str,
