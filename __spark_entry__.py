@@ -204,6 +204,25 @@ def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score explanation (round 5, plans/explain.py): per-term BM25
+    contribution rows for each query's top-3 docs — Lucene explain()
+    parity. Per-term contributions floor independently at 1e-6; must
+    reproduce the bm25_explain SQL exactly."""
+    from pageindex_spark.plans.explain import explain_score
+
+    index_dir = _engine_index(spark, sf_dir)
+    ex = explain_score(spark, index_dir, BM25_QUERIES, k=3)
+    return ex.select(
+        "query_id",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "term",
+        "tf",
+        "df",
+        F.floor(F.col("contrib") * 1_000_000).cast("bigint").alias("contrib6"),
+    )
+
+
 def _engine_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy terms (round 5): typo tokens expand to index terms within one
     Levenshtein edit (JVM codegen scan of the term dictionary), then OR/BMW
@@ -598,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
     q["engine_bm25_fuzzy"] = _engine_bm25_fuzzy  # 1-edit fuzzy terms
+    q["engine_bm25_explain"] = _engine_bm25_explain  # Lucene explain()
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
@@ -633,6 +653,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_prefix"] = o["bm25_prefix"]
     o["engine_bm25_boost"] = o["bm25_boost"]
     o["engine_bm25_fuzzy"] = o["bm25_fuzzy"]
+    o["engine_bm25_explain"] = o["bm25_explain"]
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]

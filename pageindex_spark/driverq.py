@@ -523,6 +523,49 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
+def _explain_sql(d: _Dialect, k: int = 3) -> str:
+    """Score-explanation twin (plans/explain.py): per-term BM25 contribution
+    rows for each query's floored top-k docs. The per-term w is the SAME
+    expression as the shared contrib CTE; contributions floor at 1e-6
+    independently (the engine floors the same way)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+percontrib as (
+  select q.query_id, p.doc_id, q.term, p.tf, d.df,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from percontrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+),
+winners as (select query_id, doc_id from ranked where rank <= {int(k)})
+select pc.query_id, pc.doc_id, pc.term, pc.tf, pc.df,
+       cast(floor(pc.w * 1000000) as bigint) as contrib6
+from percontrib pc
+join winners t on t.query_id = pc.query_id and t.doc_id = pc.doc_id
+"""
+
+
 def _bm25_text_sql(d: _Dialect) -> str:
     """bm25_topk + winner text fetch (md5-fingerprinted): the oracle for the
     engine's ``with_text`` retrieval surface (reference returns node text)."""
@@ -996,6 +1039,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_msm"] = both(_bm25_msm_sql)
     pairs["bm25_prefix"] = both(_bm25_prefix_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
+    pairs["bm25_explain"] = both(_explain_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

@@ -87,6 +87,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_prefix",
         "engine_bm25_boost",
         "engine_bm25_fuzzy",
+        "engine_bm25_explain",
         "engine_bm25_page",
         "engine_hits_count",
         "engine_facet_counts",

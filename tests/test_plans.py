@@ -205,3 +205,15 @@ def test_parse_prefix_query_contract():
     assert parse_prefix_query("dup* dup*") == ([], ["dup"])
     with _pytest.raises(ValueError):
         parse_prefix_query("two-token*")
+
+
+def test_hits_count_plan_reads_no_norms(spark, index_dir):
+    """The full-match count plan (plans/hits.py) must never scan the norms
+    relation (doc lengths don't matter to matching) and must keep the
+    postings scan bucket-pruned — O(cells) shuffled rows is the contract."""
+    from pageindex_spark.plans.hits import search_count
+
+    df = search_count(spark, index_dir, [(1, "ba di")])
+    plan = _explain(df)
+    assert "norms" not in plan
+    assert "PartitionFilters" in plan and "bucket" in plan
