@@ -471,7 +471,12 @@ def search_fuzzy(
     is unchanged either way. A token expanding to more than
     ``max_expansions`` terms raises (never silent truncation)."""
     se = get_searcher(spark, index_dir, cell_parts)
-    toks = {qid: tokenize(text) for qid, text in queries}
+    # '-term' negations pass through UNexpanded (Lucene doesn't fuzz
+    # exclusions either; silently dropping the '-' would flip an exclusion
+    # into a positive fuzzy match). Only positive tokens expand.
+    split = {qid: parse_query(text) for qid, text in queries}
+    toks = {qid: tokenize(pos) for qid, (pos, _negs) in split.items()}
+    negs = {qid: ns for qid, (_pos, ns) in split.items() if ns}
     uniq = sorted({t for ts in toks.values() for t in ts})
     if not uniq:
         out_schema = "query_id int, rank int, url string, score double" + (
@@ -512,6 +517,7 @@ def search_fuzzy(
                 )
             words.extend(exp)
         if words:
+            words.extend(f"-{n}" for n in negs.get(qid, ()))
             expanded.append((qid, " ".join(words)))
     if not expanded:
         out_schema = "query_id int, rank int, url string, score double" + (

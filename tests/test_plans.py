@@ -217,3 +217,18 @@ def test_hits_count_plan_reads_no_norms(spark, index_dir):
     plan = _explain(df)
     assert "norms" not in plan
     assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_fuzzy_negation_passes_through(spark, index_dir):
+    """'-term' inside a fuzzy query stays an EXCLUSION (unexpanded): results
+    must never contain the negated term — the naive tokenize would have
+    silently flipped it into a positive fuzzy match."""
+    from pageindex_spark import search_fuzzy
+    from pageindex_spark.functions.tokenizer import tokenize
+
+    out = search_fuzzy(
+        spark, index_dir, [(1, "ba -ce")], k=20, with_text=True
+    ).collect()
+    assert out  # fuzzy 'ba' matches something
+    for r in out:
+        assert "ce" not in tokenize(r["text"])
