@@ -417,6 +417,90 @@ def _engine_bm25_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered search (plans/query.py filter_urls): only docs passing the
+    driverq.FILTER_PRED attribute predicate (lang = 'en') may rank; their
+    scores stay corpus-wide (Lucene filter-context semantics — the filter
+    is a predicate, not a signal). The allowed set masks candidates
+    pre-heap through the same contract as tombstones. Must reproduce the
+    bm25_filtered SQL exactly."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    allowed = docs.filter(F.col("lang") == "en").select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url")
+    )
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
+        fixed_point=True, filter_urls=allowed,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time BM25 similarity overrides (plans/query.py search k1/b):
+    the SAME committed index (built at k1=1.2, b=0.75) serves the batch at
+    (driverq.TUNED_K1, TUNED_B) — kernels evaluate the formula at the
+    override, BMW block-max bounds inflate by the provable
+    _param_bound_scale factor, committed bytes untouched. Must reproduce
+    the bm25_tuned SQL exactly."""
+    from pageindex_spark import search
+    from pageindex_spark.driverq import TUNED_B, TUNED_K1
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
+        fixed_point=True, k1=TUNED_K1, b=TUNED_B,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_term_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete (plans/query.py suggest_terms): per prefix, the top
+    index terms by df desc / term asc from ONE pushed-StartsWith
+    term-dictionary scan. Must reproduce the term_suggest SQL exactly
+    (the 'zzz' prefix yields zero rows on both sides)."""
+    from pageindex_spark.driverq import SUGGEST_PREFIXES
+    from pageindex_spark.plans.query import suggest_terms
+
+    index_dir = _engine_index(spark, sf_dir)
+    return suggest_terms(spark, index_dir, SUGGEST_PREFIXES, k=10)
+
+
+def _engine_bm25_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this (plans/query.py more_like_this): each seed doc's top
+    tf*idf terms form an unweighted OR query; the seed is masked from its
+    own ranking. Must reproduce the bm25_mlt SQL exactly (identical term
+    selection via the floored 1e-6 interestingness key)."""
+    from pageindex_spark.driverq import MLT_SEEDS
+    from pageindex_spark.plans.query import more_like_this
+
+    index_dir = _engine_index(spark, sf_dir)
+    seeds = [
+        (qid, str(did).zfill(10)) for qid, did in MLT_SEEDS
+    ]  # engine urls are the lpad'd doc_ids (_docs_as_corpus)
+    top = more_like_this(
+        spark, index_dir, seeds, k=10, max_terms=10, fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _dead_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deterministic delete set (driverq.DELETE_PRED: doc_id % 7 = 3)
     as engine urls — must mirror the SQL twins exactly."""
@@ -624,6 +708,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
+    q["engine_bm25_filtered"] = _engine_bm25_filtered  # attribute filter
+    q["engine_bm25_tuned"] = _engine_bm25_tuned  # query-time k1/b overrides
+    q["engine_term_suggest"] = _engine_term_suggest  # autocomplete
+    q["engine_bm25_mlt"] = _engine_bm25_mlt  # more-like-this
     q["engine_bm25_snippets"] = _engine_bm25_snippets  # winner excerpts
     q["engine_bm25_merged"] = _engine_bm25_merged  # shard merge == full build
     q["lsh_ann_topk"] = _lsh_ann
@@ -660,6 +748,10 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]
+    o["engine_bm25_filtered"] = o["bm25_filtered"]
+    o["engine_bm25_tuned"] = o["bm25_tuned"]
+    o["engine_term_suggest"] = o["term_suggest"]
+    o["engine_bm25_mlt"] = o["bm25_mlt"]
     o["engine_bm25_snippets"] = o["bm25_snippets"]
     o["engine_bm25_merged"] = o["bm25_topk"]  # merged shards == full corpus
     # lsh_ann_topk's oracle comes from paired_sql (seeded hyperplanes as

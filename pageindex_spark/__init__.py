@@ -10,9 +10,11 @@ entry point, ``/root/reference/pageindex/page_index.py:1101-1109``):
 
 from .plans.build_index import IndexPaths, build_index, build_metrics  # noqa: F401
 from .plans.query import (  # noqa: F401
+    more_like_this,
     search,
     search_fuzzy,
     search_prefix,
     search_snippets,
+    suggest_terms,
 )
 from .session import get_spark, warm_up  # noqa: F401

@@ -207,6 +207,8 @@ def _bm25_sql(
     queries: list[tuple[int, str]] | None = None,
     boosts: list[tuple[int, str, float]] | None = None,
     rank_where: str = "rank <= 10",
+    k1: float = 1.2,
+    b: float = 0.75,
 ) -> str:
     """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
     (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
@@ -218,7 +220,8 @@ def _bm25_sql(
     NOT semantics of plans/query.py (exclusion never changes survivor
     scores). ``boosts`` = per-(query, term) weights multiplying the term's
     idf — the 'term^2.5' syntax of plans/query.py (weight placement matches
-    the engine's idf-fold: ``ln(...) * wt``)."""
+    the engine's idf-fold: ``ln(...) * wt``). ``k1``/``b`` mirror the
+    engine's query-time similarity overrides (plans/query.py search)."""
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in (queries or BM25_QUERIES))
     corpus_where = f" where {corpus_pred}" if corpus_pred else ""
     boost_cte, boost_join, boost_mul = "", "", ""
@@ -254,7 +257,7 @@ dfreq as (select term, cast(count(*) as bigint) as df from postings group by ter
 contrib as (
   select q.query_id, p.doc_id,
          ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0){boost_mul}
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+           * p.tf * {k1 + 1.0!r} / (p.tf + {k1!r} * (1.0 - {b!r} + {b!r} * s.doc_len / c.avgdl)) as w
   from qterms q
   join postings p on p.term = q.term
   join dfreq d on d.term = q.term
@@ -282,6 +285,104 @@ DELETE_PRED = "doc_id % 7 = 3"
 # " -<term>" to the flagship query; terms chosen present in the testdata
 # vocab and disjoint from each query's positive terms).
 NOT_NEG = {1: "window", 2: "customer", 3: "merge", 4: "table", 5: "row"}
+
+# Attribute filter for the filtered-search entries (Lucene filter context:
+# only docs passing the predicate may rank; scores stay corpus-wide). The
+# engine side passes the same docs as a filter_urls DataFrame.
+FILTER_PRED = "lang = 'en'"
+
+# Autocomplete prefixes for the term-suggest entries: a fan-out prefix
+# ('s' matches 6 vocab terms), two narrower ones, and one matching nothing
+# (its query_id must yield zero rows on both sides).
+SUGGEST_PREFIXES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zzz")]
+
+# Seed documents for the more-like-this entries (engine side passes the
+# same docs as lpad'd urls).
+MLT_SEEDS = [(1, 3), (2, 57), (3, 123), (4, 250), (5, 499)]
+
+# Query-time BM25 similarity overrides for the tuned-search entries (the
+# classic short-field web tuning; engine passes search(k1=, b=) — committed
+# index bytes built at (1.2, 0.75) are reused, BMW bounds inflate by the
+# provable parameter factor in plans/query.py:_param_bound_scale).
+TUNED_K1 = 0.9
+TUNED_B = 0.4
+
+
+def _suggest_sql(d: _Dialect, k: int = 10) -> str:
+    """Term-suggest twin: for each prefix, the index terms starting with it
+    ranked by document frequency desc, term asc (plans/query.py
+    suggest_terms — the engine reads the same df from term_stats)."""
+    plist = ", ".join(f"({qid}, '{p}')" for qid, p in SUGGEST_PREFIXES)
+    return f"""
+with prefixes(query_id, prefix) as (values {plist}),
+occ as (select doc_id, {d.unnest(d.terms('text'))} as term from documents),
+dfreq as (select term, cast(count(distinct doc_id) as bigint) as df from occ group by term),
+matched as (
+  select p.query_id, f.term, f.df
+  from prefixes p join dfreq f on f.term like p.prefix || '%'
+),
+ranked as (
+  select query_id, term, df,
+         row_number() over (partition by query_id order by df desc, term asc) as rank
+  from matched
+)
+select query_id, rank, term, df from ranked where rank <= {k}
+"""
+
+
+def _mlt_sql(d: _Dialect, k: int = 10, max_terms: int = 10) -> str:
+    """More-like-this twin (plans/query.py more_like_this): each seed doc's
+    ``max_terms`` top terms by floor(tf * idf * 1e6) desc / term asc form an
+    unweighted OR query scored by the standard BM25 pipeline; the seed
+    itself is masked from its own ranking (scores corpus-wide — the mask is
+    the filter-context shape)."""
+    slist = ", ".join(f"({qid}, {did})" for qid, did in MLT_SEEDS)
+    return f"""
+with seeds(query_id, seed_id) as (values {slist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+seed_sel as (
+  select s.query_id, p.term,
+         row_number() over (
+           partition by s.query_id
+           order by cast(floor(p.tf * ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0) * 1000000) as bigint) desc,
+                    p.term asc
+         ) as trank
+  from seeds s
+  join postings p on p.doc_id = s.seed_id
+  join dfreq f on f.term = p.term
+  cross join corpus c
+),
+qterms as (select query_id, term from seed_sel where trank <= {max_terms}),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq f on f.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+  where not exists (
+    select 1 from seeds s
+    where s.query_id = scored.query_id and s.seed_id = scored.doc_id
+  )
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
 
 
 def _phrase_sql(d: _Dialect) -> str:
@@ -1075,6 +1176,28 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_not"] = both(
         lambda d: _bm25_sql(d, neg=sorted(NOT_NEG.items()))
     )
+    # filtered search (plans/query.py filter_urls): Lucene filter-context
+    # semantics — the attribute predicate masks scored docs AFTER stats
+    # (passing docs keep their corpus-wide scores; ranks compact), exactly
+    # the masked-delete shape with an inclusion set.
+    pairs["bm25_filtered"] = both(
+        lambda d: _bm25_sql(
+            d,
+            mask_pred=(
+                "doc_id in (select doc_id from documents where "
+                f"{FILTER_PRED})"
+            ),
+        )
+    )
+    # autocomplete (plans/query.py suggest_terms): prefix -> top vocabulary
+    # terms by df desc, term asc; one prefix matches nothing.
+    pairs["term_suggest"] = both(_suggest_sql)
+    # more-like-this (plans/query.py more_like_this): seed doc's top tf*idf
+    # terms -> OR query, seed masked from its own ranking.
+    pairs["bm25_mlt"] = both(_mlt_sql)
+    # query-time similarity overrides (plans/query.py search k1/b): same
+    # committed index, scores evaluated at (TUNED_K1, TUNED_B).
+    pairs["bm25_tuned"] = both(lambda d: _bm25_sql(d, k1=TUNED_K1, b=TUNED_B))
 
     def _token_count_sql(d: _Dialect) -> str:
         from .operators.textstats import BPE_PATTERN

@@ -128,9 +128,21 @@ class CellNorms:
         return self.dl[docs.astype(np.int64) - self.lo]
 
 
-def quality(tfs: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+def quality(
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> np.ndarray:
+    """tf saturation term of BM25, in (0, 1]. ``k1``/``b`` default to the
+    index-wide constants; query-time overrides (Lucene per-query similarity
+    config) flow through every kernel — block-max bounds stay valid via the
+    parameter inflation factor derived in plans/query.py
+    (_param_bound_scale) plus the unconditional score <= weight cap below
+    (quality can never exceed 1)."""
     tf = tfs.astype(np.float64)
-    return tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
+    return tf / (tf + k1 * (1.0 - b + b * dls / avgdl))
 
 
 # ---------------------------------------------------------------------------
@@ -144,6 +156,9 @@ def dense_score_cell(
     query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
     avgdl: float,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exhaustive vectorized scoring of every matching doc in the cell for
     one query. Returns (doc_ids int64, scores float64) for matched docs.
@@ -151,7 +166,10 @@ def dense_score_cell(
     ``deleted`` (sorted int64 docIDs) masks tombstoned docs BEFORE any
     ranking sees them — survivors' scores are untouched (BM25 stats stay
     at the committed index's values until an expunge re-tightens them;
-    Lucene semantics).
+    Lucene semantics). ``allowed`` (sorted int64 docIDs) is the INCLUSION
+    mask of filtered search (Lucene filter context): when given, only
+    docs in it may rank — same pre-heap contract, same stale-stats score
+    identity for the docs that pass.
     """
     width = len(norms.dl)
     acc = np.zeros(width, dtype=np.float64)
@@ -162,11 +180,15 @@ def dense_score_cell(
             continue
         docs, tfs = decode_run(run)
         local = docs.astype(np.int64) - norms.lo
-        contrib = idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
+        contrib = idf * (k1 + 1.0) * quality(tfs, norms.dl[local], avgdl, k1, b)
         acc[local] += contrib
         touched[local] = True
     if deleted is not None and len(deleted):
         touched[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = False
+    if allowed is not None:
+        inc = np.zeros(width, dtype=bool)
+        inc[(allowed - norms.lo)[(allowed >= norms.lo) & (allowed < norms.lo + width)]] = True
+        touched &= inc
     idx = np.flatnonzero(touched)
     return idx + norms.lo, acc[idx]
 
@@ -177,6 +199,9 @@ def conjunctive_score_cell(
     query_terms: list[tuple[str, float]],  # (term, idf) SORTED by term
     avgdl: float,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Docs containing EVERY query term (postings intersection within the
     cell — exact, because cells partition docID space so a doc's postings
@@ -197,10 +222,14 @@ def conjunctive_score_cell(
             return empty
         docs, tfs = decode_run(run)
         local = docs.astype(np.int64) - norms.lo
-        acc[local] += idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
+        acc[local] += idf * (k1 + 1.0) * quality(tfs, norms.dl[local], avgdl, k1, b)
         cnt[local] += 1
     if deleted is not None and len(deleted):
         cnt[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = 0
+    if allowed is not None:
+        inc = np.zeros(width, dtype=bool)
+        inc[(allowed - norms.lo)[(allowed >= norms.lo) & (allowed < norms.lo + width)]] = True
+        cnt[~inc] = 0
     idx = np.flatnonzero(cnt == len(query_terms))
     return idx + norms.lo, acc[idx]
 
@@ -212,6 +241,9 @@ def msm_score_cell(
     avgdl: float,
     min_match: int,
     deleted: np.ndarray | None = None,
+    allowed: np.ndarray | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> tuple[np.ndarray, np.ndarray]:
     """minimum_should_match retrieval: docs containing AT LEAST ``min_match``
     of the query's terms (the Lucene ``minimumShouldMatch`` semantics — the
@@ -233,10 +265,14 @@ def msm_score_cell(
             continue
         docs, tfs = decode_run(run)
         local = docs.astype(np.int64) - norms.lo
-        acc[local] += idf * (BM25_K1 + 1.0) * quality(tfs, norms.dl[local], avgdl)
+        acc[local] += idf * (k1 + 1.0) * quality(tfs, norms.dl[local], avgdl, k1, b)
         cnt[local] += 1
     if deleted is not None and len(deleted):
         cnt[(deleted - norms.lo)[(deleted >= norms.lo) & (deleted < norms.lo + width)]] = 0
+    if allowed is not None:
+        inc = np.zeros(width, dtype=bool)
+        inc[(allowed - norms.lo)[(allowed >= norms.lo) & (allowed < norms.lo + width)]] = True
+        cnt[~inc] = 0
     idx = np.flatnonzero(cnt >= min_match)
     return idx + norms.lo, acc[idx]
 
@@ -251,22 +287,38 @@ class TermCursor:
 
     __slots__ = (
         "term", "run", "idf", "weight", "ub_weight", "block", "pos", "docs",
-        "tfs", "max_ub", "exhausted",
+        "tfs", "max_ub", "exhausted", "k1", "b",
     )
 
-    def __init__(self, term: str, run: Run, idf: float, bound_scale: float = 1.0):
+    def __init__(
+        self,
+        term: str,
+        run: Run,
+        idf: float,
+        bound_scale: float = 1.0,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ):
         self.term = term
         self.run = run
         self.idf = idf
-        self.weight = idf * (BM25_K1 + 1.0)
-        # Upper bounds use the recorded bm_maxq inflated by bound_scale =
-        # max(1, live_avgdl / bound_avgdl): an expunge that GROWS avgdl
+        self.k1 = k1
+        self.b = b
+        self.weight = idf * (k1 + 1.0)
+        # Upper bounds use the recorded bm_maxq inflated by bound_scale:
+        # (a) max(1, live_avgdl / bound_avgdl) — an expunge that GROWS avgdl
         # makes true qualities exceed the build-time bm_maxq by at most
-        # that factor (plans/expunge.py docstring carries the proof), so
-        # the inflated bound stays an upper bound and BMW stays exact.
-        # Scoring itself always uses the uninflated weight.
+        # that factor (plans/expunge.py docstring carries the proof) — and
+        # (b) the query-time (k1, b) parameter factor from
+        # plans/query.py:_param_bound_scale when the caller overrides the
+        # index constants (may be math.inf for b=0; the cap below absorbs
+        # it). Scoring itself always uses the uninflated weight.
+        # Every bound is additionally capped at `weight`: quality <= 1
+        # pointwise, so idf*(k1+1)*quality <= weight unconditionally — the
+        # cap is always a valid upper bound and strictly TIGHTENS pruning
+        # whenever bound_scale * bm_maxq exceeds 1.
         self.ub_weight = self.weight * bound_scale
-        self.max_ub = self.ub_weight * float(run.bm_maxq.max())
+        self.max_ub = min(self.ub_weight * float(run.bm_maxq.max()), self.weight)
         self.exhausted = False
         self.block = -1
         self.docs: np.ndarray | None = None
@@ -293,12 +345,12 @@ class TermCursor:
     def block_ub_at(self, target: int) -> float:
         """Upper bound of the block that would contain target (shallow —
         metadata only, no decode of that block)."""
-        b = self.block
-        if int(self.run.bm_last[b]) < target:
-            b = int(np.searchsorted(self.run.bm_last, target, side="left"))
-            if b >= self.run.n_blocks:
+        blk = self.block
+        if int(self.run.bm_last[blk]) < target:
+            blk = int(np.searchsorted(self.run.bm_last, target, side="left"))
+            if blk >= self.run.n_blocks:
                 return 0.0
-        return self.ub_weight * float(self.run.bm_maxq[b])
+        return min(self.ub_weight * float(self.run.bm_maxq[blk]), self.weight)
 
     def block_boundary_at(self, target: int) -> int:
         """last_doc of the block containing target (for skip targeting)."""
@@ -333,7 +385,9 @@ class TermCursor:
     def score_at(self, norms: CellNorms, avgdl: float) -> float:
         tf = float(self.tfs[self.pos])
         dl = float(norms.dl[self.cur_doc - norms.lo])
-        return self.weight * tf / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
+        return self.weight * tf / (
+            tf + self.k1 * (1.0 - self.b + self.b * dl / avgdl)
+        )
 
 
 class TopK:
@@ -366,6 +420,9 @@ def bmw_score_cell(
     prior_threshold: float = -math.inf,
     deleted: frozenset[int] | set[int] | None = None,
     bound_scale: float = 1.0,
+    allowed: frozenset[int] | set[int] | None = None,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND top-k for one query within one cell.
 
@@ -380,9 +437,14 @@ def bmw_score_cell(
     Block-max upper bounds still include deleted docs' quality; bounds
     stay valid (masking only removes candidates), merely loose until an
     expunge rewrites the affected runs.
+
+    ``allowed`` (filtered search, Lucene filter context) is the INCLUSION
+    mirror: a pivot NOT in it is skipped exactly like a deleted one, so
+    only filter-passing docs enter the heap and their scores are identical
+    to the unfiltered query's (stats untouched by the filter).
     """
     cursors = [
-        TermCursor(t, term_runs[t], idf, bound_scale)
+        TermCursor(t, term_runs[t], idf, bound_scale, k1, b)
         for t, idf in query_terms
         if t in term_runs
     ]
@@ -415,7 +477,9 @@ def bmw_score_cell(
             for c in at_pivot:
                 ub += c.block_ub_at(pivot_doc)
             if ub > threshold - EPS:
-                if deleted is not None and pivot_doc in deleted:
+                if (deleted is not None and pivot_doc in deleted) or (
+                    allowed is not None and pivot_doc not in allowed
+                ):
                     for c in at_pivot:  # masked: skip, never offer
                         c.next()
                 else:

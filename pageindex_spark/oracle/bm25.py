@@ -46,10 +46,14 @@ class OracleIndex:
         df = len(self.postings.get(term, {}))
         return math.log((self.n_docs - df + 0.5) / (df + 0.5) + 1.0)
 
-    def score_all(self, query_text: str) -> dict[int, float]:
+    def score_all(
+        self, query_text: str, k1: float = BM25_K1, b: float = BM25_B
+    ) -> dict[int, float]:
         # '-term' boolean NOT (same parse as the engine: parse_query):
         # negated terms never score; docs containing any of them are
         # dropped AFTER scoring, so survivors keep identical scores.
+        # k1/b default to the index-wide constants; overrides mirror the
+        # engine's query-time similarity config (plans/query.py search).
         pos_text, neg_terms = parse_query(query_text)
         terms = sorted(set(tokenize(pos_text)))
         scores: dict[int, float] = {}
@@ -60,16 +64,22 @@ class OracleIndex:
             idf = self.idf(term)
             for did, tf in plist.items():
                 dl = self.doc_len[did]
-                denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / self.avgdl)
-                contrib = idf * tf * (BM25_K1 + 1.0) / denom
+                denom = tf + k1 * (1.0 - b + b * dl / self.avgdl)
+                contrib = idf * tf * (k1 + 1.0) / denom
                 scores[did] = scores.get(did, 0.0) + contrib
         for term in neg_terms:
             for did in self.postings.get(term, {}):
                 scores.pop(did, None)
         return scores
 
-    def topk(self, query_text: str, k: int = 10) -> list[tuple[str, float]]:
-        scores = self.score_all(query_text)
+    def topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        k1: float = BM25_K1,
+        b: float = BM25_B,
+    ) -> list[tuple[str, float]]:
+        scores = self.score_all(query_text, k1=k1, b=b)
         ranked = sorted(
             scores.items(), key=lambda kv: (-kv[1], self.urls[kv[0]])
         )[:k]
@@ -81,12 +91,16 @@ def bm25_topk(
     queries: list[tuple[int, str]],
     k: int = 10,
     from_html: bool = False,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
 ) -> list[tuple[int, int, str, float]]:
     """Golden top-k table: (query_id, rank, url, score) — FIXTURES.md §3."""
     idx = OracleIndex(rows, from_html=from_html)
     out: list[tuple[int, int, str, float]] = []
     for qid, qtext in queries:
-        for rank, (url, score) in enumerate(idx.topk(qtext, k), start=1):
+        for rank, (url, score) in enumerate(
+            idx.topk(qtext, k, k1=k1, b=b), start=1
+        ):
             out.append((qid, rank, url, score))
     return out
 

@@ -21,6 +21,7 @@ state beyond (n_docs, avgdl).
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Iterator
 
@@ -30,7 +31,13 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.tokenizer import parse_boost_query, parse_query, tokenize
+from ..functions.tokenizer import (
+    BM25_B,
+    BM25_K1,
+    parse_boost_query,
+    parse_query,
+    tokenize,
+)
 from ..operators.compaction import run_from_row
 from ..operators.wand import (
     CellNorms,
@@ -192,10 +199,13 @@ class Searcher:
         prune_norms: bool | None = None,
         min_match: int = 2,
         offset: int = 0,
+        filter_urls: DataFrame | None = None,
+        k1: float | None = None,
+        b: float | None = None,
     ) -> DataFrame:
         return _search_impl(
             self, queries, k, mode, fixed_point, with_text, tie_margin,
-            prune_norms, min_match, offset,
+            prune_norms, min_match, offset, filter_urls, k1, b,
         )
 
 
@@ -224,8 +234,38 @@ def search(
     prune_norms: bool | None = None,
     min_match: int = 2,
     offset: int = 0,
+    filter_urls: DataFrame | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
+
+    ``k1`` / ``b`` override the BM25 similarity parameters for THIS query
+    batch only (Lucene per-field similarity config / Elasticsearch
+    ``similarity`` settings; defaults k1=1.2, b=0.75 are the index-wide
+    constants every committed byte was built with). Overrides touch no
+    committed bytes: the exhaustive kernels simply evaluate the formula at
+    (k1, b), and BMW stays exact because the build-time block-max bounds
+    inflate by the provable parameter factor (_param_bound_scale — looser
+    pruning, identical results). Requires k1 > 0 and 0 <= b <= 1 (the
+    proof's domain); b=0 (length normalization off) is served via the
+    score <= idf*(k1+1) cap instead of a finite factor.
+
+    ``filter_urls`` (a DataFrame with a ``url`` column) runs the whole
+    batch as a FILTERED search — Lucene filter-context / Elasticsearch
+    ``filter`` clause semantics: only documents in the set may rank, but
+    the filter never touches scoring (df/avgdl/n_docs stay corpus-wide, so
+    a doc that passes scores identically to the unfiltered query — the
+    filter is a predicate, not a signal). The set resolves to docIDs with
+    ONE column-pruned broadcast-joined scan of the extracts and masks
+    candidates PRE-HEAP through the same exclusion contract as tombstones
+    and '-term' negations; cells containing no filtered doc are skipped
+    before any postings decode. The resolved set is O(filter) driver
+    memory — right for selective attribute filters (language, domain
+    whitelists, date slices); a filter near corpus size should instead be
+    expunged into its own index, or shipped as a (cell -> allowed) side
+    relation through the norms cogroup (same upgrade path as the
+    tombstone note in plans/deletes.py).
 
     ``offset`` pages past the first results (ranks offset+1..offset+k,
     absolute ranks preserved): per-cell heaps deepen to offset+k so page N
@@ -262,7 +302,8 @@ def search(
     """
     return get_searcher(spark, index_dir, cell_parts).search(
         queries, k, mode, fixed_point, with_text, prune_norms=prune_norms,
-        min_match=min_match, offset=offset,
+        min_match=min_match, offset=offset, filter_urls=filter_urls,
+        k1=k1, b=b,
     )
 
 
@@ -443,6 +484,51 @@ def search_prefix(
     )
 
 
+def suggest_terms(
+    spark: SparkSession,
+    index_dir: str,
+    prefixes: list[tuple[int, str]],
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Autocomplete / term suggestion (the Lucene ``TermsEnum``-prefix /
+    Elasticsearch ``completion``-lite surface): for each ``(query_id,
+    prefix)``, the top-``k`` index terms starting with the prefix, ranked
+    by document frequency desc with term-asc tie-break ->
+    (query_id, rank, term, df).
+
+    Plan shape: ONE term-dictionary scan, column-pruned to (term, df) with
+    every prefix's StringStartsWith pushed to parquet (row-group pruning —
+    terms sort within files; bucket dirs can't prune, buckets hash whole
+    terms), then a broadcast join against the tiny prefix relation and a
+    per-query window rank. Everything stays JVM-side; shuffled rows are
+    O(matching vocabulary), never postings. Streamed indexes pin the scan
+    to the committed max delta (the full recompute). A prefix matching
+    nothing yields no rows for its query_id."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    stems = sorted({p for _, p in prefixes})
+    if not stems:
+        return spark.createDataFrame(
+            [], "query_id int, rank int, term string, df long"
+        )
+    cond = F.col("term").startswith(stems[0])
+    for s in stems[1:]:
+        cond = cond | F.col("term").startswith(s)
+    pfx = spark.createDataFrame(prefixes, "query_id int, prefix string")
+    w = Window.partitionBy("query_id").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        ts.filter(cond)
+        .select("term", F.col("df").cast("long").alias("df"))
+        .join(F.broadcast(pfx), F.col("term").startswith(F.col("prefix")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "term", "df")
+    )
+
+
 def search_fuzzy(
     spark: SparkSession,
     index_dir: str,
@@ -526,6 +612,83 @@ def search_fuzzy(
         return spark.createDataFrame([], out_schema)
     return se.search(
         expanded, k=k, mode=mode, fixed_point=fixed_point, with_text=with_text
+    )
+
+
+def more_like_this(
+    spark: SparkSession,
+    index_dir: str,
+    seeds: list[tuple[int, str]],
+    k: int = 10,
+    max_terms: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Similar-document retrieval (Lucene ``MoreLikeThis`` shape): for each
+    ``(query_id, seed_url)``, rank the docs most similar to the seed ->
+    (query_id, rank, url, score). The seed's ``max_terms`` most
+    characteristic terms — by ``floor(tf * idf * 1e6)`` desc with term-asc
+    tie-break, the classic tf·idf interestingness key, floored so the
+    DuckDB twin selects the identical set — form an unweighted OR query
+    that runs through the ordinary BM25 plan; the seed itself never
+    appears in its own results.
+
+    Plan shape: one url-pushed, column-pruned extracts scan fetches the
+    seeds' text (O(seeds) rows); term stats come from the Searcher's idf
+    cache (pruned term_stats reads); then ONE standard search at k+1
+    whose winners drop the seed and re-rank — exact, because removing at
+    most one row from an exact top-(k+1) leaves an exact top-k, and docID
+    order == url order makes the url tie-break identical to the kernel's
+    doc_id tie-break. A seed url the index never ingested (or whose terms
+    all left the index) contributes no result rows."""
+    import math
+    from collections import Counter
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    urls = sorted({u for _, u in seeds})
+    rows = (
+        spark.read.parquet(se.paths.docs_extracted)
+        .filter(F.col("url").isin(urls))
+        .select("url", "text")
+        .collect()
+    )
+    text_by_url = {r["url"]: r["text"] for r in rows}
+    queries: list[tuple[int, str]] = []
+    for qid, url in seeds:
+        txt = text_by_url.get(url)
+        if txt is None:
+            continue
+        tf = Counter(tokenize(txt))
+        _ensure_idf(se, sorted(tf))
+        keyed = sorted(
+            (-math.floor(n * idf * 1_000_000), t)
+            for t, n in tf.items()
+            if (idf := se._idf_cache.get(t)) is not None
+        )
+        sel = [t for _, t in keyed[:max_terms]]
+        if sel:
+            queries.append((qid, " ".join(sel)))
+    out_schema = "query_id int, rank int, url string, score double"
+    if not queries:
+        return spark.createDataFrame([], out_schema)
+    res = se.search(queries, k=k + 1, mode=mode, fixed_point=fixed_point)
+    seed_df = spark.createDataFrame(seeds, "sq int, seed_url string")
+    survivors = res.join(
+        F.broadcast(seed_df),
+        (res["query_id"] == seed_df["sq"]) & (res["url"] == seed_df["seed_url"]),
+        "left_anti",
+    )
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("url"))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score")
     )
 
 
@@ -652,6 +815,65 @@ def _parts_for_runs(
     return parts if len(parts) <= 8192 else None
 
 
+def _param_bound_scale(k1: float, b: float) -> float:
+    """Inflation factor that keeps build-time block-max bounds valid under
+    query-time (k1, b) overrides. Returns 1.0 at the index constants.
+
+    Proof. bm_maxq records max block quality at the INDEX constants
+    (K1, B) = (BM25_K1, BM25_B). With x = dl/avgdl > 0 and tf >= 1, the
+    per-posting quality ratio is
+
+        q(k1, b) / q(K1, B) = (tf + K1*(1-B+B*x)) / (tf + k1*(1-b+b*x)).
+
+    For fixed x this is (tf+A)/(tf+C), monotone in tf, so its sup over
+    tf >= 1 is max(1, (1+A)/(1+C)). (1+A)/(1+C) is a Möbius function of x
+    (both A and C are affine in x), hence monotone in x, so its sup over
+    x in (0, inf) is attained at an endpoint:
+
+        x -> 0:   (1 + K1*(1-B)) / (1 + k1*(1-b))
+        x -> inf: (K1*B) / (k1*b)            (infinite when b = 0).
+
+    max(1, those two) therefore bounds q(k1,b)/q(K1,B) everywhere, so
+    ub_weight = idf*(k1+1) * factor * bm_maxq stays an upper bound of the
+    true contribution idf*(k1+1)*q(k1,b). The b=0 infinity is absorbed by
+    TermCursor's unconditional cap ub <= idf*(k1+1) (quality <= 1
+    pointwise). The factor bounds a ratio at FIXED avgdl, and the expunge
+    factor (plans/expunge.py) bounds the avgdl-drift ratio at FIXED
+    parameters, so their product bounds the joint ratio — _search_impl
+    multiplies them."""
+    if not (k1 > 0.0) or not (0.0 <= b <= 1.0):
+        raise ValueError(
+            f"BM25 overrides need k1 > 0 and 0 <= b <= 1, got k1={k1} b={b}"
+        )
+    if k1 == BM25_K1 and b == BM25_B:
+        return 1.0
+    at_zero = (1.0 + BM25_K1 * (1.0 - BM25_B)) / (1.0 + k1 * (1.0 - b))
+    at_inf = (BM25_K1 * BM25_B) / (k1 * b) if b > 0.0 else math.inf
+    return max(1.0, at_zero, at_inf)
+
+
+def _resolve_filter_ids(se: Searcher, filter_urls: DataFrame) -> np.ndarray:
+    """Resolve a filter's URL set to the index's docIDs (sorted int64):
+    docID = grid[part_id] + local_pos, via ONE scan of the extracts that is
+    column-pruned to (url, part_id, local_pos) and broadcast-joined on the
+    filter — the same resolution plans/deletes.py uses for tombstones.
+    URLs the index never ingested resolve to nothing (filter-by-key over a
+    corpus that may not contain them)."""
+    offsets = se.spark.createDataFrame(
+        [(p, int(g)) for p, g in enumerate(se.meta["grid"])],
+        "part_id int, offset long",
+    )
+    rows = (
+        se.spark.read.parquet(se.paths.docs_extracted)
+        .select(F.col("part_id").cast("int").alias("part_id"), "local_pos", "url")
+        .join(F.broadcast(filter_urls.select("url").distinct()), "url")
+        .join(F.broadcast(offsets), "part_id")
+        .select((F.col("offset") + F.col("local_pos")).cast("long").alias("doc_id"))
+        .collect()
+    )
+    return np.sort(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
+
+
 def _ensure_idf(se: Searcher, terms: list[str]) -> None:
     """Fill the Searcher's idf cache for ``terms`` with ONE bucket- and
     term-pruned term_stats read covering the misses (None caches an absent
@@ -689,6 +911,9 @@ def _search_impl(
     prune_norms: bool | None = None,
     min_match: int = 2,
     offset: int = 0,
+    filter_urls: DataFrame | None = None,
+    k1: float | None = None,
+    b: float | None = None,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -698,7 +923,15 @@ def _search_impl(
     spark = se.spark
     paths = se.paths
     n_docs, avgdl, n_buckets = se.n_docs, se.avgdl, se.n_buckets
-    bound_scale = se.bound_scale
+    # Query-time BM25 parameter overrides (Lucene per-query similarity
+    # config): the exhaustive kernels just evaluate at (q_k1, q_b); BMW's
+    # build-time block-max bounds inflate by the provable parameter factor
+    # (_param_bound_scale), composed multiplicatively with the expunge
+    # avgdl factor — each bounds a ratio at a fixed value of the other's
+    # variable, so the product bounds the joint drift.
+    q_k1 = BM25_K1 if k1 is None else float(k1)
+    q_b = BM25_B if b is None else float(b)
+    bound_scale = se.bound_scale * _param_bound_scale(q_k1, q_b)
     cell_grid = se.cell_grid
     # Tie margin: per-cell heaps order by RAW score; two docs < 1e-6 apart
     # share a floored cell but may sit in opposite raw order. Keeping a few
@@ -711,6 +944,16 @@ def _search_impl(
         ", text string" if with_text else ""
     )
     empty = spark.createDataFrame([], out_schema)
+
+    # Filtered search (Lucene filter context): the allowed docID set masks
+    # candidates pre-heap as an INCLUSION — the mirror of the tombstone /
+    # '-term' exclusion contract. Resolved once per call, broadcast once.
+    bc_allowed = None
+    if filter_urls is not None:
+        allowed_ids = _resolve_filter_ids(se, filter_urls)
+        if allowed_ids.size == 0:
+            return empty  # filter admits nothing — no doc can rank
+        bc_allowed = spark.sparkContext.broadcast(allowed_ids)
 
     # 'term^2.5' boosts (functions/tokenizer.parse_boost_query) fold into
     # the per-(query, term) idf BEFORE it ships in the payload — every
@@ -849,6 +1092,22 @@ def _search_impl(
                 raise ValueError("norms ranges not contiguous")
             expect += int(r["n_docs"])
         norms_obj = CellNorms(lo, dl)
+        cell_allowed = None
+        bmw_allowed = None
+        if bc_allowed is not None:
+            aa = bc_allowed.value
+            a = np.searchsorted(aa, lo)
+            b = np.searchsorted(aa, lo + len(dl))
+            if b == a:
+                # no filter-passing doc lives in this cell: skip it before
+                # decoding a single posting block.
+                return pd.DataFrame(
+                    {"query_id": [], "doc_id": [], "score": []}
+                ).astype(
+                    {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+                )
+            cell_allowed = aa[a:b]
+            bmw_allowed = frozenset(cell_allowed.tolist())
         cell_deleted = None
         if bc_deleted is not None:
             dd = bc_deleted.value
@@ -896,13 +1155,15 @@ def _search_impl(
                     d, s = msm_score_cell(
                         term_runs, norms_obj, term_idf, avgdl,
                         bc_msm.value[qid], deleted=q_excl,
+                        allowed=cell_allowed, k1=q_k1, b=q_b,
                     )
                 else:
                     scorer = (
                         conjunctive_score_cell if conjunctive else dense_score_cell
                     )
                     d, s = scorer(
-                        term_runs, norms_obj, term_idf, avgdl, deleted=q_excl
+                        term_runs, norms_obj, term_idf, avgdl, deleted=q_excl,
+                        allowed=cell_allowed, k1=q_k1, b=q_b,
                     )
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
@@ -918,6 +1179,7 @@ def _search_impl(
                 pairs = bmw_score_cell(
                     term_runs, norms_obj, term_idf, avgdl, cell_k,
                     deleted=q_excl_set, bound_scale=bound_scale,
+                    allowed=bmw_allowed, k1=q_k1, b=q_b,
                 )
             for did, sc in pairs:
                 qids.append(qid)

@@ -83,6 +83,10 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_masked",
         "engine_bm25_deletes",
         "engine_bm25_not",
+        "engine_bm25_filtered",
+        "engine_bm25_tuned",
+        "engine_term_suggest",
+        "engine_bm25_mlt",
         "engine_bm25_msm",
         "engine_bm25_prefix",
         "engine_bm25_boost",

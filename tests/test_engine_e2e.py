@@ -155,6 +155,198 @@ def test_not_exclusion_rank_identity(spark, built_index, sf_unit_dir):
             assert plain_scores[(qid, url)] == score
 
 
+def test_filtered_search_rank_identity(spark, built_index, sf_unit_dir):
+    """filter_urls (round 5): Lucene filter-context semantics — only docs
+    in the allowed set may rank, their scores byte-identical to the
+    unfiltered query's (the filter is a predicate, not a signal), deeper
+    allowed docs backfilling the freed ranks. BMW and dense must both
+    reproduce the post-filtered pure-Python oracle; the filter must
+    compose with '-term' exclusions; an index-absent filter set yields
+    zero rows."""
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    allowed = {url for i, (url, _) in enumerate(rows) if i % 3 != 0}
+    queries = make_queries()[:10]
+
+    def post_filter(full, keep, k=10):
+        out = []
+        for qid in sorted({q for q, *_ in full}):
+            hits = [
+                (url, score)
+                for q, _, url, score in full
+                if q == qid and url in keep
+            ]
+            out.extend(
+                (qid, r, url, score)
+                for r, (url, score) in enumerate(hits[:k], start=1)
+            )
+        return out
+
+    full = bm25_topk(rows, queries, k=len(rows))
+    golden = post_filter(full, allowed)
+    plain = bm25_topk(rows, queries, k=10)
+    assert golden != plain  # the filter visibly changed rankings
+
+    allowed_df = spark.createDataFrame(
+        [(u,) for u in sorted(allowed)], "url string"
+    )
+    got = search(
+        spark, built_index, queries, k=10, mode="bmw", filter_urls=allowed_df
+    ).collect()
+    _assert_matches_golden(got, golden)
+    got_d = search(
+        spark, built_index, queries, k=10, mode="dense", filter_urls=allowed_df
+    ).collect()
+    _assert_matches_golden(got_d, golden)
+
+    # composes with '-term' boolean NOT: both masks apply pre-heap
+    from pageindex_spark.sources.corpus import build_vocab
+
+    neg = build_vocab()[1]
+    queries_not = [(qid, f"{text} -{neg}") for qid, text in queries]
+    golden_not = post_filter(bm25_topk(rows, queries_not, k=len(rows)), allowed)
+    got_n = search(
+        spark, built_index, queries_not, k=10, mode="bmw",
+        filter_urls=allowed_df,
+    ).collect()
+    _assert_matches_golden(got_n, golden_not)
+
+    # a filter whose urls the index never ingested admits nothing
+    ghost = spark.createDataFrame([("no://such",)], "url string")
+    assert (
+        search(spark, built_index, queries, k=10, filter_urls=ghost).count()
+        == 0
+    )
+
+
+def test_param_override_rank_identity(spark, built_index, sf_unit_dir, golden):
+    """Query-time k1/b overrides (round 5): the SAME committed index (built
+    at k1=1.2, b=0.75) must serve any (k1, b) in the proof domain exactly —
+    BMW's build-time block-max bounds inflate by _param_bound_scale, so BMW
+    and dense both reproduce the pure-Python oracle evaluated at the
+    override; b=0 (infinite factor, absorbed by the ub <= weight cap) is
+    exact too; the overrides visibly change rankings; out-of-domain
+    parameters raise."""
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    queries = make_queries()
+
+    for k1, b in [(0.9, 0.4), (2.0, 1.0), (0.5, 0.0)]:
+        want = bm25_topk(rows, queries, k=10, k1=k1, b=b)
+        got = search(
+            spark, built_index, queries, k=10, mode="bmw", k1=k1, b=b
+        ).collect()
+        _assert_matches_golden(got, want)
+        got_d = search(
+            spark, built_index, queries, k=10, mode="dense", k1=k1, b=b
+        ).collect()
+        _assert_matches_golden(got_d, want)
+
+    # scores at a real override differ from the defaults (not a no-op)
+    tuned = bm25_topk(rows, queries, k=10, k1=0.9, b=0.4)
+    assert [s for *_, s in tuned] != [s for *_, s in golden]
+
+    from pageindex_spark.plans.query import _param_bound_scale
+
+    for bad_k1, bad_b in [(0.0, 0.75), (-1.0, 0.75), (1.2, -0.1), (1.2, 1.5)]:
+        with pytest.raises(ValueError):
+            _param_bound_scale(bad_k1, bad_b)
+    # the factor is 1 at the index constants and >= 1 everywhere
+    assert _param_bound_scale(1.2, 0.75) == 1.0
+    assert _param_bound_scale(0.9, 0.4) >= 1.0
+
+
+def test_suggest_terms_matches_python(spark, built_index, sf_unit_dir):
+    """Autocomplete (round 5): per-prefix top terms by df desc / term asc
+    from the term dictionary must equal a pure-Python recount over the
+    corpus; an unmatched prefix yields zero rows."""
+    from collections import Counter
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.plans.query import suggest_terms
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["text"]
+    )
+    df = Counter()
+    for text in tbl["text"].to_pylist():
+        df.update(set(tokenize(text)))
+    prefixes = [(1, "s"), (2, "rareterm00"), (3, "zzznothing")]
+    want = []
+    for qid, p in prefixes:
+        hits = sorted(
+            ((t, n) for t, n in df.items() if t.startswith(p)),
+            key=lambda x: (-x[1], x[0]),
+        )[:10]
+        want.extend((qid, r, t, n) for r, (t, n) in enumerate(hits, start=1))
+    got = sorted(
+        (r["query_id"], r["rank"], r["term"], r["df"])
+        for r in suggest_terms(spark, built_index, prefixes, k=10).collect()
+    )
+    assert got == sorted(want)
+    assert not [r for r in got if r[0] == 3]
+
+
+def test_more_like_this_matches_python(spark, built_index, sf_unit_dir):
+    """More-like-this (round 5): the engine's seed-term selection
+    (floor(tf*idf*1e6) desc, term asc) + OR search must equal a pure-Python
+    re-derivation — seed excluded from its own ranking, survivor scores
+    identical to a plain search over the same selected terms; an
+    index-absent seed url contributes nothing."""
+    import math
+    from collections import Counter
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle import bm25_topk
+    from pageindex_spark.plans.query import more_like_this
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    n_docs = len(rows)
+    df = Counter()
+    toks_by_url = {}
+    for url, text in rows:
+        toks = tokenize(text)
+        toks_by_url[url] = toks
+        df.update(set(toks))
+    seeds = [(1, rows[7][0]), (2, rows[313][0]), (3, "no://such")]
+    want = []
+    for qid, seed in seeds:
+        if seed not in toks_by_url:
+            continue
+        tf = Counter(toks_by_url[seed])
+        keyed = sorted(
+            (
+                -math.floor(
+                    n
+                    * math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                    * 1_000_000
+                ),
+                t,
+            )
+            for t, n in tf.items()
+        )
+        sel = [t for _, t in keyed[:10]]
+        full = bm25_topk(rows, [(qid, " ".join(sel))], k=n_docs)
+        hits = [(u, s) for _, _, u, s in full if u != seed][:10]
+        want.extend((qid, r, u, s) for r, (u, s) in enumerate(hits, start=1))
+    got = more_like_this(
+        spark, built_index, seeds, k=10, max_terms=10
+    ).collect()
+    got.sort(key=lambda r: (r["query_id"], r["rank"]))
+    assert len(got) == len(want)
+    for g, (qid, rank, url, score) in zip(got, want):
+        assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url)
+        assert abs(g["score"] - score) < 1e-9
+    assert not [r for r in got if r["query_id"] == 3]
+
+
 def test_snippets_match_python_reference(spark, built_index, sf_unit_dir):
     """Winner snippets (round 5): the 3-token context around the first
     query-term hit, computed JVM-side over the winners, must equal a
