@@ -186,6 +186,29 @@ def _engine_bm25_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General wildcards ('*'/'?' any position, round 5): patterns expand
+    against the term dictionary via the shared anchored regex (literal-head
+    patterns prefix-push to parquet; leading-wildcard ones pay the full
+    metadata-class dictionary scan), then ordinary OR/BMW retrieval over the
+    union — Lucene WildcardQuery's scoring rewrite. Must reproduce the
+    bm25_wildcard SQL exactly (query 5's no-match pattern yields zero rows
+    on both sides)."""
+    from pageindex_spark import search_wildcard
+    from pageindex_spark.driverq import WILDCARD_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_wildcard(
+        spark, index_dir, WILDCARD_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-term query boosts ('term^2.5', round 5): weights fold into idf
     driver-side, so BMW's block-max bounds stay exact. Must reproduce the
@@ -287,6 +310,57 @@ def _engine_facet_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("facet"),
     )
     return facet_counts(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort-by-field retrieval (round 5, plans/hits.py search_sorted_by):
+    the full OR match set ranked by the documents table's n_chars attribute
+    desc — scores never computed, norms never read; two-phase per-partition
+    top-k keeps the ranking shuffle at queries x parts x k rows. Must
+    reproduce the search_sorted SQL exactly."""
+    from pageindex_spark.plans.hits import search_sorted_by
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("bigint").alias("sort_key"),
+    )
+    top = search_sorted_by(spark, index_dir, BM25_QUERIES, dim, k=10)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "sort_key",
+    )
+
+
+def _engine_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval (round 5, plans/hybrid.py): BM25 over
+    the committed index + cosine over the embeddings table (vec_id == doc
+    identity at the correctness scales), each cut at HYBRID_DEPTH, fused by
+    integerized Reciprocal Rank Fusion. Must reproduce the hybrid_rrf SQL
+    exactly."""
+    from pageindex_spark.driverq import BM25_QUERIES, HYBRID_QVECS
+    from pageindex_spark.plans.hybrid import hybrid_search_rrf
+
+    index_dir = _engine_index(spark, sf_dir)
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    url = F.lpad(F.col("vec_id").cast("string"), 10, "0").alias("url")
+    corpus = embs.select(url, "embedding")
+    qmap = spark.createDataFrame(HYBRID_QVECS, "query_id int, vid long")
+    qvecs = embs.join(
+        F.broadcast(qmap), F.col("vec_id") == F.col("vid")
+    ).select("query_id", "embedding")
+    top = hybrid_search_rrf(
+        spark, index_dir, BM25_QUERIES, qvecs, corpus, k=10
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "rrf6",
+    )
 
 
 def _engine_bm25_wand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +508,102 @@ def _engine_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = search(
         spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
         fixed_point=True, filter_urls=allowed,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity / NEAR search (plans/query.py search_phrase slop=N):
+    ordered bigram match within NEAR_SLOP extra tokens, verified by the
+    codegen'd windowed text predicate over conjunctive candidates. Must
+    reproduce the bm25_near SQL exactly."""
+    from pageindex_spark.driverq import NEAR_SLOP, PHRASE_QUERIES
+    from pageindex_spark.plans.query import search_phrase
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_phrase(
+        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True,
+        use_positions=False, slop=NEAR_SLOP,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_near_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity / NEAR via the POSITIONS SIDECAR: the vectorized greedy
+    position chain (plans/positions.py) must agree with the text-verify
+    path — both reproduce the same bm25_near SQL."""
+    from pageindex_spark.driverq import NEAR_SLOP, PHRASE_QUERIES
+    from pageindex_spark.plans.positions import (
+        build_positions_sidecar,
+        sidecar_ready,
+    )
+    from pageindex_spark.plans.query import search_phrase
+    from pageindex_spark.sources.tables import read_meta
+
+    index_dir = _engine_index(spark, sf_dir)
+    if not sidecar_ready(read_meta(index_dir), index_dir):
+        build_positions_sidecar(spark, index_dir)
+    top = search_phrase(
+        spark, index_dir, PHRASE_QUERIES, k=10, fixed_point=True,
+        use_positions=True, slop=NEAR_SLOP,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_near_unord(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity (plans/query.py search_phrase in_order=False):
+    REVERSED bigrams inside a slop+2 window, any order — ordered NEAR on
+    these misses the planted contiguous phrases, unordered finds them.
+    Text-verify path; must reproduce the bm25_near_unord SQL exactly."""
+    from pageindex_spark.driverq import NEAR_SLOP, NEAR_UNORD_QUERIES
+    from pageindex_spark.plans.query import search_phrase
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_phrase(
+        spark, index_dir, NEAR_UNORD_QUERIES, k=10, fixed_point=True,
+        use_positions=False, slop=NEAR_SLOP, in_order=False,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_near_unord_pos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered proximity via the POSITIONS SIDECAR (vectorized anchored
+    window check) — must agree with the text path on the same
+    bm25_near_unord SQL."""
+    from pageindex_spark.driverq import NEAR_SLOP, NEAR_UNORD_QUERIES
+    from pageindex_spark.plans.positions import (
+        build_positions_sidecar,
+        sidecar_ready,
+    )
+    from pageindex_spark.plans.query import search_phrase
+    from pageindex_spark.sources.tables import read_meta
+
+    index_dir = _engine_index(spark, sf_dir)
+    if not sidecar_ready(read_meta(index_dir), index_dir):
+        build_positions_sidecar(spark, index_dir)
+    top = search_phrase(
+        spark, index_dir, NEAR_UNORD_QUERIES, k=10, fixed_point=True,
+        use_positions=True, slop=NEAR_SLOP, in_order=False,
     )
     return top.select(
         "query_id",
@@ -699,17 +869,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_conj"] = _engine_bm25_conj  # AND semantics
     q["engine_bm25_msm"] = _engine_bm25_msm  # minimum_should_match >= 2
     q["engine_bm25_prefix"] = _engine_bm25_prefix  # 'term*' wildcards
+    q["engine_bm25_wildcard"] = _engine_bm25_wildcard  # '*'/'?' anywhere
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
     q["engine_bm25_fuzzy"] = _engine_bm25_fuzzy  # 1-edit fuzzy terms
     q["engine_bm25_explain"] = _engine_bm25_explain  # Lucene explain()
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
+    q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
+    q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
     q["engine_bm25_filtered"] = _engine_bm25_filtered  # attribute filter
     q["engine_bm25_tuned"] = _engine_bm25_tuned  # query-time k1/b overrides
+    q["engine_bm25_near"] = _engine_bm25_near  # proximity, text-verify path
+    q["engine_bm25_near_pos"] = _engine_bm25_near_pos  # proximity, sidecar
+    q["engine_bm25_near_unord"] = _engine_bm25_near_unord  # any-order NEAR
+    q["engine_bm25_near_unord_pos"] = _engine_bm25_near_unord_pos
     q["engine_term_suggest"] = _engine_term_suggest  # autocomplete
     q["engine_bm25_mlt"] = _engine_bm25_mlt  # more-like-this
     q["engine_bm25_snippets"] = _engine_bm25_snippets  # winner excerpts
@@ -739,17 +916,24 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_conj"] = o["bm25_conj"]
     o["engine_bm25_msm"] = o["bm25_msm"]
     o["engine_bm25_prefix"] = o["bm25_prefix"]
+    o["engine_bm25_wildcard"] = o["bm25_wildcard"]
     o["engine_bm25_boost"] = o["bm25_boost"]
     o["engine_bm25_fuzzy"] = o["bm25_fuzzy"]
     o["engine_bm25_explain"] = o["bm25_explain"]
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
+    o["engine_search_sorted"] = o["search_sorted"]
+    o["engine_hybrid_rrf"] = o["hybrid_rrf"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]
     o["engine_bm25_filtered"] = o["bm25_filtered"]
     o["engine_bm25_tuned"] = o["bm25_tuned"]
+    o["engine_bm25_near"] = o["bm25_near"]
+    o["engine_bm25_near_pos"] = o["bm25_near"]
+    o["engine_bm25_near_unord"] = o["bm25_near_unord"]
+    o["engine_bm25_near_unord_pos"] = o["bm25_near_unord"]
     o["engine_term_suggest"] = o["term_suggest"]
     o["engine_bm25_mlt"] = o["bm25_mlt"]
     o["engine_bm25_snippets"] = o["bm25_snippets"]

@@ -15,6 +15,7 @@ from .plans.query import (  # noqa: F401
     search_fuzzy,
     search_prefix,
     search_snippets,
+    search_wildcard,
     suggest_terms,
 )
 from .session import get_spark, warm_up  # noqa: F401

@@ -81,6 +81,19 @@ FUZZY_QUERIES = [
     (5, "zzzzz"),
 ]
 
+# General-wildcard query set ('*' any run / '?' one char, ANY position —
+# plans/query.py search_wildcard): 's?a*' -> scan/small/spark (mid-word '?'),
+# 'w*w' -> window (inner '*'), '?uery' -> query (LEADING wildcard, the
+# full-dictionary-scan path), mixed literal+pattern, and a no-match pattern
+# ('zz*q' -> query 5 returns zero rows on both sides).
+WILDCARD_QUERIES = [
+    (1, "s?a*"),
+    (2, "w*w dup"),
+    (3, "?uery"),
+    (4, "customer or?er"),
+    (5, "zz*q"),
+]
+
 # Per-term boost query set ('term^w' syntax, plans/query.py): weights chosen
 # to actually reorder winners vs plain OR (damping/amplifying the rare 'dup'
 # term flips which docs top the list; query 3 pins uniform score scaling on
@@ -277,6 +290,92 @@ select query_id, rank, doc_id, score6 from ranked where {rank_where}
 """
 
 
+# Query-id -> embeddings.vec_id for the hybrid-RRF entries: each text query
+# (BM25_QUERIES) pairs with one query VECTOR sourced from the embeddings
+# table (a test artifact standing in for an external encoder — no
+# self-exclusion on either side, the vector is "external" by contract).
+HYBRID_QVECS = [(1, 11), (2, 42), (3, 7), (4, 123), (5, 250)]
+HYBRID_DEPTH = 30
+HYBRID_K_RRF = 60
+
+
+def _hybrid_rrf_sql(d: _Dialect, k: int = 10) -> str:
+    """Hybrid sparse+dense twin (plans/hybrid.py ``hybrid_search_rrf``):
+    BM25 ranks (the standard contrib pipeline, floored-score order) and
+    cosine ranks (the ann twin's floored-cos6 order, NO self-exclusion)
+    each cut at HYBRID_DEPTH, fused by INTEGERIZED Reciprocal Rank Fusion —
+    ``floor(1e6 / (k_rrf + rank))`` per list, summed as bigints, so both
+    engines hash identically (a float RRF sum would hinge on addition
+    order). Docs in only one list keep that list's contribution (full
+    outer join — the standard RRF missing-doc rule)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    qmap = ", ".join(f"({qid}, {vid})" for qid, vid in HYBRID_QVECS)
+    dep, krrf = HYBRID_DEPTH, HYBRID_K_RRF
+    dot = d.dot("q.qe", "c.embedding")
+    nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
+    nc = f"sqrt({d.dot('c.embedding', 'c.embedding')})"
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+qmap(query_id, vid) as (values {qmap}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+sscored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+sparse as (
+  select * from (
+    select query_id, doc_id,
+           row_number() over (partition by query_id order by score6 desc, doc_id asc) as sr
+    from sscored
+  ) t where sr <= {dep}
+),
+qv as (select m.query_id, e.embedding as qe from qmap m join embeddings e on e.vec_id = m.vid),
+dscored as (
+  select q.query_id, c.vec_id as doc_id,
+         cast(floor(({dot}) / (({nq}) * ({nc})) * 1000000) as bigint) as cos6
+  from qv q join embeddings c on true
+),
+dense as (
+  select * from (
+    select query_id, doc_id,
+           row_number() over (partition by query_id order by cos6 desc, doc_id asc) as dr
+    from dscored
+  ) t where dr <= {dep}
+),
+fused as (
+  select coalesce(s.query_id, e.query_id) as query_id,
+         coalesce(s.doc_id, e.doc_id) as doc_id,
+         coalesce(cast(floor(1000000.0 / ({krrf} + s.sr)) as bigint), 0)
+           + coalesce(cast(floor(1000000.0 / ({krrf} + e.dr)) as bigint), 0) as rrf6
+  from sparse s full outer join dense e
+    on s.query_id = e.query_id and s.doc_id = e.doc_id
+),
+rranked as (
+  select query_id, doc_id, rrf6,
+         row_number() over (partition by query_id order by rrf6 desc, doc_id asc) as rank
+  from fused
+)
+select query_id, rank, doc_id, rrf6 from rranked where rank <= {k}
+"""
+
+
 # Deterministic delete set for the delete-semantics driver entries: every
 # 7th doc (engine side deletes the same docs by their lpad'd url).
 DELETE_PRED = "doc_id % 7 = 3"
@@ -299,6 +398,19 @@ SUGGEST_PREFIXES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zzz")]
 # Seed documents for the more-like-this entries (engine side passes the
 # same docs as lpad'd urls).
 MLT_SEEDS = [(1, 3), (2, 57), (3, 123), (4, 250), (5, 499)]
+
+# Slop for the proximity/NEAR entries (plans/query.py search_phrase slop=N:
+# ordered match, up to N extra tokens inside the window — engine verifies
+# via the positions-sidecar greedy chain AND the codegen text predicate).
+NEAR_SLOP = 2
+
+# Unordered-NEAR probes: the PHRASE_QUERIES bigrams REVERSED — ordered NEAR
+# on these misses every contiguous planted phrase, unordered NEAR finds
+# them all (plus genuine reverse co-occurrences), so the entry provably
+# exercises the in_order=False branch.
+NEAR_UNORD_QUERIES = [
+    (qid, " ".join(reversed(t.split()))) for qid, t in PHRASE_QUERIES
+]
 
 # Query-time BM25 similarity overrides for the tuned-search entries (the
 # classic short-field web tuning; engine passes search(k1=, b=) — committed
@@ -385,25 +497,66 @@ select query_id, rank, doc_id, score6 from ranked where rank <= {k}
 """
 
 
-def _phrase_sql(d: _Dialect) -> str:
-    """Phrase top-k twin: docs where the bigram appears CONTIGUOUSLY in the
-    token sequence, ranked by BM25 over the phrase's two terms (same scoring
-    pipeline as ``_bm25_sql``). DuckDB lists are 1-based, Spark arrays
-    0-based; Spark's ``sequence(0, n)`` is DESCENDING for n < 0, so the
-    short-doc guard is explicit."""
+def _phrase_sql(
+    d: _Dialect,
+    slop: int = 0,
+    in_order: bool = True,
+    queries: list[tuple[int, str]] | None = None,
+) -> str:
+    """Phrase top-k twin: docs where the bigram appears CONTIGUOUSLY
+    (slop=0) or in order within ``slop`` extra tokens (the
+    SpanNearQuery(inOrder) window: second term at most slop+1 slots past
+    the first) — or, with ``in_order=False``, BOTH terms inside any
+    ``slop + 2``-token window in any order (SpanNearQuery(inOrder=false):
+    anchor every occurrence of either term; a real match's minimal window
+    starts at one) — ranked by BM25 over the phrase's two terms (same
+    scoring pipeline as ``_bm25_sql``). DuckDB lists are 1-based, Spark
+    arrays 0-based; Spark's ``sequence(lo, hi)`` is DESCENDING for
+    lo > hi, so the ordered variant's range guards are explicit (the
+    unordered window's hi >= lo always; DuckDB's generate_series just
+    yields empty)."""
     qlist = ", ".join(
-        f"({qid}, '{t.split()[0]}', '{t.split()[1]}')" for qid, t in PHRASE_QUERIES
+        f"({qid}, '{t.split()[0]}', '{t.split()[1]}')"
+        for qid, t in (queries or PHRASE_QUERIES)
     )
-    if d.duck:
+    w = slop + 1  # max slot distance of t2 past t1 (ordered)
+    if in_order and d.duck:
         adj = (
-            "len(list_filter(generate_series(1, len(t.terms) - 1), "
-            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2)) > 0"
+            "len(list_filter(generate_series(1, len(t.terms)), "
+            "i -> t.terms[i] = q.t1 and "
+            f"len(list_filter(generate_series(i + 1, least(i + {w}, len(t.terms))), "
+            "j -> t.terms[j] = q.t2)) > 0)) > 0"
         )
-    else:
+    elif in_order:
         adj = (
             "case when size(t.terms) >= 2 then "
             "exists(sequence(0, size(t.terms) - 2), "
-            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2) else false end"
+            "i -> t.terms[i] = q.t1 and "
+            f"(case when i + 1 <= least(i + {w}, size(t.terms) - 1) then "
+            f"exists(sequence(i + 1, least(i + {w}, size(t.terms) - 1)), "
+            "j -> t.terms[j] = q.t2) else false end)) else false end"
+        )
+    elif d.duck:
+        hi = f"least(i + {slop + 1}, len(t.terms))"  # window end, 1-based
+        has = (
+            f"len(list_filter(generate_series(i, {hi}), "
+            "j -> t.terms[j] = q.{t})) > 0"
+        )
+        adj = (
+            "len(list_filter(generate_series(1, len(t.terms)), "
+            "i -> (t.terms[i] = q.t1 or t.terms[i] = q.t2) and "
+            f"{has.format(t='t1')} and {has.format(t='t2')})) > 0"
+        )
+    else:
+        hi = f"least(i + {slop + 1}, size(t.terms) - 1)"  # 0-based window end
+        has = (
+            f"exists(sequence(i, {hi}), " + "j -> t.terms[j] = q.{t})"
+        )
+        adj = (
+            "case when size(t.terms) >= 2 then "
+            "exists(sequence(0, size(t.terms) - 1), "
+            "i -> (t.terms[i] = q.t1 or t.terms[i] = q.t2) and "
+            f"{has.format(t='t1')} and {has.format(t='t2')}) else false end"
         )
     return f"""
 with phrases(query_id, t1, t2) as (values {qlist}),
@@ -576,6 +729,26 @@ group by m.query_id, doc.lang
 """
 
 
+def _search_sorted_sql(d: _Dialect, k: int = 10) -> str:
+    """Sort-by-field twin (plans/hits.py ``search_sorted_by``): the top-k
+    MATCHING docs per query ordered by the documents table's n_chars
+    attribute desc (doc_id-asc ties — == the engine's url-asc, urls are
+    zero-padded doc_ids), never by relevance. Matching is the same OR match
+    set as the hits/facets twins (``_matched_cte``)."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, m.doc_id, cast(doc.n_chars as bigint) as sort_key
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+ranked as (
+  select query_id, doc_id, sort_key,
+         row_number() over (partition by query_id order by sort_key desc, doc_id asc) as rank
+  from keyed
+)
+select query_id, rank, doc_id, sort_key from ranked where rank <= {k}
+"""
+
+
 def _bm25_fuzzy_sql(d: _Dialect, max_edits: int = 1) -> str:
     """Fuzzy BM25 twin (plans/query.py ``search_fuzzy``): each query token
     expands to every CORPUS term within ``max_edits`` Levenshtein edits
@@ -600,6 +773,74 @@ dfreq as (select term, cast(count(*) as bigint) as df from postings group by ter
 qterms as (
   select distinct q.query_id, v.term
   from qtoks q join dfreq v on levenshtein(v.term, q.tok) <= {int(max_edits)}
+),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= 10
+"""
+
+
+def _bm25_wildcard_sql(d: _Dialect) -> str:
+    """General-wildcard BM25 twin (plans/query.py ``search_wildcard``): each
+    '*'/'?' word expands to every CORPUS term matching its anchored regex
+    (``wildcard_regex`` — the SAME string both engines evaluate; the token
+    alphabet is [a-z0-9] so Java regex and RE2 agree), then ordinary OR
+    scoring over the literal+expansion union — the scoring-BooleanQuery
+    rewrite, same as the prefix/fuzzy twins. Uses the shared
+    ``parse_wildcard_query`` so both engines split 'lit pa?t*' identically."""
+    from .functions.tokenizer import (
+        parse_wildcard_query,
+        tokenize,
+        wildcard_regex,
+    )
+
+    lit_rows: list[tuple[int, str]] = []
+    pat_rows: list[tuple[int, str]] = []
+    for qid, text in WILDCARD_QUERIES:
+        lits, pats = parse_wildcard_query(text)
+        for t in sorted(set(tokenize(" ".join(lits)))):
+            lit_rows.append((qid, t))
+        for p in pats:
+            pat_rows.append((qid, wildcard_regex(p)))
+    qlits = ", ".join(f"({q}, '{t}')" for q, t in lit_rows) or "(0, '')"
+    qpats = ", ".join(f"({q}, '{p}')" for q, p in pat_rows) or "(0, '')"
+    rx = (
+        "regexp_matches(v.term, q.pat)"
+        if d.duck
+        else "v.term rlike q.pat"
+    )
+    return f"""
+with qlits(query_id, term) as (values {qlits}),
+qpats(query_id, pat) as (values {qpats}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+qterms as (
+  select distinct query_id, term from (
+    select query_id, term from qlits where query_id > 0
+    union
+    select q.query_id, v.term from qpats q join dfreq v on {rx}
+  ) u
 ),
 contrib as (
   select q.query_id, p.doc_id,
@@ -1136,9 +1377,25 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_text"] = both(_bm25_text_sql)
     pairs["bm25_snippets"] = both(_bm25_snippet_sql)
     pairs["phrase_topk"] = both(_phrase_sql)
+    # proximity / NEAR (plans/query.py search_phrase slop): ordered window
+    # match — slop extra tokens allowed between the bigram's terms.
+    pairs["bm25_near"] = both(lambda d: _phrase_sql(d, slop=NEAR_SLOP))
+    # unordered NEAR: reversed bigrams inside a slop+2 window, any order.
+    pairs["bm25_near_unord"] = both(
+        lambda d: _phrase_sql(
+            d, slop=NEAR_SLOP, in_order=False, queries=NEAR_UNORD_QUERIES
+        )
+    )
     pairs["bm25_conj"] = both(_bm25_conj_sql)
     pairs["bm25_msm"] = both(_bm25_msm_sql)
     pairs["bm25_prefix"] = both(_bm25_prefix_sql)
+    pairs["bm25_wildcard"] = both(_bm25_wildcard_sql)
+    # sort-by-field (plans/hits.py search_sorted_by): match set ranked by
+    # an external attribute (documents.n_chars), relevance never computed.
+    pairs["search_sorted"] = both(_search_sorted_sql)
+    # hybrid sparse+dense RRF (plans/hybrid.py): BM25 + cosine lists fused
+    # by integerized reciprocal-rank contributions.
+    pairs["hybrid_rrf"] = both(_hybrid_rrf_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
     pairs["bm25_explain"] = both(_explain_sql)
 

@@ -114,6 +114,63 @@ def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
     return lits, sorted(set(stems))
 
 
+_WILD_OK_RE = re.compile(r"^[A-Za-z0-9*?]+$")
+
+
+def parse_wildcard_query(text: str) -> tuple[list[str], list[str]]:
+    """Split a query into (literal words, wildcard patterns): a whitespace
+    word containing '*' (any chars) or '?' (exactly one char) ANYWHERE is a
+    wildcard pattern (classic Lucene WildcardQuery 'te*m' / 't?rm' syntax —
+    a strict generalization of ``parse_prefix_query``'s trailing-'*').
+    Patterns lowercase like tokens do; their literal characters must be
+    ASCII alphanumeric (the token alphabet — anything else could never match
+    an index term, so it raises rather than silently matching nothing).
+    Literal words pass through untouched (including '-term' negations);
+    negated words never expand — Lucene doesn't rewrite exclusions either.
+    Shared by the Spark engine (plans/query.py ``search_wildcard``) and the
+    SQL-twin generator (driverq) — the same lockstep rule as ``tokenize``."""
+    lits: list[str] = []
+    pats: list[str] = []
+    for w in text.split():
+        if ("*" in w or "?" in w) and not w.startswith("-"):
+            if not _WILD_OK_RE.match(w):
+                raise ValueError(
+                    f"wildcard pattern {w!r} may only contain [A-Za-z0-9*?]"
+                )
+            if w.strip("*?"):
+                pats.append(w.lower())
+            # all-wildcard words ('*', '??') are noise, like bare '*' in
+            # parse_prefix_query — matching the whole vocabulary is never
+            # what a user meant; they drop.
+        else:
+            lits.append(w)
+    return lits, sorted(set(pats))
+
+
+def wildcard_regex(pattern: str) -> str:
+    """The anchored regex a wildcard pattern compiles to — '*' matches any
+    run of token characters, '?' exactly one. Token characters are [a-z0-9]
+    by construction (``tokenize``), so no escaping is ever needed and the
+    SAME string evaluates identically under Python ``re``, Java regex
+    (Spark ``rlike``) and RE2 (DuckDB ``regexp_matches``) — the lockstep
+    property the wildcard SQL twin depends on."""
+    return (
+        "^"
+        + pattern.replace("*", "[a-z0-9]*").replace("?", "[a-z0-9]")
+        + "$"
+    )
+
+
+def wildcard_prefix(pattern: str) -> str:
+    """The literal prefix before the first wildcard char ('' when the
+    pattern starts with one): the part of a wildcard a parquet scan can
+    push down as StringStartsWith before the regex verifies."""
+    for i, c in enumerate(pattern):
+        if c in "*?":
+            return pattern[:i]
+    return pattern
+
+
 def parse_query(text: str) -> tuple[str, list[str]]:
     """Split a query into (positive text, negated terms): a whitespace word
     with a LEADING '-' is an exclusion (classic '-term' boolean-NOT syntax —

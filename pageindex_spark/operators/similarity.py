@@ -35,12 +35,15 @@ def cosine_topk_batch(
     vec_col: str = "embedding",
     qkey: str = "query_id",
     qvec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact brute-force cosine top-k for an ARBITRARY queries DataFrame
     (``qkey``, ``qvec_col``) against the corpus — the batched surface
     (VERDICT r4 next #7: the BM25 engine takes a query batch; ANN now does
     too). Output (query_id, rank, vec_id, cos6); a corpus row whose key
-    equals the query id is excluded (self-match).
+    equals the query id is excluded (self-match) unless
+    ``exclude_self=False`` (external query vectors — e.g. the hybrid-RRF
+    surface — where query ids share no key space with the corpus).
 
     Plan: broadcast the small query side into a JVM-codegen'd join — one
     pass over the corpus per query batch, no shuffle of the corpus."""
@@ -49,8 +52,11 @@ def cosine_topk_batch(
     dot = _dot(F.col("qv"), F.col("cv"))
     na = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     nb = F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    self_cond = (
+        F.col("query_id") != F.col("vec_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("vec_id"))
+        c.join(F.broadcast(q), self_cond)
         .select(
             "query_id",
             "vec_id",

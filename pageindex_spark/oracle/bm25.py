@@ -105,16 +105,58 @@ def bm25_topk(
     return out
 
 
+def _near_match_unordered(tokens: list[str], terms: list[str], slop: int) -> bool:
+    """True when every term of ``terms`` (DISTINCT by contract) occurs
+    within SOME window of ``slop + len(terms)`` tokens, in any order
+    (Lucene SpanNearQuery(inOrder=false): positions within span
+    slop + n - 1). Brute force: anchor every occurrence of any term, test
+    the fixed window — the minimal window of a real match starts at a term
+    occurrence, so anchoring there is exhaustive."""
+    n = len(terms)
+    w = slop + n
+    tset = set(terms)
+    for i, tok in enumerate(tokens):
+        if tok in tset and tset <= set(tokens[i : i + w]):
+            return True
+    return False
+
+
+def _near_match(tokens: list[str], terms: list[str], slop: int) -> bool:
+    """True when ``terms`` appears in order within a window of ``slop``
+    extra tokens: positions p_0 < ... < p_{n-1} with p_{n-1} - p_0 <=
+    slop + n - 1. Brute force: anchor every occurrence of terms[0], then a
+    left-to-right subsequence scan inside the fixed window (greedy
+    subsequence matching within a window is exact). slop=0 == contiguous."""
+    n = len(terms)
+    for i in range(len(tokens) - n + 1):
+        if tokens[i] != terms[0]:
+            continue
+        j, p = 1, i + 1
+        end = min(len(tokens), i + n + slop)
+        while j < n and p < end:
+            if tokens[p] == terms[j]:
+                j += 1
+            p += 1
+        if j == n:
+            return True
+    return False
+
+
 def phrase_topk(
     rows: list[tuple[str, object]],
     phrases: list[tuple[int, str]],
     k: int = 10,
     from_html: bool = False,
+    slop: int = 0,
+    in_order: bool = True,
 ) -> list[tuple[int, int, str, float]]:
     """Golden phrase top-k: docs whose token sequence contains the phrase
-    CONTIGUOUSLY, ranked by BM25 over the phrase terms (same scoring and
-    tie-break as ``bm25_topk``; phrase containment implies every term is
-    present, so this equals conjunctive-candidates + adjacency)."""
+    CONTIGUOUSLY (slop=0) or in order within ``slop`` extra tokens —
+    or, with ``in_order=False``, all (distinct) terms inside any
+    ``slop + n``-token window in any order — ranked by BM25 over the
+    phrase terms (same scoring and tie-break as ``bm25_topk``; phrase
+    containment implies every term is present, so this equals
+    conjunctive-candidates + window verification)."""
     idx = OracleIndex(rows, from_html=from_html)
     toks: list[list[str]] = []
     for url, payload in sorted(rows, key=lambda r: r[0]):
@@ -127,13 +169,11 @@ def phrase_topk(
         if n == 0:
             continue
         scores = idx.score_all(qtext)
+        match = _near_match if in_order else _near_match_unordered
         matched = [
             (d, s)
             for d, s in scores.items()
-            if any(
-                toks[d][i : i + n] == terms
-                for i in range(len(toks[d]) - n + 1)
-            )
+            if match(toks[d], terms, slop)
         ]
         ranked = sorted(matched, key=lambda kv: (-kv[1], idx.urls[kv[0]]))[:k]
         for rank, (d, s) in enumerate(ranked, start=1):

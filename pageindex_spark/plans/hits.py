@@ -161,26 +161,13 @@ def search_count(
     return partial.groupBy("query_id").agg(F.sum("n").alias("n_hits"))
 
 
-def facet_counts(
-    spark: SparkSession,
-    index_dir: str,
-    queries: list[tuple[int, str]],
-    facets: DataFrame,
-    cell_parts: int = 4,
-) -> DataFrame:
-    """Facet counts over the FULL match set -> (query_id, facet, n_docs):
-    for every query, how many matching docs carry each facet value
-    (Elasticsearch terms aggregation). ``facets`` is a (url, facet)
-    dimension DataFrame. Matched docIDs convert to (part_id, local_pos)
-    coordinates IN the kernel (broadcast grid, vectorized searchsorted), the
-    extracts scan is filtered to the matched partitions before the url join
-    (partition-dir pruning — selective queries touch a handful of files),
-    and the facet dimension joins on url."""
-    se = get_searcher(spark, index_dir, cell_parts)
-    state = _match_state(se, queries)
-    empty = spark.createDataFrame([], "query_id int, facet string, n_docs long")
-    if state is None:
-        return empty
+def _matched_urls(spark: SparkSession, se, state) -> DataFrame:
+    """Shared tail for the full-match SURFACES (facets, sort-by-field):
+    the match kernel's docIDs as (query_id, part_id, url) rows. Matched
+    docIDs convert to (part_id, local_pos) coordinates IN the kernel
+    (broadcast grid, vectorized searchsorted), then the extracts scan is
+    filtered to the partitions the matches can live in before the url join
+    (partition-dir pruning — selective queries touch a handful of files)."""
     bc_payload, bc_neg, bc_deleted, slices, runs = state
     bc_parts = spark.sparkContext.broadcast(se.grid_parts)
 
@@ -227,9 +214,87 @@ def facet_counts(
     )
     if 2 * len(parts) < len(grid):
         ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    return matched.join(ext, ["part_id", "local_pos"]).select(
+        "query_id", "part_id", "url"
+    )
+
+
+def facet_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    facets: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Facet counts over the FULL match set -> (query_id, facet, n_docs):
+    for every query, how many matching docs carry each facet value
+    (Elasticsearch terms aggregation). ``facets`` is a (url, facet)
+    dimension DataFrame; matched urls come from the shared
+    ``_matched_urls`` tail (kernel match -> pruned url join)."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "query_id int, facet string, n_docs long")
+    if state is None:
+        return empty
     return (
-        matched.join(ext, ["part_id", "local_pos"])
+        _matched_urls(spark, se, state)
         .join(facets, "url")
         .groupBy("query_id", "facet")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def search_sorted_by(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    sort_keys: DataFrame,
+    k: int = 10,
+    descending: bool = True,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Sort-by-field retrieval (Elasticsearch ``sort`` on an attribute):
+    the top-``k`` MATCHING docs per query ordered by an external sort key
+    instead of relevance -> (query_id, rank, url, sort_key). Matching is
+    the search plan's OR semantics with the full exclusion contract
+    (tombstones and '-term' negations mask before anything ranks — shared
+    ``_match_state`` kernels); scores are never computed and norms never
+    load, exactly like ES skips scoring for field sorts. ``sort_keys`` is
+    a (url, sort_key) dimension DataFrame; docs absent from it drop
+    (ES's missing-value exclusion under ``unmapped_type`` strictness —
+    callers wanting ES's "missing: _last" supply a defaulted dimension).
+
+    Exactness + scale shape: the match set is inherently O(matches) rows
+    (the price of a field sort over everything that matched), but the
+    RANKING never sorts it globally — phase 1 takes the per-(query,
+    extract-partition) top-k with a well-distributed window (the global
+    top-k per query is contained in the union of per-part top-ks), phase
+    2 ranks the <= queries x parts x k survivors — the same global-rank
+    shape as the BM25 plan's ``_rank_and_lookup``. Ties break url-asc
+    (== docID order, the engine-wide tie-break)."""
+    from pyspark.sql import Window
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    kt = sort_keys.schema["sort_key"].dataType.simpleString()
+    empty = spark.createDataFrame(
+        [], f"query_id int, rank int, url string, sort_key {kt}"
+    )
+    if state is None:
+        return empty
+    order = (
+        F.col("sort_key").desc() if descending else F.col("sort_key").asc(),
+        F.col("url").asc(),
+    )
+    keyed = _matched_urls(spark, se, state).join(
+        sort_keys.select("url", "sort_key"), "url"
+    )
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "sort_key")
     )

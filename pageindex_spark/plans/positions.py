@@ -178,10 +178,25 @@ def phrase_search_positions(
     k: int = 10,
     fixed_point: bool = False,
     with_text: bool = False,
+    slop: int = 0,
+    in_order: bool = True,
 ) -> DataFrame:
     """Exact phrase top-k from the positional sidecar (no candidate cap,
     no text fetch). Scores/tie-breaks identical to the text-verify path
-    and the pure-Python oracle."""
+    and the pure-Python oracle. ``slop`` relaxes contiguity to ordered
+    proximity (positions p_0 < ... < p_{n-1}, span p_{n-1} - p_0 <=
+    slop + n - 1): verification runs a vectorized greedy chain — for
+    every start position of term 0, each later term takes its smallest
+    position past the previous one (``searchsorted``), which is pointwise
+    minimal by induction, so a start matches iff its greedy span fits.
+    slop=0 keeps the direct ``isin`` contiguity kernel.
+
+    ``in_order=False`` (distinct terms — ``search_phrase`` enforces) is
+    the unordered window: anchor every position of ANY query term (a real
+    match's minimal window starts at one — exhaustive), then for each term
+    its first position >= the anchor must land inside the ``slop + n``
+    window (``searchsorted``, vectorized over all anchors at once);
+    distinct terms occupy distinct slots automatically."""
     from ..functions.murmur3 import term_bucket
     from .query import _ensure_idf, _rank_and_lookup
 
@@ -242,15 +257,43 @@ def phrase_search_positions(
                 for qid, terms, uniq_idf in bc_payload.value:
                     if any(t not in plist for t in terms):
                         continue
-                    cand = plist[terms[0]]
-                    for j in range(1, len(terms)):
-                        cand = cand[
-                            np.isin(cand + np.uint64(j), plist[terms[j]])
-                        ]
+                    if not in_order:
+                        w = slop + len(terms)  # window length in tokens
+                        anchors = np.unique(
+                            np.concatenate([plist[t] for t in terms])
+                        ).astype(np.int64)
+                        ok = np.ones(len(anchors), dtype=bool)
+                        for t in terms:
+                            pos = plist[t].astype(np.int64)
+                            idx = np.searchsorted(pos, anchors, side="left")
+                            ok &= (idx < len(pos)) & (
+                                pos[np.minimum(idx, len(pos) - 1)]
+                                <= anchors + w - 1
+                            )
+                        if not np.any(ok):
+                            continue
+                    elif slop == 0:
+                        cand = plist[terms[0]]
+                        for j in range(1, len(terms)):
+                            cand = cand[
+                                np.isin(cand + np.uint64(j), plist[terms[j]])
+                            ]
+                            if not len(cand):
+                                break
                         if not len(cand):
-                            break
-                    if not len(cand):
-                        continue
+                            continue
+                    else:
+                        starts = plist[terms[0]].astype(np.int64)
+                        cur = starts
+                        ok = np.ones(len(starts), dtype=bool)
+                        for j in range(1, len(terms)):
+                            nxt = plist[terms[j]].astype(np.int64)
+                            idx = np.searchsorted(nxt, cur, side="right")
+                            ok &= idx < len(nxt)
+                            cur = nxt[np.minimum(idx, len(nxt) - 1)]
+                        fits = ok & (cur - starts <= slop + len(terms) - 1)
+                        if not np.any(fits):
+                            continue
                     # Oracle-identical BM25: sorted unique terms, full tf.
                     score = 0.0
                     for t, tidf in uniq_idf:

@@ -307,19 +307,68 @@ def search(
     )
 
 
-def _adjacency_expr(tokens_col: str, terms: list[str]):
-    """JVM predicate: ``terms`` appears as a CONTIGUOUS subsequence of the
-    token array (codegen'd ``exists`` over positions; no Python UDF).
-    Spark ``sequence(0, n)`` is descending when n < 0, so short docs are
-    guarded explicitly."""
+def _adjacency_expr(
+    tokens_col: str, terms: list[str], slop: int = 0, in_order: bool = True
+):
+    """JVM predicate: ``terms`` appears as an ORDERED subsequence of the
+    token array within a window of ``slop`` extra tokens (slop=0 ==
+    contiguous; the SpanNearQuery(inOrder=true) shape — a match is
+    positions p_0 < ... < p_{n-1} with p_{n-1} - p_0 <= slop + n - 1).
+    Codegen'd ``exists`` over positions, nested one level per term for
+    slop > 0 (each level scans at most slop+1 candidate slots, so cost is
+    O(len * (slop+1)^(n-1)) worst case — fine for human-sized queries); no
+    Python UDF either way. Spark ``sequence(lo, hi)`` is DESCENDING when
+    lo > hi, so every level guards its range explicitly.
+
+    ``in_order=False`` is the SpanNearQuery(inOrder=false) shape: every
+    (DISTINCT — callers enforce) term inside SOME ``slop + n``-token
+    window, any order. Anchoring windows at occurrences of any term is
+    exhaustive (a real match's minimal window starts at one), and distinct
+    terms occupy distinct slots automatically; one ``exists`` per term
+    over the fixed window, all codegen, window hi >= lo always."""
     n = len(terms)
-    conds = " and ".join(
-        f"{tokens_col}[i + {j}] = '{t}'" for j, t in enumerate(terms)
-    )
+    sz0 = f"size({tokens_col})"
+    if not in_order:
+        w = slop + n  # window length in tokens
+        anchor = " or ".join(f"{tokens_col}[i0] = '{t}'" for t in terms)
+        has = " and ".join(
+            f"exists(sequence(i0, least(i0 + {w - 1}, {sz0} - 1)), "
+            f"j{j} -> {tokens_col}[j{j}] = '{t}')"
+            for j, t in enumerate(terms)
+        )
+        return F.expr(
+            f"case when {sz0} >= {n} then "
+            f"exists(sequence(0, {sz0} - 1), i0 -> ({anchor}) and {has}) "
+            f"else false end"
+        )
+    if slop == 0:
+        conds = " and ".join(
+            f"{tokens_col}[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        return F.expr(
+            f"case when size({tokens_col}) >= {n} then "
+            f"exists(sequence(0, size({tokens_col}) - {n}), i -> {conds}) "
+            f"else false end"
+        )
+    sz = f"size({tokens_col})"
+
+    def level(j: int) -> str:
+        if j == n:
+            return "true"
+        # i{j} in (i{j-1}, min(i0 + slop + j, last slot leaving room for
+        # the n-1-j terms still to place)]
+        lo = f"i{j - 1} + 1"
+        hi = f"least(i0 + {slop + j}, {sz} - {n - j})"
+        inner = f"{tokens_col}[i{j}] = '{terms[j]}' and {level(j + 1)}"
+        return (
+            f"(case when {lo} <= {hi} then "
+            f"exists(sequence({lo}, {hi}), i{j} -> {inner}) else false end)"
+        )
+
+    body = f"{tokens_col}[i0] = '{terms[0]}' and {level(1)}"
     return F.expr(
-        f"case when size({tokens_col}) >= {n} then "
-        f"exists(sequence(0, size({tokens_col}) - {n}), i -> {conds}) "
-        f"else false end"
+        f"case when {sz} >= {n} then "
+        f"exists(sequence(0, {sz} - {n}), i0 -> {body}) else false end"
     )
 
 
@@ -334,10 +383,26 @@ def search_phrase(
     with_text: bool = False,
     prune_norms: bool | None = None,
     use_positions: bool | None = None,
+    slop: int = 0,
+    in_order: bool = True,
 ) -> DataFrame:
     """Top-k phrase search: docs where the phrase's tokens appear
-    CONTIGUOUSLY, ranked by BM25 over the phrase terms ->
-    (query_id, rank, url, score[, text]).
+    CONTIGUOUSLY (``slop=0``) or as an ORDERED subsequence within ``slop``
+    extra tokens (Lucene SpanNearQuery(inOrder=true) / sloppy-phrase
+    shape: a match is positions p_0 < ... < p_{n-1} with
+    p_{n-1} - p_0 <= slop + n - 1), ranked by BM25 over the phrase terms
+    -> (query_id, rank, url, score[, text]). Both verification paths
+    accept any slop: the text path widens its codegen'd window predicate,
+    the sidecar path runs a vectorized greedy chain (for each start
+    position the minimal increasing chain is pointwise minimal, so
+    checking its span is exact).
+
+    ``in_order=False`` relaxes to SpanNearQuery(inOrder=false): every
+    term inside SOME ``slop + n``-token window, ANY order. Unordered
+    queries require DISTINCT terms (raised otherwise — with duplicates
+    the distinct-slot requirement stops being automatic and both
+    verification paths would need multiset matching; Lucene's own
+    unordered spans are subtle there for the same reason).
 
     The index stores no positions (bag-of-words postings), so phrase
     matching is the classic two-stage plan: (1) CONJUNCTIVE candidates
@@ -361,12 +426,23 @@ def search_phrase(
     from ..functions.sqlglue import spark_terms
     from .positions import phrase_search_positions, sidecar_ready
 
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    if not in_order:
+        for qid, text in phrases:
+            ts = tokenize(text)
+            if len(set(ts)) != len(ts):
+                raise ValueError(
+                    f"in_order=False requires distinct terms; query {qid} "
+                    f"repeats a term: {ts}"
+                )
     se = get_searcher(spark, index_dir, cell_parts)
     if use_positions is None:
         use_positions = sidecar_ready(se.meta, index_dir)
     if use_positions:
         return phrase_search_positions(
-            se, phrases, k=k, fixed_point=fixed_point, with_text=with_text
+            se, phrases, k=k, fixed_point=fixed_point, with_text=with_text,
+            slop=slop, in_order=in_order,
         )
 
     cand = get_searcher(spark, index_dir, cell_parts).search(
@@ -383,7 +459,8 @@ def search_phrase(
     for qid, terms in qterms.items():
         if terms:
             cond = F.when(
-                F.col("query_id") == qid, _adjacency_expr("tk", terms)
+                F.col("query_id") == qid,
+                _adjacency_expr("tk", terms, slop, in_order),
             ).otherwise(cond)
     matched = (
         cand.withColumn("tk", toks)
@@ -604,6 +681,96 @@ def search_fuzzy(
             words.extend(exp)
         if words:
             words.extend(f"-{n}" for n in negs.get(qid, ()))
+            expanded.append((qid, " ".join(words)))
+    if not expanded:
+        out_schema = "query_id int, rank int, url string, score double" + (
+            ", text string" if with_text else ""
+        )
+        return spark.createDataFrame([], out_schema)
+    return se.search(
+        expanded, k=k, mode=mode, fixed_point=fixed_point, with_text=with_text
+    )
+
+
+def search_wildcard(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    max_expansions: int = 1000,
+) -> DataFrame:
+    """Top-k BM25 with GENERAL wildcards (Lucene ``WildcardQuery`` shape):
+    words containing '*' (any run) or '?' (exactly one char) ANYWHERE —
+    'w*w', 's?a*', '?uery' — expand against the term dictionary, then the
+    query runs as ordinary OR/BMW retrieval over the literal+expansion
+    union (the same scoring-BooleanQuery rewrite as ``search_prefix`` /
+    ``search_fuzzy``: BM25 is a per-distinct-term sum, so driver-side
+    expansion is exactly equivalent, each expansion scoring with its own
+    idf; bucket pruning / negation / deletes / fixed_point all compose
+    unchanged on the concrete terms).
+
+    Expansion plan: ONE column-pruned term-dictionary scan. Every
+    pattern's regex (``wildcard_regex`` — shared with the SQL twin, so
+    both engines match the identical term set) evaluates JVM-side via
+    ``rlike``; patterns with a literal head additionally push their
+    ``wildcard_prefix`` as StringStartsWith to parquet (row-group pruning
+    — terms sort within files), so 'cust*er' reads like a prefix query
+    and only leading-wildcard patterns pay the full dictionary pass. A
+    pattern matching more than ``max_expansions`` terms raises (silent
+    truncation would make results scan-order-dependent); a pattern
+    matching nothing contributes no terms. Reference parity: the
+    reference has no query language at all (retrieval is an LLM prompt,
+    /root/reference/README.md:179-188); this is the standard IR surface
+    over the same corpus."""
+    import re as _re
+
+    from ..functions.tokenizer import (
+        parse_wildcard_query,
+        wildcard_prefix,
+        wildcard_regex,
+    )
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    parsed = {qid: parse_wildcard_query(text) for qid, text in queries}
+    pats = sorted({p for _, ps in parsed.values() for p in ps})
+    exp: dict[str, list[str]] = {}
+    if pats:
+        ts = spark.read.parquet(se.paths.term_stats)
+        if se.committed_deltas is not None:
+            ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+        cond = F.col("term").rlike(wildcard_regex(pats[0]))
+        for p in pats[1:]:
+            cond = cond | F.col("term").rlike(wildcard_regex(p))
+        heads = [wildcard_prefix(p) for p in pats]
+        if all(heads):
+            # every pattern has a literal head -> the scan is prefix-pushed
+            # exactly like search_prefix (the rlike then verifies).
+            pcond = F.col("term").startswith(heads[0])
+            for h in heads[1:]:
+                pcond = pcond | F.col("term").startswith(h)
+            cond = pcond & cond
+        vocab = [
+            r["term"] for r in ts.filter(cond).select("term").distinct().collect()
+        ]
+        for p in pats:
+            rx = _re.compile(wildcard_regex(p))
+            m = sorted(t for t in vocab if rx.match(t))
+            if len(m) > max_expansions:
+                raise ValueError(
+                    f"wildcard {p!r} expands to {len(m)} terms "
+                    f"(> max_expansions={max_expansions})"
+                )
+            exp[p] = m
+    expanded = []
+    for qid, (lits, ps) in parsed.items():
+        words = list(lits)
+        for p in ps:
+            words.extend(exp.get(p, []))
+        if words:
             expanded.append((qid, " ".join(words)))
     if not expanded:
         out_schema = "query_id int, rank int, url string, score double" + (

@@ -179,6 +179,32 @@ def test_counts_and_facets_respect_masks(spark, deleted_index):
             want_fc[(qid, f)] = n
     assert fc == want_fc
 
+    # sort-by-field shares the same exclusion contract and its two-phase
+    # top-k must equal a brute-force sort of the masked match set (sort key
+    # = url length here — plenty of ties, so the url-asc tie-break is
+    # exercised; descending=False covers the ascending branch).
+    from pageindex_spark.plans.hits import search_sorted_by
+
+    skdim = spark.createDataFrame(
+        [(u, len(u)) for u, _ in d["rows"]], "url string, sort_key long"
+    )
+    for desc in (True, False):
+        got_s = sorted(
+            (r["query_id"], r["rank"], r["url"], r["sort_key"])
+            for r in search_sorted_by(
+                spark, d["idx"], queries, skdim, k=3, descending=desc
+            ).collect()
+        )
+        want_s = []
+        for qid, text in queries:
+            hits = sorted(
+                brute(text), key=lambda u: ((-len(u) if desc else len(u)), u)
+            )[:3]
+            want_s.extend(
+                (qid, r, u, len(u)) for r, u in enumerate(hits, start=1)
+            )
+        assert got_s == sorted(want_s), f"descending={desc}"
+
 
 def test_crashed_delete_invisible(spark, deleted_index, monkeypatch):
     """A delete that crashes before its meta commit must leave queries

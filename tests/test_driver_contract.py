@@ -85,16 +85,23 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_not",
         "engine_bm25_filtered",
         "engine_bm25_tuned",
+        "engine_bm25_near",
+        "engine_bm25_near_pos",
+        "engine_bm25_near_unord",
+        "engine_bm25_near_unord_pos",
         "engine_term_suggest",
         "engine_bm25_mlt",
         "engine_bm25_msm",
         "engine_bm25_prefix",
+        "engine_bm25_wildcard",
         "engine_bm25_boost",
         "engine_bm25_fuzzy",
         "engine_bm25_explain",
         "engine_bm25_page",
         "engine_hits_count",
         "engine_facet_counts",
+        "engine_search_sorted",
+        "engine_hybrid_rrf",
         "engine_bm25_snippets",
         "engine_bm25_merged",
         "engine_phrase_pos",

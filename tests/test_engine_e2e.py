@@ -291,6 +291,122 @@ def test_suggest_terms_matches_python(spark, built_index, sf_unit_dir):
     assert not [r for r in got if r[0] == 3]
 
 
+def test_wildcard_matches_python(spark, built_index, sf_unit_dir):
+    """General wildcards (round 5): '*'/'?'-anywhere patterns expanded
+    against the corpus vocabulary with the SAME anchored regex the engine
+    ships must rank identically to a plain OR search over the expansion —
+    Lucene WildcardQuery's scoring rewrite is exactly equivalent. Covers a
+    leading-wildcard pattern (the full-dictionary-scan path), a mixed
+    literal+pattern query, and a no-match pattern."""
+    import re
+
+    from pageindex_spark.functions.tokenizer import (
+        tokenize,
+        wildcard_regex,
+    )
+    from pageindex_spark.plans.query import search_wildcard
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    vocab = sorted({t for _, txt in rows for t in tokenize(txt)})
+    seed = sorted(t for t in vocab if len(t) >= 5)[0]
+    probes = [
+        (1, f"{seed[:3]}*{seed[-1]}"),  # inner star, literal head
+        (2, f"?{seed[1:]}"),  # leading wildcard -> full dictionary scan
+        (3, f"{seed} zzz*q"),  # literal + no-match pattern
+        (4, "zzz*q"),  # nothing at all
+    ]
+    want_queries = []
+    for qid, text in probes:
+        words = []
+        for w in text.split():
+            if "*" in w or "?" in w:
+                rx = re.compile(wildcard_regex(w))
+                words.extend(t for t in vocab if rx.match(t))
+            else:
+                words.append(w)
+        if words:
+            want_queries.append((qid, " ".join(words)))
+    want = bm25_topk(rows, want_queries, k=10)
+    got = search_wildcard(
+        spark, built_index, probes, k=10, max_expansions=100_000
+    ).collect()
+    _assert_matches_golden(got, want)
+    assert {r["query_id"] for r in got} >= {1, 2, 3}
+    assert not [r for r in got if r["query_id"] == 4]
+    from collections import Counter
+
+    c = Counter("".join(vocab)).most_common(1)[0][0]  # letter in >= 2 terms
+    with pytest.raises(ValueError):
+        search_wildcard(spark, built_index, [(1, f"*{c}*")], max_expansions=1)
+
+
+def test_hybrid_rrf_matches_python(spark, built_index, sf_unit_dir):
+    """Hybrid RRF (round 5, plans/hybrid.py): the fused ranking must equal
+    a pure-Python fusion of the engine's OWN two lists (independent check
+    of the integer RRF math, the full-outer missing-doc rule, and the
+    url-asc tie-break); a query with no vector keeps its sparse list, one
+    with no text hits keeps its dense list; depth < k raises."""
+    import numpy as np
+
+    from pageindex_spark.operators.similarity import cosine_topk_batch
+    from pageindex_spark.plans.hybrid import hybrid_search_rrf
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url"]
+    )
+    urls = sorted(tbl["url"].to_pylist())
+    rng = np.random.default_rng(7)
+    emb_rows = [(u, rng.standard_normal(16).astype(float).tolist()) for u in urls]
+    embs = spark.createDataFrame(emb_rows, "url string, embedding array<double>")
+    queries = make_queries()[:3] + [(9, "zzzabsentterm")]
+    qv_rows = [
+        (qid, rng.standard_normal(16).astype(float).tolist())
+        for qid, _ in queries[:2]  # queries 3 and 9 get NO vector
+    ] + [(9, rng.standard_normal(16).astype(float).tolist())]
+    qvecs = spark.createDataFrame(qv_rows, "query_id int, embedding array<double>")
+
+    depth, k_rrf, k = 15, 60, 10
+    got = sorted(
+        (r["query_id"], r["rank"], r["url"], r["rrf6"])
+        for r in hybrid_search_rrf(
+            spark, built_index, queries, qvecs, embs, k=k, depth=depth
+        ).collect()
+    )
+    sparse = {
+        (r["query_id"], r["url"]): r["rank"]
+        for r in search(
+            spark, built_index, queries, k=depth, fixed_point=True
+        ).collect()
+    }
+    dense = {
+        (r["query_id"], r["vec_id"]): r["rank"]
+        for r in cosine_topk_batch(
+            embs, qvecs, k=depth, key="url", exclude_self=False
+        ).collect()
+    }
+    fused: dict[tuple[int, str], int] = {}
+    for (qid, u), r in sparse.items():
+        fused[(qid, u)] = fused.get((qid, u), 0) + 1_000_000 // (k_rrf + r)
+    for (qid, u), r in dense.items():
+        fused[(qid, u)] = fused.get((qid, u), 0) + 1_000_000 // (k_rrf + r)
+    want = []
+    for qid in sorted({q for q, _ in fused}):
+        hits = sorted(
+            ((u, s) for (q, u), s in fused.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        want.extend((qid, r, u, s) for r, (u, s) in enumerate(hits, start=1))
+    assert got == sorted(want)
+    qids = {g[0] for g in got}
+    assert 3 in qids  # sparse-only query still ranks
+    assert 9 in qids  # dense-only query still ranks
+    with pytest.raises(ValueError):
+        hybrid_search_rrf(spark, built_index, queries, qvecs, embs, k=10, depth=5)
+
+
 def test_more_like_this_matches_python(spark, built_index, sf_unit_dir):
     """More-like-this (round 5): the engine's seed-term selection
     (floor(tf*idf*1e6) desc, term asc) + OR search must equal a pure-Python

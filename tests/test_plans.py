@@ -207,6 +207,53 @@ def test_parse_prefix_query_contract():
         parse_prefix_query("two-token*")
 
 
+def test_parse_wildcard_query_contract():
+    """'*'/'?'-anywhere parsing: patterns split from literals (lowercased),
+    '-term' negations pass through as literals (never expanded),
+    all-wildcard words drop as noise, non-token pattern chars are rejected
+    loudly, and the regex/prefix helpers agree on the pattern language."""
+    import pytest as _pytest
+
+    from pageindex_spark.functions.tokenizer import (
+        parse_wildcard_query,
+        wildcard_prefix,
+        wildcard_regex,
+    )
+
+    assert parse_wildcard_query("w*w dup -row S?A*") == (
+        ["dup", "-row"],
+        ["s?a*", "w*w"],
+    )
+    assert parse_wildcard_query("plain words") == (["plain", "words"], [])
+    assert parse_wildcard_query("* ?? a*") == ([], ["a*"])
+    with _pytest.raises(ValueError):
+        parse_wildcard_query("bad-pat*")
+    assert wildcard_regex("w*w") == "^w[a-z0-9]*w$"
+    assert wildcard_regex("s?a*") == "^s[a-z0-9]a[a-z0-9]*$"
+    assert wildcard_prefix("cust*er") == "cust"
+    assert wildcard_prefix("?uery") == ""
+
+
+def test_wildcard_literal_head_scan_pushed(spark, index_dir):
+    """When every wildcard pattern has a literal head, the expansion scan
+    (plans/query.py search_wildcard) must push StartsWith to parquet just
+    like the prefix path — the rlike merely verifies (leading-wildcard
+    patterns are the only ones that pay a full dictionary pass)."""
+    from pageindex_spark.functions.tokenizer import wildcard_regex
+
+    ts = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .filter(
+            F.col("term").startswith("ba")
+            & F.col("term").rlike(wildcard_regex("ba*a"))
+        )
+        .select("term")
+    )
+    plan = _explain(ts)
+    assert "PushedFilters" in plan
+    assert "StartsWith" in plan.split("PushedFilters")[1].split("\n")[0]
+
+
 def test_hits_count_plan_reads_no_norms(spark, index_dir):
     """The full-match count plan (plans/hits.py) must never scan the norms
     relation (doc lengths don't matter to matching) and must keep the

@@ -80,6 +80,102 @@ def test_positions_identity_vs_oracle_and_text_path(spark, pos_index):
     assert not [r for r in got if r["query_id"] == 5]
 
 
+def test_near_slop_identity_both_paths(spark, pos_index):
+    """Proximity / NEAR (round 5, search_phrase slop=N): ordered window
+    match — positions p_0 < ... < p_{n-1}, span <= slop + n - 1. Both
+    verification paths (sidecar greedy chain, codegen'd windowed text
+    predicate) must reproduce the pure-Python window-subsequence oracle at
+    several slops, including a trigram; slop=0 equals the exact phrase
+    path; slop must visibly widen the match set; negative slop raises."""
+    d = pos_index
+    t0 = d["rows"][0][1].split()
+    # skip-gram probes: term pairs/triples at distance 2-3 in a real doc,
+    # which exact phrase misses but slop>=1 catches.
+    probes = [
+        (1, f"{t0[0]} {t0[2]}"),
+        (2, f"{t0[1]} {t0[4]}"),
+        (3, f"{t0[0]} {t0[2]} {t0[4]}"),
+        (4, f"{t0[5]} {t0[3]}"),
+        (5, "zzzabsent zzzmissing"),
+    ]
+    for slop in (0, 1, 2, 4):
+        want = sorted(
+            (q, r, u, round(s, 9))
+            for q, r, u, s in phrase_topk(d["rows"], probes, k=10, slop=slop)
+        )
+        got_pos = search_phrase(
+            spark, d["idx"], probes, k=10, use_positions=True, slop=slop
+        ).collect()
+        got_txt = search_phrase(
+            spark, d["idx"], probes, k=10, use_positions=False, slop=slop
+        ).collect()
+        assert _key(got_pos) == want, f"sidecar path, slop={slop}"
+        assert _key(got_txt) == want, f"text path, slop={slop}"
+    n0 = len(phrase_topk(d["rows"], probes, k=100, slop=0))
+    n2 = len(phrase_topk(d["rows"], probes, k=100, slop=2))
+    assert n2 > n0  # the slop visibly widened matching
+    with pytest.raises(ValueError):
+        search_phrase(spark, d["idx"], probes, k=10, slop=-1)
+
+
+def test_near_unordered_identity_both_paths(spark, pos_index):
+    """Unordered NEAR (round 5, search_phrase in_order=False): all distinct
+    terms inside any slop+n window, any order. Both verification paths
+    must reproduce the pure-Python anchored-window oracle at several
+    slops incl. a trigram and REVERSED pairs (which ordered NEAR misses);
+    the unordered match set contains the ordered one; duplicate terms
+    raise."""
+    d = pos_index
+    t0 = d["rows"][0][1].split()
+    probes = [
+        (1, f"{t0[2]} {t0[0]}"),  # reversed adjacent pair
+        (2, f"{t0[4]} {t0[1]}"),  # reversed, distance 3
+        (3, f"{t0[4]} {t0[2]} {t0[0]}"),  # reversed trigram
+        (4, f"{t0[0]} {t0[2]}"),  # forward (ordered also matches)
+        (5, "zzzabsent zzzmissing"),
+    ]
+    for slop in (0, 1, 2, 4):
+        want = sorted(
+            (q, r, u, round(s, 9))
+            for q, r, u, s in phrase_topk(
+                d["rows"], probes, k=10, slop=slop, in_order=False
+            )
+        )
+        got_pos = search_phrase(
+            spark, d["idx"], probes, k=10, use_positions=True, slop=slop,
+            in_order=False,
+        ).collect()
+        got_txt = search_phrase(
+            spark, d["idx"], probes, k=10, use_positions=False, slop=slop,
+            in_order=False,
+        ).collect()
+        assert _key(got_pos) == want, f"sidecar path, slop={slop}"
+        assert _key(got_txt) == want, f"text path, slop={slop}"
+        # unordered is a superset of ordered at the same slop
+        n_ord = len(phrase_topk(d["rows"], probes, k=100, slop=slop))
+        n_unord = len(
+            phrase_topk(d["rows"], probes, k=100, slop=slop, in_order=False)
+        )
+        assert n_unord >= n_ord
+    # the reversed probes only match unordered: ordered NEAR at slop=2
+    # finds nothing for query 3's reversed trigram
+    ord3 = [
+        r
+        for r in phrase_topk(d["rows"], probes[2:3], k=100, slop=2)
+    ]
+    unord3 = [
+        r
+        for r in phrase_topk(
+            d["rows"], probes[2:3], k=100, slop=2, in_order=False
+        )
+    ]
+    assert len(unord3) > len(ord3)
+    with pytest.raises(ValueError):
+        search_phrase(
+            spark, d["idx"], [(1, f"{t0[0]} {t0[0]}")], in_order=False
+        )
+
+
 def test_positions_exact_beyond_cand_cap(spark, tmp_path):
     """An all-common-terms phrase whose conjunctive candidate set exceeds
     cand_cap: the text path truncates recall at the cap, the sidecar path
