@@ -12,6 +12,7 @@ verification lives in ``tests/`` against the pure-Python oracle instead.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -277,6 +278,39 @@ def _engine_bm25_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = search(
         spark, index_dir, BM25_QUERIES, k=10, mode="bmw",
         fixed_point=True, offset=10,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_bm25_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor paging (round 5, plans/query.py search_after=): page 1's
+    rank-10 row per query becomes the (score6, url) cursor; page 2 is the
+    next 10 rows strictly past it, ranks page-relative 1..10 — kernels
+    admit pre-heap, so heaps stay at k at ANY page depth (the scale story
+    offset paging lacks). Queries whose first page wasn't full have no
+    cursor and drop. Must reproduce the bm25_page_after SQL exactly."""
+    from pageindex_spark import search
+
+    index_dir = _engine_index(spark, sf_dir)
+    page1 = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    cursors = {
+        int(r["query_id"]): (
+            int(math.floor(r["score"] * 1_000_000)),
+            r["url"],
+        )
+        for r in page1.filter(F.col("rank") == 10).collect()
+    }
+    qs = [(qid, t) for qid, t in BM25_QUERIES if qid in cursors]
+    top = search(
+        spark, index_dir, qs, k=10, mode="bmw", fixed_point=True,
+        search_after=cursors,
     )
     return top.select(
         "query_id",
@@ -874,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_fuzzy"] = _engine_bm25_fuzzy  # 1-edit fuzzy terms
     q["engine_bm25_explain"] = _engine_bm25_explain  # Lucene explain()
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
+    q["engine_bm25_page_after"] = _engine_bm25_page_after  # cursor paging
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
@@ -921,6 +956,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_fuzzy"] = o["bm25_fuzzy"]
     o["engine_bm25_explain"] = o["bm25_explain"]
     o["engine_bm25_page"] = o["bm25_page2"]
+    o["engine_bm25_page_after"] = o["bm25_page_after"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]

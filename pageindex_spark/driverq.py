@@ -222,6 +222,7 @@ def _bm25_sql(
     rank_where: str = "rank <= 10",
     k1: float = 1.2,
     b: float = 0.75,
+    after_rank: int | None = None,
 ) -> str:
     """BM25 top-10 twin. ``corpus_pred`` filters the corpus BEFORE stats
     (expunged-deletes semantics: df/avgdl/n_docs over survivors only);
@@ -234,7 +235,13 @@ def _bm25_sql(
     scores). ``boosts`` = per-(query, term) weights multiplying the term's
     idf — the 'term^2.5' syntax of plans/query.py (weight placement matches
     the engine's idf-fold: ``ln(...) * wt``). ``k1``/``b`` mirror the
-    engine's query-time similarity overrides (plans/query.py search)."""
+    engine's query-time similarity overrides (plans/query.py search).
+    ``after_rank`` is the CURSOR-paging twin (plans/query.py
+    ``search_after``): per query, the (score6, doc_id) sort values of the
+    row at that rank become the cursor, and the result is the next rows
+    STRICTLY past it in (score6 desc, doc_id asc) order, re-ranked 1..k
+    page-relative — queries with no row at that rank (first page not full)
+    have no cursor and return nothing, mirroring the engine entry."""
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in (queries or BM25_QUERIES))
     corpus_where = f" where {corpus_pred}" if corpus_pred else ""
     boost_cte, boost_join, boost_mul = "", "", ""
@@ -286,8 +293,25 @@ ranked as (
          row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
   from scored{mask_where}
 )
-select query_id, rank, doc_id, score6 from ranked where {rank_where}
+{_after_tail(after_rank) if after_rank else
+ f"select query_id, rank, doc_id, score6 from ranked where {rank_where}"}
 """
+
+
+def _after_tail(after_rank: int, k: int = 10) -> str:
+    """The search_after tail over a ``ranked`` CTE: cursor = each query's
+    rank-``after_rank`` sort values, result = the next ``k`` rows strictly
+    past it, re-ranked 1..k (see ``_bm25_sql``'s after_rank doc)."""
+    return f""", cursor as (
+  select query_id, score6 as cs6, doc_id as cdid from ranked where rank = {after_rank}
+),
+paged as (
+  select r.query_id, r.doc_id, r.score6,
+         row_number() over (partition by r.query_id order by r.score6 desc, r.doc_id asc) as rank
+  from ranked r join cursor c on c.query_id = r.query_id
+  where r.score6 < c.cs6 or (r.score6 = c.cs6 and r.doc_id > c.cdid)
+)
+select query_id, rank, doc_id, score6 from paged where rank <= {k}"""
 
 
 # Query-id -> embeddings.vec_id for the hybrid-RRF entries: each text query
@@ -1418,6 +1442,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_page2"] = both(
         lambda d: _bm25_sql(d, rank_where="rank > 10 and rank <= 20")
     )
+    # cursor paging (plans/query.py search_after=): page 2 via the page-1
+    # rank-10 row's (score6, doc_id) cursor — same rows as bm25_page2,
+    # ranks page-relative 1..10, heaps never deepen.
+    pairs["bm25_page_after"] = both(lambda d: _bm25_sql(d, after_rank=10))
     pairs["hits_count"] = both(_hits_count_sql)
     pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted

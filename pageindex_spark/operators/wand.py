@@ -423,12 +423,26 @@ def bmw_score_cell(
     allowed: frozenset[int] | set[int] | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    after: tuple[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Block-Max WAND top-k for one query within one cell.
 
     ``prior_threshold`` lets the driver thread a global threshold through
     sequential cell batches (tightens pruning; correctness unaffected).
     Returns [(doc_id, score)] of at most k candidates.
+
+    ``after`` = (cursor_score6, cursor_doc_id) is the search_after cursor
+    (plans/query.py): only docs STRICTLY past the cursor in the global
+    (floor(score*1e6) desc, doc_id asc) order may enter the heap — admit
+    iff s6 < cursor_s6, or s6 == cursor_s6 and doc_id > cursor_doc_id.
+    The admission test runs at evaluation time (a too-high-scoring doc is
+    scored then discarded, never offered), so the heap threshold reflects
+    admissible docs only and pruning stays exact: any admissible doc that
+    belongs in the top-k has score > threshold, hence block UB > threshold,
+    hence it is always evaluated. Block-max bounds can NOT prune "above
+    the cursor" (they are upper bounds — a high-UB block may hold
+    admissible docs), so the cursor never tightens pruning, it only
+    filters admissions.
 
     ``deleted`` (tombstoned docIDs in this cell) masks docs PRE-HEAP: a
     deleted pivot is fully skipped (cursors advance past it, nothing is
@@ -488,7 +502,14 @@ def bmw_score_cell(
                     score = 0.0
                     for c in sorted(at_pivot, key=lambda c: c.term):
                         score += c.score_at(norms, avgdl)
-                    topk.offer(score, pivot_doc)
+                    if after is None:
+                        topk.offer(score, pivot_doc)
+                    else:
+                        s6 = math.floor(score * 1_000_000)
+                        if s6 < after[0] or (
+                            s6 == after[0] and pivot_doc > after[1]
+                        ):
+                            topk.offer(score, pivot_doc)
                     for c in at_pivot:
                         c.next()
             else:

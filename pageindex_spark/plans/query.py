@@ -202,10 +202,12 @@ class Searcher:
         filter_urls: DataFrame | None = None,
         k1: float | None = None,
         b: float | None = None,
+        search_after: dict[int, tuple[int, str]] | None = None,
     ) -> DataFrame:
         return _search_impl(
             self, queries, k, mode, fixed_point, with_text, tie_margin,
             prune_norms, min_match, offset, filter_urls, k1, b,
+            search_after=search_after,
         )
 
 
@@ -237,8 +239,32 @@ def search(
     filter_urls: DataFrame | None = None,
     k1: float | None = None,
     b: float | None = None,
+    search_after: dict[int, tuple[int, str]] | None = None,
 ) -> DataFrame:
     """Top-k BM25 over the index: -> (query_id, rank, url, score[, text]).
+
+    ``search_after`` is CURSOR paging (Elasticsearch ``search_after`` — the
+    scale-correct alternative to ``offset``): per query_id, the
+    ``(score6, url)`` sort values of the last row already consumed (score6
+    = ``floor(score * 1e6)``, exactly the fixed-point rank key), and the
+    next ``k`` results STRICTLY past that cursor in the global
+    (score6 desc, url asc) order return with page-relative ranks 1..k.
+    Unlike ``offset`` — whose per-cell heaps must deepen to offset+k, so
+    page 1000 costs 1000x page 1 — cursor paging keeps every heap at
+    k + tie_margin no matter how deep the page: the cursor is an ADMISSION
+    predicate evaluated pre-heap in every kernel (BMW scores a pivot, then
+    discards it un-offered if it sorts at-or-before the cursor; the dense
+    kernels mask scored candidates the same way), the fourth channel of
+    the engine-wide pre-heap contract after tombstones, '-term' negations
+    and ``filter_urls``. Exactness: admission only removes candidates that
+    sort at-or-before the cursor, and every admissible doc still scores
+    corpus-wide stats — so page N+1 is exactly what the offset-paged query
+    would return at the same depth (pinned by test). Requires
+    ``fixed_point=True`` (the cursor is defined over the floored key; a
+    raw-float cursor would not survive the engine/oracle boundary) and is
+    mutually exclusive with ``offset``. Cursor urls must exist in the
+    index (they came from a previous page) — unknown urls raise. Queries
+    absent from the dict page from the top (their first page).
 
     ``k1`` / ``b`` override the BM25 similarity parameters for THIS query
     batch only (Lucene per-field similarity config / Elasticsearch
@@ -303,7 +329,7 @@ def search(
     return get_searcher(spark, index_dir, cell_parts).search(
         queries, k, mode, fixed_point, with_text, prune_norms=prune_norms,
         min_match=min_match, offset=offset, filter_urls=filter_urls,
-        k1=k1, b=b,
+        k1=k1, b=b, search_after=search_after,
     )
 
 
@@ -1041,6 +1067,39 @@ def _resolve_filter_ids(se: Searcher, filter_urls: DataFrame) -> np.ndarray:
     return np.sort(np.asarray([r["doc_id"] for r in rows], dtype=np.int64))
 
 
+def _resolve_cursor_ids(se: Searcher, urls: list[str]) -> dict[str, int]:
+    """Resolve search_after cursor urls to docIDs (url -> docID) with the
+    same ONE column-pruned broadcast-joined extracts scan as
+    ``_resolve_filter_ids``. Cursors come from a previous page's rows, so
+    every url must exist in the index — a miss raises (a silent drop would
+    turn the tie-break into 'all ties admitted', silently duplicating
+    rows across pages)."""
+    want = sorted(set(urls))
+    url_df = se.spark.createDataFrame([(u,) for u in want], "url string")
+    offsets = se.spark.createDataFrame(
+        [(p, int(g)) for p, g in enumerate(se.meta["grid"])],
+        "part_id int, offset long",
+    )
+    rows = (
+        se.spark.read.parquet(se.paths.docs_extracted)
+        .select(F.col("part_id").cast("int").alias("part_id"), "local_pos", "url")
+        .join(F.broadcast(url_df), "url")
+        .join(F.broadcast(offsets), "part_id")
+        .select(
+            "url",
+            (F.col("offset") + F.col("local_pos")).cast("long").alias("doc_id"),
+        )
+        .collect()
+    )
+    out = {r["url"]: int(r["doc_id"]) for r in rows}
+    missing = [u for u in want if u not in out]
+    if missing:
+        raise ValueError(
+            f"search_after cursor urls not in the index: {missing}"
+        )
+    return out
+
+
 def _ensure_idf(se: Searcher, terms: list[str]) -> None:
     """Fill the Searcher's idf cache for ``terms`` with ONE bucket- and
     term-pruned term_stats read covering the misses (None caches an absent
@@ -1081,11 +1140,20 @@ def _search_impl(
     filter_urls: DataFrame | None = None,
     k1: float | None = None,
     b: float | None = None,
+    search_after: dict[int, tuple[int, str]] | None = None,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
     if prune_norms is None:  # auto: prune once the norms relation is big
         prune_norms = se.n_docs >= PRUNE_NORMS_AUTO_MIN_DOCS
+    if search_after:
+        if not fixed_point:
+            raise ValueError(
+                "search_after requires fixed_point=True (the cursor is "
+                "defined over the floored score6 rank key)"
+            )
+        if offset:
+            raise ValueError("search_after and offset are mutually exclusive")
 
     spark = se.spark
     paths = se.paths
@@ -1121,6 +1189,19 @@ def _search_impl(
         if allowed_ids.size == 0:
             return empty  # filter admits nothing — no doc can rank
         bc_allowed = spark.sparkContext.broadcast(allowed_ids)
+
+    # search_after cursors (docstring on ``search``): per-query
+    # (score6, doc_id) admission tuples, resolved with one pruned extracts
+    # scan and broadcast. Applied PRE-HEAP in every kernel, so page depth
+    # never deepens a heap (the offset path's cost model).
+    bc_after = None
+    if search_after:
+        url_ids = _resolve_cursor_ids(
+            se, [u for _s6, u in search_after.values()]
+        )
+        bc_after = spark.sparkContext.broadcast(
+            {qid: (int(s6), url_ids[u]) for qid, (s6, u) in search_after.items()}
+        )
 
     # 'term^2.5' boosts (functions/tokenizer.parse_boost_query) fold into
     # the per-(query, term) idf BEFORE it ships in the payload — every
@@ -1332,6 +1413,13 @@ def _search_impl(
                         term_runs, norms_obj, term_idf, avgdl, deleted=q_excl,
                         allowed=cell_allowed, k1=q_k1, b=q_b,
                     )
+                if bc_after is not None and qid in bc_after.value:
+                    # cursor admission BEFORE the truncate: docs at-or-
+                    # before the cursor must not occupy candidate slots.
+                    cs6, cdid = bc_after.value[qid]
+                    s6 = np.floor(s * 1_000_000).astype(np.int64)
+                    keep = (s6 < cs6) | ((s6 == cs6) & (d > cdid))
+                    d, s = d[keep], s[keep]
                 if len(d) > cell_k:
                     # local truncate to cell_k best (score desc, doc asc)
                     order = np.lexsort((d, -s))[:cell_k]
@@ -1347,6 +1435,11 @@ def _search_impl(
                     term_runs, norms_obj, term_idf, avgdl, cell_k,
                     deleted=q_excl_set, bound_scale=bound_scale,
                     allowed=bmw_allowed, k1=q_k1, b=q_b,
+                    after=(
+                        bc_after.value.get(qid)
+                        if bc_after is not None
+                        else None
+                    ),
                 )
             for did, sc in pairs:
                 qids.append(qid)

@@ -87,6 +87,55 @@ def test_prune_norms_auto_identity(spark, built_index, golden, monkeypatch):
     _assert_matches_golden(got, golden)
 
 
+def test_search_after_cursor_paging(spark, built_index):
+    """Cursor paging (search(search_after=)): page 2 via the page-1 rank-10
+    row's (score6, url) cursor must equal the offset=10 page row-for-row
+    (ranks page-relative) for BOTH kernels — the admission predicate is
+    exact — and the contract errors raise (fixed_point required, offset
+    mutually exclusive, unknown cursor url)."""
+    import math
+
+    qs = make_queries()
+    page1 = search(
+        spark, built_index, qs, k=10, mode="bmw", fixed_point=True
+    ).collect()
+    cursors = {
+        int(r["query_id"]): (int(math.floor(r["score"] * 1_000_000)), r["url"])
+        for r in page1
+        if r["rank"] == 10
+    }
+    assert cursors, "fixture queries must fill a first page"
+    qs2 = [(qid, t) for qid, t in qs if qid in cursors]
+    want = search(
+        spark, built_index, qs2, k=10, mode="bmw", fixed_point=True, offset=10
+    ).collect()
+    for mode in ("bmw", "dense"):
+        got = search(
+            spark, built_index, qs2, k=10, mode=mode, fixed_point=True,
+            search_after=cursors,
+        ).collect()
+        assert len(got) == len(want) > 0
+        for g, w in zip(got, want):
+            assert (g["query_id"], g["rank"] + 10, g["url"]) == (
+                w["query_id"], w["rank"], w["url"],
+            )
+            assert abs(g["score"] - w["score"]) < 1e-9
+    with pytest.raises(ValueError, match="fixed_point"):
+        search(spark, built_index, qs2, k=10, search_after=cursors)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        search(
+            spark, built_index, qs2, k=10, fixed_point=True, offset=5,
+            search_after=cursors,
+        )
+    qid0 = qs2[0][0]
+    bad = {qid0: (cursors[qid0][0], "url-that-never-existed")}
+    with pytest.raises(ValueError, match="not in the index"):
+        search(
+            spark, built_index, qs2[:1], k=10, fixed_point=True,
+            search_after=bad,
+        )
+
+
 def test_phrase_rank_identity(spark, built_index, sf_unit_dir):
     """Phrase search (round 5): conjunctive candidates + adjacency verify
     must reproduce the pure-Python phrase oracle rank- and score-exactly,
