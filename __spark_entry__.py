@@ -320,6 +320,34 @@ def _engine_bm25_page_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field collapsing (round 5, plans/query.py search_collapse): top-10
+    matches per query with at most ONE doc per documents.source — each
+    source's best doc under the fixed-point order (the "one result per
+    site" dedup). Exhaustive dense matching (a per-cell top-k could hide a
+    key's global best), argmax-per-key via struct max (one shuffle,
+    map-side combine), two-phase rank. Must reproduce the bm25_collapse
+    SQL exactly."""
+    from pageindex_spark import search_collapse
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("source").alias("ckey"),
+    )
+    top = search_collapse(
+        spark, index_dir, BM25_QUERIES, dim, k=10, fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "ckey",
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total hit counts (round 5, plans/hits.py): per-cell partial counts
     over the pruned postings — O(cells) shuffled rows, no norms, no heap.
@@ -909,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_explain"] = _engine_bm25_explain  # Lucene explain()
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_bm25_page_after"] = _engine_bm25_page_after  # cursor paging
+    q["engine_bm25_collapse"] = _engine_bm25_collapse  # one doc per key
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
@@ -957,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_explain"] = o["bm25_explain"]
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_bm25_page_after"] = o["bm25_page_after"]
+    o["engine_bm25_collapse"] = o["bm25_collapse"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]

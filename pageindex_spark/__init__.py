@@ -12,6 +12,7 @@ from .plans.build_index import IndexPaths, build_index, build_metrics  # noqa: F
 from .plans.query import (  # noqa: F401
     more_like_this,
     search,
+    search_collapse,
     search_fuzzy,
     search_prefix,
     search_snippets,

@@ -773,6 +773,54 @@ select query_id, rank, doc_id, sort_key from ranked where rank <= {k}
 """
 
 
+def _bm25_collapse_sql(d: _Dialect, k: int = 10) -> str:
+    """Field-collapsing twin (plans/query.py ``search_collapse``): the
+    standard BM25 scored set, at most one doc per documents.source — each
+    source represented by its best doc under (score6 desc, doc_id asc) —
+    then the survivors re-rank 1..k per query. Mirrors the engine's
+    argmax-per-key + two-phase rank exactly (both orders are total)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+collapsed as (
+  select query_id, doc_id, ckey, score6 from (
+    select s.query_id, s.doc_id, doc.source as ckey, s.score6,
+           row_number() over (partition by s.query_id, doc.source
+                              order by s.score6 desc, s.doc_id asc) as gr
+    from scored s join documents doc on doc.doc_id = s.doc_id
+  ) g where gr = 1
+),
+ranked as (
+  select query_id, doc_id, ckey, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from collapsed
+)
+select query_id, rank, doc_id, ckey, score6 from ranked where rank <= {k}
+"""
+
+
 def _bm25_fuzzy_sql(d: _Dialect, max_edits: int = 1) -> str:
     """Fuzzy BM25 twin (plans/query.py ``search_fuzzy``): each query token
     expands to every CORPUS term within ``max_edits`` Levenshtein edits
@@ -1446,6 +1494,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # rank-10 row's (score6, doc_id) cursor — same rows as bm25_page2,
     # ranks page-relative 1..10, heaps never deepen.
     pairs["bm25_page_after"] = both(lambda d: _bm25_sql(d, after_rank=10))
+    # field collapsing (plans/query.py search_collapse): at most one doc
+    # per documents.source ranks — each source's best doc, re-ranked 1..10.
+    pairs["bm25_collapse"] = both(_bm25_collapse_sql)
     pairs["hits_count"] = both(_hits_count_sql)
     pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted

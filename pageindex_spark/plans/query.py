@@ -808,6 +808,106 @@ def search_wildcard(
     )
 
 
+def search_collapse(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    collapse_keys: DataFrame,
+    k: int = 10,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse`` / Lucene result
+    grouping): the top-``k`` matching docs per query where at most ONE doc
+    per collapse key ranks — each key is represented by its best doc under
+    the engine ranking order -> (query_id, rank, url, ckey, score). The
+    classic web-search "one result per site" dedup. ``collapse_keys`` is a
+    (url, ckey) dimension DataFrame; docs absent from it drop (same
+    missing-value convention as ``search_sorted_by`` — callers wanting
+    ES's keep-missing behavior supply a defaulted dimension, e.g. ckey =
+    url).
+
+    Exactness needs the best doc of EVERY key that matched, which only the
+    full scored match set contains (a per-cell top-k could hide a key's
+    global best behind same-cell docs of other keys), so matching runs the
+    exhaustive dense kernel with no per-cell truncate — O(matches) scored
+    rows, the inherent ES-collapse cost class, same as facets /
+    sort-by-field (BMW's top-k contract cannot serve collapse). The full
+    exclusion contract applies pre-heap as always (tombstones, '-term',
+    ``filter_urls`` via ``search``'s machinery). Plan shape after the
+    kernel, all JVM-side:
+
+    1. url join: ONE extracts scan column-pruned to (part_id, local_pos,
+       url) and filtered to the partitions the pruned runs can touch (the
+       prune list ``raw_scored`` computes driver-side), joined on the
+       kernel-emitted coordinates; then the ckey dimension joins on url.
+    2. collapse: ``groupBy(query_id, ckey).agg(max(struct(...)))`` — an
+       argmax by (score6 desc, docID asc) encoded as a lexicographic
+       struct max, so Spark runs it as ONE shuffle with map-side partial
+       aggregation (a window would shuffle the same rows without the
+       combine).
+    3. rank: never global-sorts — per-(query, hash-of-ckey mod 64) top-k
+       first, then a global rank over <= queries x 64 x k survivors (the
+       ``search_sorted_by`` two-phase shape).
+
+    ``fixed_point`` collapses and ranks over floor(score*1e6) with docID
+    tie-break (the oracle-exact order); raw doubles otherwise. Ties break
+    url-asc == docID order, the engine-wide tie-break."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    scored, parts = _search_impl(
+        se, queries, k, "dense", fixed_point, raw_scored=True
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    skey = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    keyed = (
+        scored.join(ext, ["part_id", "local_pos"])
+        .join(collapse_keys.select("url", "ckey"), "url")
+        .withColumn("skey", skey)
+    )
+    best = (
+        keyed.groupBy("query_id", "ckey")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("skey"),
+                    (-F.col("doc_id")).alias("ndoc"),
+                    F.col("doc_id"),
+                    F.col("url"),
+                    F.col("score"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            "ckey",
+            F.col("b.skey").alias("skey"),
+            F.col("b.doc_id").alias("doc_id"),
+            F.col("b.url").alias("url"),
+            F.col("b.score").alias("score"),
+        )
+    )
+    order = (F.desc("skey"), F.asc("doc_id"))
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.hash("ckey"), F.lit(64))
+    ).orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        best.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "ckey", "score")
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,
@@ -1141,6 +1241,7 @@ def _search_impl(
     k1: float | None = None,
     b: float | None = None,
     search_after: dict[int, tuple[int, str]] | None = None,
+    raw_scored: bool = False,
 ) -> DataFrame:
     from ..functions.murmur3 import term_bucket
 
@@ -1154,6 +1255,19 @@ def _search_impl(
             )
         if offset:
             raise ValueError("search_after and offset are mutually exclusive")
+    # raw_scored (internal; search_collapse): return the FULL scored match
+    # set as (query_id, doc_id, part_id, local_pos, score) rows — no per-cell
+    # truncate, no global rank, no url lookup — plus the driver-side build-
+    # partition prune list. Exhaustive modes only (BMW's contract is top-k).
+    if raw_scored:
+        if mode not in ("dense", "conjunctive", "msm"):
+            raise ValueError(
+                f"raw_scored requires an exhaustive mode, got {mode!r}"
+            )
+        if search_after or offset:
+            raise ValueError(
+                "raw_scored returns the full match set; paging does not apply"
+            )
 
     spark = se.spark
     paths = se.paths
@@ -1178,7 +1292,11 @@ def _search_impl(
     out_schema = "query_id int, rank int, url string, score double" + (
         ", text string" if with_text else ""
     )
-    empty = spark.createDataFrame([], out_schema)
+    _RAW_DDL = "query_id int, doc_id long, part_id int, local_pos long, score double"
+    if raw_scored:
+        empty = (spark.createDataFrame([], _RAW_DDL), None)
+    else:
+        empty = spark.createDataFrame([], out_schema)
 
     # Filtered search (Lucene filter context): the allowed docID set masks
     # candidates pre-heap as an INCLUSION — the mirror of the tombstone /
@@ -1298,10 +1416,13 @@ def _search_impl(
     )
 
     norms = se.norms
-    if prune_norms:
+    raw_parts: list[int] | None = None
+    if prune_norms or raw_scored:
         # One metadata-only job (blobs column-pruned away) + a driver map
         # from run docID ranges to grid cells -> the norms cogroup side
-        # shuffles only the partitions the query can actually touch.
+        # shuffles only the partitions the query can actually touch (and
+        # raw_scored callers prune their url-join extracts scan the same
+        # way).
         ranges = [
             (int(r["first_doc"]), int(r["last_doc"]))
             for r in runs.select("first_doc", "last_doc").collect()
@@ -1309,7 +1430,8 @@ def _search_impl(
         parts = _parts_for_runs(
             ranges, cell_grid, se.cell_parts, len(se.grid_parts)
         )
-        if parts is not None:
+        raw_parts = parts
+        if prune_norms and parts is not None:
             norms = norms.filter(F.col("part_id").isin(parts))
     use_dense = mode in ("dense", "conjunctive", "msm")
     conjunctive = mode == "conjunctive"
@@ -1320,11 +1442,19 @@ def _search_impl(
         else None
     )
 
+    bc_fullgrid = (
+        spark.sparkContext.broadcast(se.grid_parts) if raw_scored else None
+    )
+
+    def _empty_cell() -> pd.DataFrame:
+        cols = {"query_id": "int32", "doc_id": "int64", "score": "float64"}
+        if raw_scored:
+            cols.update({"part_id": "int32", "local_pos": "int64"})
+        return pd.DataFrame({c: [] for c in cols}).astype(cols)
+
     def score_cell(slices_pdf: pd.DataFrame, norms_pdf: pd.DataFrame) -> pd.DataFrame:
         if slices_pdf.empty or norms_pdf.empty:
-            return pd.DataFrame({"query_id": [], "doc_id": [], "score": []}).astype(
-                {"query_id": "int32", "doc_id": "int64", "score": "float64"}
-            )
+            return _empty_cell()
         from ..operators.codec import vb_decode
 
         term_runs = assemble_cell_runs(slices_pdf)
@@ -1349,11 +1479,7 @@ def _search_impl(
             if b == a:
                 # no filter-passing doc lives in this cell: skip it before
                 # decoding a single posting block.
-                return pd.DataFrame(
-                    {"query_id": [], "doc_id": [], "score": []}
-                ).astype(
-                    {"query_id": "int32", "doc_id": "int64", "score": "float64"}
-                )
+                return _empty_cell()
             cell_allowed = aa[a:b]
             bmw_allowed = frozenset(cell_allowed.tolist())
         cell_deleted = None
@@ -1420,7 +1546,7 @@ def _search_impl(
                     s6 = np.floor(s * 1_000_000).astype(np.int64)
                     keep = (s6 < cs6) | ((s6 == cs6) & (d > cdid))
                     d, s = d[keep], s[keep]
-                if len(d) > cell_k:
+                if len(d) > cell_k and not raw_scored:
                     # local truncate to cell_k best (score desc, doc asc)
                     order = np.lexsort((d, -s))[:cell_k]
                     d, s = d[order], s[order]
@@ -1445,20 +1571,32 @@ def _search_impl(
                 qids.append(qid)
                 dids.append(did)
                 scores.append(sc)
-        return pd.DataFrame(
-            {
-                "query_id": np.array(qids, dtype=np.int32),
-                "doc_id": np.array(dids, dtype=np.int64),
-                "score": np.array(scores, dtype=np.float64),
-            }
-        )
+        out = {
+            "query_id": np.array(qids, dtype=np.int32),
+            "doc_id": np.array(dids, dtype=np.int64),
+            "score": np.array(scores, dtype=np.float64),
+        }
+        if raw_scored:
+            # (part_id, local_pos) per row, vectorized off the full grid —
+            # raw consumers join the extracts on these coordinates with the
+            # same partition-pruned scan as _rank_and_lookup's url lookup.
+            g = bc_fullgrid.value
+            pid = np.searchsorted(g, out["doc_id"], side="right") - 1
+            out["part_id"] = pid.astype(np.int32)
+            out["local_pos"] = out["doc_id"] - g[pid]
+        return pd.DataFrame(out)
 
+    cell_schema = "query_id int, doc_id long, score double" + (
+        ", part_id int, local_pos long" if raw_scored else ""
+    )
     scored = (
         slices.groupBy("cell")
         .cogroup(norms.groupBy("cell"))
-        .applyInPandas(score_cell, schema="query_id int, doc_id long, score double")
+        .applyInPandas(score_cell, schema=cell_schema)
     )
 
+    if raw_scored:
+        return scored, raw_parts
     return _rank_and_lookup(
         se, scored, k, fixed_point, with_text, empty, offset=offset
     )

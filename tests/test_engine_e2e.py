@@ -136,6 +136,78 @@ def test_search_after_cursor_paging(spark, built_index):
         )
 
 
+def test_collapse_matches_python(spark, built_index, sf_unit_dir):
+    """Field collapsing (search_collapse): the engine must equal a pure-
+    Python collapse of the oracle's FULL score set — best doc per key by
+    (floor(score*1e6) desc, docID asc), survivors re-ranked — with a key
+    coarse enough (2 digits of the site number) that collapsing genuinely
+    drops same-key docs; plus distinct-keys-per-query and the
+    missing-from-dim drop rule."""
+    import math
+
+    from pageindex_spark import search_collapse
+    from pageindex_spark.oracle.bm25 import OracleIndex
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+
+    def ckey_of(url: str) -> str:
+        return url.split("/")[2][4:6]  # 2 digits of siteNNNN -> ~collisions
+
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        F.substring(F.split(F.col("url"), "/").getItem(2), 5, 2).alias("ckey"),
+    )
+    want = []
+    for qid, text in make_queries():
+        best: dict[str, tuple] = {}
+        for did, sc in oi.score_all(text).items():
+            key = (math.floor(sc * 1_000_000), -did)
+            ck = ckey_of(oi.urls[did])
+            if ck not in best or key > best[ck][0]:
+                best[ck] = (key, did, sc)
+        ranked = sorted(best.values(), key=lambda t: (-t[0][0], t[1]))[:10]
+        for rank, (_key, did, sc) in enumerate(ranked, 1):
+            want.append((qid, rank, oi.urls[did], ckey_of(oi.urls[did]), sc))
+    got = search_collapse(
+        spark, built_index, make_queries(), dim, k=10, fixed_point=True
+    ).collect()
+    got_t = sorted(
+        ((r["query_id"], r["rank"], r["url"], r["ckey"], r["score"]) for r in got),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert len(got_t) == len(want) > 0
+    for g, w in zip(got_t, want):
+        assert g[:4] == w[:4], (g, w)
+        assert abs(g[4] - w[4]) < 1e-9
+    per_q: dict[int, list[str]] = {}
+    for g in got_t:
+        per_q.setdefault(g[0], []).append(g[3])
+    for cks in per_q.values():
+        assert len(cks) == len(set(cks))  # at most one doc per key
+    # the collapse must BITE: some query's plain top-10 repeats a key
+    plain = search(
+        spark, built_index, make_queries(), k=10, fixed_point=True
+    ).collect()
+    repeats = 0
+    by_q: dict[int, list[str]] = {}
+    for r in plain:
+        by_q.setdefault(r["query_id"], []).append(ckey_of(r["url"]))
+    repeats = sum(1 for cks in by_q.values() if len(set(cks)) < len(cks))
+    assert repeats > 0, "fixture key too fine — collapse never fired"
+    # docs absent from the dimension drop: a one-key dim yields <= 1 row
+    one_key = got_t[0][3]
+    got2 = search_collapse(
+        spark, built_index, make_queries()[:1],
+        dim.filter(F.col("ckey") == one_key), k=10, fixed_point=True,
+    ).collect()
+    assert len(got2) <= 1 and all(r["ckey"] == one_key for r in got2)
+
+
 def test_phrase_rank_identity(spark, built_index, sf_unit_dir):
     """Phrase search (round 5): conjunctive candidates + adjacency verify
     must reproduce the pure-Python phrase oracle rank- and score-exactly,
