@@ -348,6 +348,72 @@ def _engine_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonyms (round 5, plans/query.py search_synonyms): each
+    token expands to itself + its SYNONYMS mapping via the shared lockstep
+    expander, then ordinary OR/BMW — Lucene expand=true. Query 5's only
+    token is index-absent; its results come purely from the expansion.
+    Must reproduce the bm25_syn SQL exactly."""
+    from pageindex_spark import search_synonyms
+    from pageindex_spark.driverq import SYN_QUERIES, SYNONYMS
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_synonyms(
+        spark, index_dir, SYN_QUERIES, SYNONYMS, k=10, mode="bmw",
+        fixed_point=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_range_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range aggregation (round 5, plans/hits.py range_facets): matched
+    docs per query bucketed by documents.n_chars against RANGE_BOUNDS —
+    the ES range/histogram agg over the full match set, one map-side-
+    combined groupBy. Must reproduce the range_facets SQL exactly."""
+    from pageindex_spark.driverq import RANGE_BOUNDS
+    from pageindex_spark.plans.hits import range_facets
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return range_facets(spark, index_dir, BM25_QUERIES, dim, RANGE_BOUNDS)
+
+
+def _engine_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescore window (round 5, plans/query.py rescore_phrase): base BM25
+    top-RESCORE_WINDOW, +bonus for docs containing the contiguous phrase,
+    re-ranked top-10 — the ES two-stage retrieve/rerank, phrase test on
+    the winner texts the lookup already fetched (zero extra jobs). Must
+    reproduce the bm25_rescore SQL exactly."""
+    from pageindex_spark import rescore_phrase
+    from pageindex_spark.driverq import (
+        PHRASE_QUERIES,
+        RESCORE_BONUS,
+        RESCORE_WINDOW,
+    )
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = rescore_phrase(
+        spark, index_dir, PHRASE_QUERIES, k=10, window=RESCORE_WINDOW,
+        bonus=RESCORE_BONUS,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "rescore6",
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total hit counts (round 5, plans/hits.py): per-cell partial counts
     over the pruned postings — O(cells) shuffled rows, no norms, no heap.
@@ -938,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_bm25_page_after"] = _engine_bm25_page_after  # cursor paging
     q["engine_bm25_collapse"] = _engine_bm25_collapse  # one doc per key
+    q["engine_bm25_syn"] = _engine_bm25_syn  # query-time synonyms
+    q["engine_range_facets"] = _engine_range_facets  # range aggregation
+    q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
@@ -987,6 +1056,9 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_bm25_page_after"] = o["bm25_page_after"]
     o["engine_bm25_collapse"] = o["bm25_collapse"]
+    o["engine_bm25_syn"] = o["bm25_syn"]
+    o["engine_range_facets"] = o["range_facets"]
+    o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]

@@ -11,11 +11,13 @@ entry point, ``/root/reference/pageindex/page_index.py:1101-1109``):
 from .plans.build_index import IndexPaths, build_index, build_metrics  # noqa: F401
 from .plans.query import (  # noqa: F401
     more_like_this,
+    rescore_phrase,
     search,
     search_collapse,
     search_fuzzy,
     search_prefix,
     search_snippets,
+    search_synonyms,
     search_wildcard,
     suggest_terms,
 )

@@ -17,6 +17,7 @@ use the DataFrame/Arrow API and are flagged no-oracle in ``__spark_entry__``
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -423,6 +424,39 @@ SUGGEST_PREFIXES = [(1, "s"), (2, "c"), (3, "qu"), (4, "zzz")]
 # same docs as lpad'd urls).
 MLT_SEEDS = [(1, 3), (2, 57), (3, 123), (4, 250), (5, 499)]
 
+# Query-time synonym mapping for the synonym-expansion entries
+# (plans/query.py search_synonyms; shared lockstep expander
+# functions/tokenizer.expand_synonyms). All keys/values are corpus terms so
+# the expansion genuinely reorders winners; query 5's only token is
+# index-absent but its synonym is common — results come purely from the
+# expansion (the "query rewrite rescues the query" case).
+SYNONYMS = {
+    "customer": ["order"],
+    "merge": ["sort", "join"],
+    "fast": ["slow"],
+    "zzznope": ["data"],
+}
+SYN_QUERIES = [
+    (1, "customer"),
+    (2, "window merge"),
+    (3, "fast query"),
+    (4, "data"),
+    (5, "zzznope"),
+]
+
+# Range-facet boundaries for the range-aggregation entries (plans/hits.py
+# range_facets over documents.n_chars — sf corpus spans ~48..553 chars, so
+# every bucket is populated): buckets [0,150) [150,300) [300,450) [450,600).
+RANGE_BOUNDS = [0, 150, 300, 450, 600]
+
+# Rescore-window parameters (plans/query.py rescore_phrase over
+# PHRASE_QUERIES): top-RESCORE_WINDOW by BM25, +RESCORE_BONUS for docs
+# containing the contiguous phrase, re-ranked top-10. The planted phrases
+# make the bonus genuinely reorder (phrase docs jump past higher-BM25
+# non-phrase docs).
+RESCORE_WINDOW = 30
+RESCORE_BONUS = 0.5
+
 # Slop for the proximity/NEAR entries (plans/query.py search_phrase slop=N:
 # ordered match, up to N extra tokens inside the window — engine verifies
 # via the positions-sidecar greedy chain AND the codegen text predicate).
@@ -770,6 +804,153 @@ ranked as (
   from keyed
 )
 select query_id, rank, doc_id, sort_key from ranked where rank <= {k}
+"""
+
+
+def _bm25_syn_sql(d: _Dialect, k: int = 10) -> str:
+    """Query-time synonym twin (plans/query.py ``search_synonyms``): each
+    query token expands IN SQL to itself plus its mapped synonyms (one
+    hop — the syn CTE mirrors the SYNONYMS dict verbatim), then ordinary
+    OR scoring over the distinct union, each expansion with its own idf —
+    Lucene expand=true, the same scoring rewrite as the prefix/fuzzy/
+    wildcard twins."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in SYN_QUERIES)
+    svals = ", ".join(
+        f"('{t}', '{s}')" for t, ss in sorted(SYNONYMS.items()) for s in ss
+    )
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+syn(term, syn) as (values {svals}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (
+  select distinct query_id, term from (
+    select query_id, term from qtok
+    union all
+    select q.query_id, s.syn as term from qtok q join syn s on s.term = q.term
+  ) u
+),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+def _range_facets_sql(d: _Dialect) -> str:
+    """Range-aggregation twin (plans/hits.py ``range_facets``): matched docs
+    bucketed by documents.n_chars against RANGE_BOUNDS — bucket = the same
+    sum-of-comparisons the engine computes (portable, no width_bucket
+    dialect drift); values outside [first, last) drop."""
+    bl = [float(x) for x in RANGE_BOUNDS]
+    comps = " + ".join(
+        f"(case when val >= {b!r} then 1 else 0 end)" for b in bl[1:-1]
+    )
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+bucketed as (
+  select query_id, cast({comps} as int) as bucket
+  from keyed where val >= {bl[0]!r} and val < {bl[-1]!r}
+)
+select query_id, bucket, cast(count(*) as bigint) as n_docs
+from bucketed group by query_id, bucket
+"""
+
+
+def _bm25_rescore_sql(d: _Dialect, k: int = 10) -> str:
+    """Rescore-window twin (plans/query.py ``rescore_phrase``): the base
+    BM25 top-RESCORE_WINDOW per query (ordinary ranked CTE over the
+    phrase's two terms as OR), then +floor(RESCORE_BONUS*1e6) for docs
+    whose tokens contain the bigram CONTIGUOUSLY, re-ranked 1..k by
+    (rescore6 desc, doc_id asc). Docs outside the base window never enter
+    (the ES rescore no-recall rule)."""
+    qlist = ", ".join(
+        f"({qid}, '{t.split()[0]}', '{t.split()[1]}')"
+        for qid, t in PHRASE_QUERIES
+    )
+    bonus6 = int(math.floor(RESCORE_BONUS * 1_000_000))
+    if d.duck:
+        adj = (
+            "len(list_filter(generate_series(1, len(t.terms) - 1), "
+            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2)) > 0"
+        )
+    else:
+        adj = (
+            "case when size(t.terms) >= 2 then "
+            "exists(sequence(0, size(t.terms) - 2), "
+            "i -> t.terms[i] = q.t1 and t.terms[i+1] = q.t2) else false end"
+        )
+    return f"""
+with phrases(query_id, t1, t2) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qterms as (
+  select query_id, t1 as term from phrases
+  union
+  select query_id, t2 as term from phrases
+),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+),
+win as (select query_id, doc_id, score6 from ranked where rank <= {RESCORE_WINDOW}),
+resc as (
+  select w.query_id, w.doc_id,
+         w.score6 + case when {adj} then {bonus6} else 0 end as rescore6,
+         w.score6
+  from win w
+  join phrases q on q.query_id = w.query_id
+  join toks t on t.doc_id = w.doc_id
+),
+rranked as (
+  select query_id, doc_id, rescore6, score6,
+         row_number() over (partition by query_id order by rescore6 desc, doc_id asc) as rank
+  from resc
+)
+select query_id, rank, doc_id, rescore6, score6 from rranked where rank <= {k}
 """
 
 
@@ -1497,6 +1678,15 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # field collapsing (plans/query.py search_collapse): at most one doc
     # per documents.source ranks — each source's best doc, re-ranked 1..10.
     pairs["bm25_collapse"] = both(_bm25_collapse_sql)
+    # query-time synonyms (plans/query.py search_synonyms): one-hop
+    # expansion, each synonym scoring with its own idf (expand=true).
+    pairs["bm25_syn"] = both(_bm25_syn_sql)
+    # range aggregation (plans/hits.py range_facets): matched docs bucketed
+    # by n_chars against RANGE_BOUNDS, sum-of-comparisons bucket index.
+    pairs["range_facets"] = both(_range_facets_sql)
+    # rescore window (plans/query.py rescore_phrase): +bonus6 for the
+    # contiguous bigram inside the base top-RESCORE_WINDOW, re-ranked.
+    pairs["bm25_rescore"] = both(_bm25_rescore_sql)
     pairs["hits_count"] = both(_hits_count_sql)
     pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted

@@ -171,6 +171,37 @@ def wildcard_prefix(pattern: str) -> str:
     return pattern
 
 
+def expand_synonyms(text: str, synonyms: dict[str, list[str]]) -> str:
+    """Query-time synonym expansion (Lucene SynonymGraphFilter applied at
+    query time, expand=true): each POSITIVE query token expands to itself
+    plus its mapped synonyms — one hop, no transitivity (an explicit
+    mapping is applied as listed, never chained). '-term' negations pass
+    through untouched (exclusions are literal — the same rule as the
+    wildcard/prefix parsers, and Lucene never rewrites exclusions).
+    Mapping keys and values must each be a single index-alphabet token
+    (anything else could never match an index term — raise loudly rather
+    than silently matching nothing). Shared by the Spark engine
+    (plans/query.py ``search_synonyms``) and the SQL-twin generator
+    (driverq) — the same lockstep rule as ``tokenize``."""
+    for key, vals in synonyms.items():
+        if tokenize(key) != [key]:
+            raise ValueError(f"synonym key {key!r} is not a single token")
+        for v in vals:
+            if tokenize(v) != [v]:
+                raise ValueError(
+                    f"synonym value {v!r} (for {key!r}) is not a single token"
+                )
+    out: list[str] = []
+    for w in text.split():
+        if w.startswith("-"):
+            out.append(w)
+            continue
+        for t in tokenize(w):
+            out.append(t)
+            out.extend(synonyms.get(t, []))
+    return " ".join(out)
+
+
 def parse_query(text: str) -> tuple[str, list[str]]:
     """Split a query into (positive text, negated terms): a whitespace word
     with a LEADING '-' is an exclusion (classic '-term' boolean-NOT syntax —

@@ -244,6 +244,57 @@ def facet_counts(
     )
 
 
+def range_facets(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    boundaries: list[float],
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Range aggregation over the FULL match set (Elasticsearch ``range`` /
+    ``histogram`` aggregation) -> (query_id, bucket, n_docs): for every
+    query, how many matching docs fall in each half-open interval
+    [boundaries[i], boundaries[i+1]) of a numeric attribute — bucket ``i``
+    is 0-indexed, values outside [boundaries[0], boundaries[-1]) drop (ES's
+    bounded-ranges form; callers wanting unbounded ends add +/-inf
+    boundaries). ``values`` is a (url, val) dimension DataFrame; matched
+    urls come from the shared ``_matched_urls`` tail (kernel match set ->
+    pruned url join, full pre-aggregation exclusion contract).
+
+    The bucket index is computed as a SUM OF COMPARISONS —
+    ``sum_i(val >= boundaries[i])`` over the interior boundaries — instead
+    of a dialect function (``width_bucket`` exists in Spark but not every
+    oracle engine; the comparison form is portable and whole-stage
+    codegen). Aggregation is one groupBy — map-side partial counts, a few
+    rows per (query, bucket) shuffle."""
+    bl = [float(x) for x in boundaries]
+    if len(bl) < 2 or any(a >= b for a, b in zip(bl, bl[1:])):
+        raise ValueError(
+            f"boundaries must be >= 2 strictly ascending values, got {boundaries}"
+        )
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "query_id int, bucket int, n_docs long")
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    bucket = None
+    for b in bl[1:-1]:
+        term = F.when(val >= F.lit(b), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    if bucket is None:
+        bucket = F.lit(0)
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .filter((val >= F.lit(bl[0])) & (val < F.lit(bl[-1])))
+        .withColumn("bucket", bucket.cast("int"))
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def search_sorted_by(
     spark: SparkSession,
     index_dir: str,

@@ -808,6 +808,108 @@ def search_wildcard(
     )
 
 
+def search_synonyms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    synonyms: dict[str, list[str]],
+    k: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+) -> DataFrame:
+    """Top-k BM25 with QUERY-TIME synonym expansion (Lucene
+    SynonymGraphFilter on the search analyzer / Elasticsearch query-time
+    ``synonym`` filter): each positive token expands to itself plus its
+    mapped synonyms via the shared lockstep ``expand_synonyms`` (one hop,
+    no transitivity; '-term' negations stay literal; non-token mapping
+    entries raise), then the query runs as ordinary OR/BMW retrieval over
+    the union — the same scoring-BooleanQuery rewrite as
+    prefix/fuzzy/wildcard: each expansion scores with its OWN idf
+    (Lucene's ``expand=true``; SynonymQuery's blended-df mode is the
+    documented alternative — deliberately not chosen so the rewrite stays
+    a plain OR the oracle can mirror), so bucket pruning / negation /
+    deletes / fixed_point compose unchanged on the concrete terms.
+
+    Query-time expansion (vs index-time) is the web-scale default: the
+    mapping can change without touching a committed byte, and the cost is
+    a few extra terms through the same pruned-scan plan. The mapping is
+    driver-side data (broadcast-class at any realistic thesaurus size);
+    an index-time variant would be one extra tokenize stage in the build.
+    Reference parity: the reference has no query language at all
+    (/root/reference/README.md:179-188)."""
+    from ..functions.tokenizer import expand_synonyms
+
+    expanded = [(qid, expand_synonyms(text, synonyms)) for qid, text in queries]
+    return get_searcher(spark, index_dir, cell_parts).search(
+        expanded, k=k, mode=mode, fixed_point=fixed_point, with_text=with_text
+    )
+
+
+def rescore_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    window: int = 30,
+    bonus: float = 0.5,
+    slop: int = 0,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Rescore window (Elasticsearch ``rescore`` with a query rescorer /
+    the classic two-stage retrieve-then-rerank): the top-``window`` BM25
+    results per query re-rank by ``score + bonus`` for docs where the
+    query's tokens appear as a contiguous phrase (``slop`` widens to the
+    ordered near-window) -> (query_id, rank, url, rescore6, score).
+    Fixed-point throughout: rescore6 = floor(score*1e6) +
+    (phrase ? floor(bonus*1e6) : 0), ranked (rescore6 desc, url asc == the
+    docID tie-break) — exact and oracle-mirrorable.
+
+    ES semantics exactly: rescoring never RECALLS — a doc outside the
+    base top-``window`` cannot enter the final top-k even if it contains
+    the phrase (the trade that makes rescore cheap; raise ``window`` to
+    push the recall boundary). Plan shape: the base search is the
+    ordinary BMW plan at k=window (full exclusion contract), the phrase
+    test runs on the <= queries x window winner texts the lookup already
+    fetched — the codegen'd ``_adjacency_expr`` predicate, zero extra
+    jobs, zero norms re-reads — and the re-rank is a window over
+    <= queries x window rows. ``window < k`` raises."""
+    from ..functions.sqlglue import spark_terms
+
+    if window < k:
+        raise ValueError(f"window ({window}) must be >= k ({k})")
+    se = get_searcher(spark, index_dir, cell_parts)
+    base = se.search(queries, k=window, fixed_point=True, with_text=True)
+    qterms = {qid: tokenize(text) for qid, text in queries}
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, terms in qterms.items():
+        if terms:
+            cond = F.when(
+                F.col("query_id") == qid,
+                _adjacency_expr("tk", terms, slop, True),
+            ).otherwise(cond)
+    bonus6 = int(math.floor(bonus * 1_000_000))
+    s6 = F.floor(F.col("score") * 1_000_000).cast("long")
+    resc = (
+        base.withColumn("tk", toks)
+        .withColumn(
+            "rescore6",
+            s6 + F.when(cond, F.lit(bonus6)).otherwise(F.lit(0)).cast("long"),
+        )
+        .drop("tk", "text", "rank")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rescore6"), F.asc("url")
+    )
+    return (
+        resc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "rescore6", "score")
+    )
+
+
 def search_collapse(
     spark: SparkSession,
     index_dir: str,

@@ -208,6 +208,151 @@ def test_collapse_matches_python(spark, built_index, sf_unit_dir):
     assert len(got2) <= 1 and all(r["ckey"] == one_key for r in got2)
 
 
+def test_synonyms_expansion_lockstep(spark, built_index):
+    """Query-time synonyms: the engine must equal plain search on the
+    SHARED expander's output (the lockstep contract), the expansion must
+    genuinely change winners, '-term' negations stay literal, and
+    non-token mapping entries raise."""
+    from pageindex_spark import search_synonyms
+    from pageindex_spark.functions.tokenizer import expand_synonyms
+
+    base = make_queries()
+    first_term = base[0][1].split()[0]
+    syns = {first_term: ["rareterm0001"]}
+    got = search_synonyms(
+        spark, built_index, base, syns, k=10, fixed_point=True
+    ).collect()
+    expanded = [(qid, expand_synonyms(t, syns)) for qid, t in base]
+    want = search(spark, built_index, expanded, k=10, fixed_point=True).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    plain = search(spark, built_index, base, k=10, fixed_point=True).collect()
+    assert [tuple(r) for r in got] != [tuple(r) for r in plain], (
+        "expansion never changed a winner — pick a synonym that bites"
+    )
+    # '-term' negations pass through UNexpanded: mapping the negated term
+    # must not alter results (the exclusion stays literal).
+    qneg = [(1, f"{base[0][1]} -rareterm0002")]
+    a = search_synonyms(
+        spark, built_index, qneg, {"rareterm0002": ["rareterm0003"]},
+        k=10, fixed_point=True,
+    ).collect()
+    b = search(spark, built_index, qneg, k=10, fixed_point=True).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError, match="not a single token"):
+        expand_synonyms("x", {"Bad Term": ["y"]})
+    with pytest.raises(ValueError, match="not a single token"):
+        expand_synonyms("x", {"good": ["two words"]})
+
+
+def test_range_facets_matches_python(spark, built_index, sf_unit_dir):
+    """Range aggregation: bucket counts must equal a brute-force Python
+    bucketing of the oracle's match set, every interior bucket populated,
+    out-of-range values dropped, bad boundaries raise."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import range_facets
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    bounds = [0.0, 500.0, 1500.0, 1e9]
+    want: dict[tuple[int, int], int] = {}
+    for qid, text in make_queries():
+        for did in oi.score_all(text):
+            v = vals[oi.urls[did]]
+            if not (bounds[0] <= v < bounds[-1]):
+                continue
+            b = sum(1 for x in bounds[1:-1] if v >= x)
+            want[(qid, b)] = want.get((qid, b), 0) + 1
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        (r["query_id"], r["bucket"]): r["n_docs"]
+        for r in range_facets(
+            spark, built_index, make_queries(), dim, bounds
+        ).collect()
+    }
+    assert got == want and len({b for _q, b in got}) >= 2
+    with pytest.raises(ValueError, match="ascending"):
+        range_facets(spark, built_index, make_queries(), dim, [1.0, 1.0])
+
+
+def test_rescore_phrase_matches_python(spark, built_index, sf_unit_dir):
+    """Rescore window: the engine must equal a Python re-rank of the
+    oracle's top-window (bonus for contiguous-phrase docs, floored order),
+    the bonus must genuinely reorder someone, docs outside the window must
+    never enter, and window < k raises."""
+    import math
+
+    from pageindex_spark import rescore_phrase
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    toks = {u: tokenize(t) for u, t in rows}
+    window, k, bonus6 = 25, 10, 500_000
+
+    def has_phrase(u: str, terms: list[str]) -> bool:
+        tk = toks[u]
+        n = len(terms)
+        return any(tk[i : i + n] == terms for i in range(len(tk) - n + 1))
+
+    def python_rescore(text: str):
+        terms = tokenize(text)
+        scored = sorted(
+            ((math.floor(sc * 1e6), did) for did, sc in oi.score_all(text).items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:window]
+        resc = sorted(
+            (
+                (s6 + (bonus6 if has_phrase(oi.urls[did], terms) else 0), s6, did)
+                for s6, did in scored
+            ),
+            key=lambda t: (-t[0], t[2]),
+        )[:k]
+        reorders = [d for _r, _s, d in resc] != [d for _s, d in scored[:k]]
+        return resc, reorders
+
+    # Mine REAL corpus bigrams (deterministic: position 5 of each doc in
+    # url order) until 3 provably reorder their own top-window — the test
+    # then can't pass vacuously.
+    queries: list[tuple[int, str]] = []
+    for u, _t in sorted(rows):
+        tk = toks[u]
+        if len(tk) < 7:
+            continue
+        text = f"{tk[5]} {tk[6]}"
+        if tk[5] == tk[6]:
+            continue
+        _resc, reorders = python_rescore(text)
+        if reorders:
+            queries.append((len(queries) + 1, text))
+            if len(queries) == 3:
+                break
+    assert len(queries) == 3, "corpus yields no reordering bigrams"
+    want = []
+    for qid, text in queries:
+        resc, _ = python_rescore(text)
+        for rank, (r6, _s6, did) in enumerate(resc, 1):
+            want.append((qid, rank, oi.urls[did], r6))
+    got = rescore_phrase(
+        spark, built_index, queries, k=k, window=window, bonus=0.5
+    ).collect()
+    got_t = sorted(
+        ((r["query_id"], r["rank"], r["url"], r["rescore6"]) for r in got),
+        key=lambda t: (t[0], t[1]),
+    )
+    assert got_t == want
+    with pytest.raises(ValueError, match="window"):
+        rescore_phrase(spark, built_index, queries, k=10, window=5)
+
+
 def test_phrase_rank_identity(spark, built_index, sf_unit_dir):
     """Phrase search (round 5): conjunctive candidates + adjacency verify
     must reproduce the pure-Python phrase oracle rank- and score-exactly,
