@@ -414,6 +414,118 @@ def _engine_bm25_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric aggregation (round 5, plans/hits.py match_stats): ES
+    stats + exact cardinality over the full match set's n_chars — count,
+    distinct values, sum/min/max/avg as floor(x*1e6) bigints, one map-side
+    combined groupBy over the matched-urls tail. Must reproduce the
+    match_stats SQL exactly."""
+    from pageindex_spark.plans.hits import match_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return match_stats(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms (round 5, plans/hits.py significant_terms): the
+    terms most over-represented in each query's match set vs corpus df
+    (lift ranking, own query terms excluded, min_fg noise floor) — the ES
+    significant_terms agg. Must reproduce the sig_terms SQL exactly."""
+    from pageindex_spark.plans.hits import significant_terms
+
+    index_dir = _engine_index(spark, sf_dir)
+    return significant_terms(spark, index_dir, BM25_QUERIES)
+
+
+def _engine_bm25_fnscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function score (round 5, plans/query.py search_function_score):
+    BM25 x field_value_factor (boost_mode=multiply) with the deterministic
+    quarter-step factor keyed on doc_id (FS_FACTOR_SQL's Spark mirror —
+    exactly-representable doubles, so the product is bit-identical across
+    engines). Must reproduce the fn_score SQL exactly."""
+    from pageindex_spark.plans.query import search_function_score
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    factors = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        (
+            F.lit(0.5)
+            + (F.col("doc_id") % 8).cast("double") * F.lit(0.25)
+        ).alias("factor"),
+    )
+    top = search_function_score(spark, index_dir, BM25_QUERIES, factors, k=10)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "final6",
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed stats (round 5, plans/hits.py facet_stats): match_stats
+    grouped per (query, documents.lang bucket) — the ES terms agg with a
+    stats + cardinality sub-agg. Must reproduce the facet_stats SQL
+    exactly."""
+    from pageindex_spark.plans.hits import facet_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url")
+    fac = docs.select(url, F.col("lang").alias("facet"))
+    dim = docs.select(url, F.col("n_chars").cast("double").alias("val"))
+    return facet_stats(spark, index_dir, BM25_QUERIES, fac, dim)
+
+
+def _engine_match_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (round 5, plans/hits.py match_percentiles):
+    percentile_disc over the match set's n_chars at PCT_LIST, computed on
+    the value histogram with a pure-int64 rank target. Must reproduce the
+    match_pcts SQL exactly."""
+    from pageindex_spark.driverq import PCT_LIST
+    from pageindex_spark.plans.hits import match_percentiles
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return match_percentiles(
+        spark, index_dir, BM25_QUERIES, dim, percents=list(PCT_LIST)
+    )
+
+
+def _engine_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed top hits (round 5, plans/hits.py top_hits): per (query,
+    documents.lang bucket) the bucket's top-3 docs by BM25 — ES terms agg
+    + top_hits sub-agg over the exhaustive raw-scored match set. Must
+    reproduce the top_hits SQL exactly."""
+    from pageindex_spark.plans.hits import top_hits
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fac = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("lang").alias("facet"),
+    )
+    top = top_hits(spark, index_dir, BM25_QUERIES, fac, n=3)
+    return top.select(
+        "query_id",
+        "facet",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "score6",
+    )
+
+
 def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total hit counts (round 5, plans/hits.py): per-cell partial counts
     over the pruned postings — O(cells) shuffled rows, no norms, no heap.
@@ -1007,6 +1119,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_syn"] = _engine_bm25_syn  # query-time synonyms
     q["engine_range_facets"] = _engine_range_facets  # range aggregation
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
+    q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
+    q["engine_sig_terms"] = _engine_sig_terms  # significant terms
+    q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
+    q["engine_facet_stats"] = _engine_facet_stats  # stats per bucket
+    q["engine_match_pcts"] = _engine_match_pcts  # exact percentiles
+    q["engine_top_hits"] = _engine_top_hits  # top-n docs per bucket
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
@@ -1059,6 +1177,12 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_syn"] = o["bm25_syn"]
     o["engine_range_facets"] = o["range_facets"]
     o["engine_bm25_rescore"] = o["bm25_rescore"]
+    o["engine_match_stats"] = o["match_stats"]
+    o["engine_sig_terms"] = o["sig_terms"]
+    o["engine_bm25_fnscore"] = o["fn_score"]
+    o["engine_facet_stats"] = o["facet_stats"]
+    o["engine_match_pcts"] = o["match_pcts"]
+    o["engine_top_hits"] = o["top_hits"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]

@@ -1002,6 +1002,229 @@ select query_id, rank, doc_id, ckey, score6 from ranked where rank <= {k}
 """
 
 
+def _match_stats_sql(d: _Dialect) -> str:
+    """Metric-aggregation twin (plans/hits.py ``match_stats``): stats +
+    exact cardinality over the full OR match set's documents.n_chars —
+    count, distinct values, sum/min/max/avg as floor(x*1e6) bigints. avg
+    divides the raw double sum by the count BEFORE flooring (the engine's
+    one-rounding rule)."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select query_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct val) as bigint) as n_vals,
+       cast(floor(sum(val) * 1000000) as bigint) as sum6,
+       cast(floor(min(val) * 1000000) as bigint) as min6,
+       cast(floor(max(val) * 1000000) as bigint) as max6,
+       cast(floor(sum(val) / count(*) * 1000000) as bigint) as avg6
+from keyed group by query_id
+"""
+
+
+def _facet_stats_sql(d: _Dialect) -> str:
+    """Bucketed-stats twin (plans/hits.py ``facet_stats``): match_stats
+    grouped one level deeper — per (query, documents.lang bucket), count /
+    distinct / sum6 / min6 / max6 / avg6 of n_chars. Same one-rounding
+    rule: avg divides the raw double sum by the count before flooring."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, doc.lang as facet, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select query_id, facet,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(distinct val) as bigint) as n_vals,
+       cast(floor(sum(val) * 1000000) as bigint) as sum6,
+       cast(floor(min(val) * 1000000) as bigint) as min6,
+       cast(floor(max(val) * 1000000) as bigint) as max6,
+       cast(floor(sum(val) / count(*) * 1000000) as bigint) as avg6
+from keyed group by query_id, facet
+"""
+
+
+PCT_LIST = (25, 50, 75, 90, 99)
+
+
+def _match_pcts_sql(d: _Dialect) -> str:
+    """Exact-percentiles twin (plans/hits.py ``match_percentiles``):
+    percentile_disc over the match set's n_chars via the same value-
+    histogram + cumulative-sum + pure-int64 rank target ((pct*n + 99)
+    integer-div 100) construction — no float division anywhere either
+    engine could round differently."""
+    idiv = "//" if d.duck else "div"
+    plist = ", ".join(f"({p})" for p in PCT_LIST)
+    return f"""{_matched_cte(d)}
+, pcts(pct) as (values {plist}),
+keyed as (
+  select m.query_id, cast(doc.n_chars as double) as v
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+hist as (
+  select query_id, v, cast(count(*) as bigint) as c
+  from keyed group by query_id, v
+),
+cum as (
+  select query_id, v, c,
+         sum(c) over (partition by query_id order by v
+                      rows between unbounded preceding and current row) as cum
+  from hist
+),
+n as (
+  select query_id, cast(sum(c) as bigint) as n_docs from hist group by query_id
+),
+targets as (
+  select n.query_id, p.pct, n.n_docs,
+         (cast(p.pct as bigint) * n.n_docs + 99) {idiv} 100 as tgt
+  from n cross join pcts p
+)
+select t.query_id, t.pct, t.n_docs,
+       cast(floor(min(c.v) * 1000000) as bigint) as pct6
+from cum c join targets t on t.query_id = c.query_id and c.cum >= t.tgt
+group by t.query_id, t.pct, t.n_docs
+"""
+
+
+def _top_hits_sql(d: _Dialect, n: int = 3) -> str:
+    """Bucketed-top-hits twin (plans/hits.py ``top_hits``): the full BM25
+    scored set joined to documents.lang, per-(query, lang) row_number
+    under (score6 desc, doc_id asc), rank <= n."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select s.query_id, doc.lang as facet, s.doc_id, s.score6,
+         row_number() over (partition by s.query_id, doc.lang
+                            order by s.score6 desc, s.doc_id asc) as rank
+  from scored s join documents doc on doc.doc_id = s.doc_id
+)
+select query_id, facet, rank, doc_id, score6 from ranked where rank <= {n}
+"""
+
+
+def _sig_terms_sql(d: _Dialect, m: int = 5, min_fg: int = 2) -> str:
+    """Significant-terms twin (plans/hits.py ``significant_terms``): per
+    query the m corpus terms most over-represented in the match set —
+    fg = matched docs containing the term (the query's OWN terms excluded,
+    fg >= min_fg), bg = corpus df, ranked by
+    lift6 = floor(1e6 * (fg * n_docs) / (n_matched * bg)) with term-asc
+    ties. The double division is written in the engine's exact
+    association order."""
+    return f"""{_matched_cte(d)}
+, nd as (select cast(count(*) as double) as n_docs from toks),
+nm as (
+  select query_id, cast(count(*) as double) as n_matched
+  from matched group by query_id
+),
+doc_terms as (
+  select distinct m.query_id, m.doc_id, o.term
+  from matched m join occ o on o.doc_id = m.doc_id
+),
+fg as (
+  select t.query_id, t.term, cast(count(*) as bigint) as fg
+  from doc_terms t
+  left join qterms q on q.query_id = t.query_id and q.term = t.term
+  where q.term is null
+  group by t.query_id, t.term
+  having count(*) >= {min_fg}
+),
+dfreq as (
+  select term, cast(count(distinct doc_id) as bigint) as bg from occ group by term
+),
+lifted as (
+  select f.query_id, f.term, f.fg, b.bg,
+         cast(floor(1000000.0 * (cast(f.fg as double) * nd.n_docs)
+                    / (nm.n_matched * cast(b.bg as double))) as bigint) as lift6
+  from fg f
+  join dfreq b on b.term = f.term
+  join nm on nm.query_id = f.query_id
+  cross join nd
+),
+ranked as (
+  select query_id, term, fg, bg, lift6,
+         row_number() over (partition by query_id order by lift6 desc, term asc) as rk
+  from lifted
+)
+select query_id, term, fg, bg, lift6 from ranked where rk <= {m}
+"""
+
+
+# Deterministic field_value_factor for the function-score entries: exactly
+# representable quarter steps in [0.5, 2.25] keyed on doc_id, so the
+# engine-side dimension and the SQL twin compute bit-identical doubles and
+# the boost genuinely reorders (a 4.5x spread dwarfs typical BM25 gaps).
+FS_FACTOR_SQL = "0.5 + cast(doc_id % 8 as double) * 0.25"
+
+
+def _function_score_sql(d: _Dialect, k: int = 10) -> str:
+    """Function-score twin (plans/query.py ``search_function_score``): the
+    full BM25 scored set times a per-doc factor (field_value_factor,
+    boost_mode=multiply), re-ranked by final6 = floor(score * factor * 1e6)
+    with doc_id-asc ties; score6 is the unboosted fixed-point BM25."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, sum(w) as raw_score
+  from contrib group by query_id, doc_id
+),
+boosted as (
+  select s.query_id, s.doc_id,
+         cast(floor(s.raw_score * ({FS_FACTOR_SQL}) * 1000000) as bigint) as final6,
+         cast(floor(s.raw_score * 1000000) as bigint) as score6
+  from scored s
+),
+ranked as (
+  select query_id, doc_id, final6, score6,
+         row_number() over (partition by query_id order by final6 desc, doc_id asc) as rank
+  from boosted
+)
+select query_id, rank, doc_id, final6, score6 from ranked where rank <= {k}
+"""
+
+
 def _bm25_fuzzy_sql(d: _Dialect, max_edits: int = 1) -> str:
     """Fuzzy BM25 twin (plans/query.py ``search_fuzzy``): each query token
     expands to every CORPUS term within ``max_edits`` Levenshtein edits
@@ -1687,6 +1910,24 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # rescore window (plans/query.py rescore_phrase): +bonus6 for the
     # contiguous bigram inside the base top-RESCORE_WINDOW, re-ranked.
     pairs["bm25_rescore"] = both(_bm25_rescore_sql)
+    # metric aggregation (plans/hits.py match_stats): ES stats+cardinality
+    # over the full match set's n_chars in one groupBy pass.
+    pairs["match_stats"] = both(_match_stats_sql)
+    # significant terms (plans/hits.py significant_terms): terms most
+    # over-represented in the match set vs corpus df, own terms excluded.
+    pairs["sig_terms"] = both(_sig_terms_sql)
+    # function score (plans/query.py search_function_score): BM25 x
+    # field_value_factor, boost_mode=multiply — exhaustive re-rank.
+    pairs["fn_score"] = both(_function_score_sql)
+    # bucketed stats (plans/hits.py facet_stats): match_stats per
+    # (query, lang bucket) — ES terms agg + stats sub-agg.
+    pairs["facet_stats"] = both(_facet_stats_sql)
+    # exact percentiles (plans/hits.py match_percentiles): percentile_disc
+    # via value histogram + cumsum + int64 rank target.
+    pairs["match_pcts"] = both(_match_pcts_sql)
+    # bucketed top hits (plans/hits.py top_hits): per-(query, lang) top-n
+    # docs by BM25 — ES terms agg + top_hits sub-agg.
+    pairs["top_hits"] = both(_top_hits_sql)
     pairs["hits_count"] = both(_hits_count_sql)
     pairs["facet_counts"] = both(_facet_counts_sql)
     # delete semantics (plans/deletes.py): masked = stale stats + compacted

@@ -295,6 +295,140 @@ def range_facets(
     )
 
 
+def match_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Metric aggregations over the FULL match set (Elasticsearch ``stats``
+    + ``cardinality`` in one pass) -> (query_id, n_docs, n_vals, sum6,
+    min6, max6, avg6): per query, the count of matching docs carrying a
+    value, the count of DISTINCT values, and sum/min/max/avg of the value
+    — floats leave as floor(x*1e6) bigints (the engine-wide fixed-point
+    convention). ``values`` is a (url, val) dimension; docs absent from it
+    drop. One groupBy over the ``_matched_urls`` tail (map-side partial
+    aggregation; ``countDistinct`` is exact — at trillion-distinct scale
+    swap in ``approx_count_distinct``, the same HLL trade Elasticsearch's
+    cardinality agg makes by default, documented not taken). avg divides
+    the raw double sum by the count BEFORE flooring — the same one-rounding
+    rule as every other fixed-point column."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, n_docs long, n_vals long, sum6 long, min6 long, "
+        "max6 long, avg6 long"
+    )
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(val).alias("n_vals"),
+            f6(F.sum(val)).alias("sum6"),
+            f6(F.min(val)).alias("min6"),
+            f6(F.max(val)).alias("max6"),
+            f6(F.sum(val) / F.count("*")).alias("avg6"),
+        )
+    )
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    m: int = 5,
+    min_fg: int = 2,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Significant-terms aggregation (Elasticsearch ``significant_terms``):
+    per query, the ``m`` index terms most OVER-REPRESENTED in the match
+    set vs the corpus -> (query_id, term, fg, bg, lift6) — fg = matching
+    docs containing the term, bg = the term's corpus df (from the
+    committed term_stats — the same stats retrieval scores with), ranked
+    by the lift ``(fg / n_matched) / (bg / n_docs)`` as
+    ``lift6 = floor(1e6 * (fg * n_docs) / (n_matched * bg))`` (one double
+    division both engines round identically; ES's JLH/chi2 modes are
+    drop-in numerator swaps, documented not taken). The query's OWN terms
+    are EXCLUDED — they trivially top any lift ranking and ES users read
+    significant_terms precisely for what they did NOT search for.
+    ``min_fg`` suppresses one-doc noise (ES ``min_doc_count``, default 2
+    there too).
+
+    Cost class: the matched docs' DISTINCT tokens must be enumerated —
+    O(matched tokens), the heaviest full-match surface (ES runs this agg
+    on a sampled shard subset for the same reason; a sampler stage here
+    would be one extra filter). Plan: the ``_matched_urls`` tail joins the
+    extracts TEXT (pruned partitions), tokens explode distinct-per-doc
+    (JVM codegen tokenizer, ``array_distinct``), one groupBy counts fg,
+    the committed term_stats joins bg (broadcast-class: only terms the
+    match set contains), per-query window takes the top-m."""
+    from ..functions.sqlglue import spark_terms
+    from ..functions.tokenizer import parse_boost_query, parse_query, tokenize
+    from pyspark.sql import Window
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, term string, fg long, bg long, lift6 long"
+    )
+    if state is None:
+        return empty
+    # (query, own-term) exclusion relation — tiny, broadcast.
+    own_rows = []
+    for qid, text in queries:
+        txt, _w = parse_boost_query(text)
+        pos, negs = parse_query(txt)
+        for t in set(tokenize(pos)) | set(negs):
+            own_rows.append((qid, t))
+    own = spark.createDataFrame(own_rows or [(-1, "")], "query_id int, term string")
+
+    matched = _matched_urls(spark, se, state)
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url", "text"
+    )
+    doc_terms = (
+        matched.join(
+            ext.select("url", F.expr(spark_terms("text")).alias("tk")), "url"
+        )
+        .select("query_id", "url", F.explode(F.array_distinct("tk")).alias("term"))
+    )
+    fg = (
+        doc_terms.groupBy("query_id", "term")
+        .agg(F.count("*").alias("fg"))
+        .filter(F.col("fg") >= min_fg)
+        .join(own, ["query_id", "term"], "left_anti")
+    )
+    n_matched = matched.groupBy("query_id").agg(
+        F.count("*").alias("n_matched")
+    )
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    bg = ts.select("term", F.col("df").cast("long").alias("bg"))
+    lift6 = F.floor(
+        F.lit(1_000_000.0)
+        * (F.col("fg").cast("double") * F.lit(float(se.n_docs)))
+        / (F.col("n_matched").cast("double") * F.col("bg").cast("double"))
+    ).cast("long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("lift6"), F.asc("term"))
+    return (
+        fg.join(bg, "term")
+        .join(F.broadcast(n_matched), "query_id")
+        .withColumn("lift6", lift6)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m)
+        .select("query_id", "term", "fg", "bg", "lift6")
+    )
+
+
 def search_sorted_by(
     spark: SparkSession,
     index_dir: str,
@@ -348,4 +482,182 @@ def search_sorted_by(
         .withColumn("rank", F.row_number().over(w_all))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "url", "sort_key")
+    )
+
+
+def facet_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    facets: DataFrame,
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Bucketed metric sub-aggregation (Elasticsearch ``terms`` agg with a
+    ``stats`` + ``cardinality`` sub-agg) -> (query_id, facet, n_docs,
+    n_vals, sum6, min6, max6, avg6): ``match_stats`` grouped one level
+    deeper, per (query, facet-bucket) — the "avg price per brand for this
+    search" shape. ``facets`` is a (url, facet) dimension, ``values`` a
+    (url, val) one; docs absent from either drop (supply defaulted
+    dimensions for ES ``missing:``). Still ONE groupBy over the
+    ``_matched_urls`` tail (map-side partial aggregation; the key just
+    gains the facet column — a few rows per (query, facet) shuffle);
+    ``countDistinct`` exact, with the ``approx_count_distinct`` HLL swap
+    documented for trillion-distinct scale. avg divides the raw double sum
+    by the count BEFORE flooring — the engine-wide one-rounding rule; sums
+    over integer-valued attributes are order-independent (exact doubles
+    below 2^53), which is what makes the fixed-point hash portable."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, facet string, n_docs long, n_vals long, sum6 long, "
+        "min6 long, max6 long, avg6 long",
+    )
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        _matched_urls(spark, se, state)
+        .join(facets.select("url", "facet"), "url")
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id", "facet")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct(val).alias("n_vals"),
+            f6(F.sum(val)).alias("sum6"),
+            f6(F.min(val)).alias("min6"),
+            f6(F.max(val)).alias("max6"),
+            f6(F.sum(val) / F.count("*")).alias("avg6"),
+        )
+    )
+
+
+def match_percentiles(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    percents: list[int] = (25, 50, 75, 90, 99),
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Exact percentiles over the FULL match set (Elasticsearch
+    ``percentiles`` agg, but EXACT where ES defaults to t-digest) ->
+    (query_id, pct, n_docs, pct6): per (query, requested percent), the
+    percentile_disc value — the smallest val whose cumulative match count
+    reaches ceil(pct * n / 100) — as floor(val*1e6).
+
+    Selection-by-index is computed on the VALUE HISTOGRAM, not the row
+    set: matched rows aggregate to (query, val, count) first (map-side
+    combine — the relation shrinks to distinct values per query), a
+    cumulative-sum window runs over that small relation, and the answer is
+    min(val) where cum >= target. The per-query window therefore sorts
+    #distinct-values rows, not #matches — the difference between sorting
+    a 5-row histogram and 10^9 scored docs per query at 100 TB. The rank
+    target is PURE INT64 arithmetic (``(pct*n + 99) div 100``) — no float
+    division anywhere an engine could round differently. ES's t-digest
+    trade (constant memory, approximate) maps to ``approx_percentile`` —
+    documented, not taken: the histogram form is already shuffle-light and
+    exactness keeps the oracle byte-comparable. Percents outside (0, 100]
+    raise; docs absent from ``values`` drop."""
+    from pyspark.sql import Window
+
+    ps = sorted({int(p) for p in percents})
+    if not ps or ps[0] <= 0 or ps[-1] > 100:
+        raise ValueError(f"percents must be ints in (0, 100], got {percents}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, pct int, n_docs long, pct6 long"
+    )
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    hist = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id", val.alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.groupBy("query_id").agg(F.sum("c").alias("n_docs"))
+    pdf = spark.createDataFrame([(p,) for p in ps], "pct int")
+    targets = n.crossJoin(F.broadcast(pdf)).withColumn(
+        "tgt",
+        F.expr("(cast(pct as bigint) * n_docs + 99) div 100"),
+    )
+    return (
+        cum.join(targets, "query_id")
+        .filter(F.col("cum") >= F.col("tgt"))
+        .groupBy("query_id", "pct")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.floor(F.min("v") * 1_000_000).cast("long").alias("pct6"),
+        )
+        .select("query_id", "pct", "n_docs", "pct6")
+    )
+
+
+def top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    facets: DataFrame,
+    n: int = 3,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Bucketed top hits (Elasticsearch ``terms`` agg + ``top_hits``
+    sub-agg) -> (query_id, facet, rank, url, score6): for every (query,
+    facet-bucket), the bucket's top-n matching docs by BM25 — "best 3
+    results per language" — with per-bucket ranks 1..n under (score6 desc,
+    docID asc), score6 = floor(score*1e6) (the engine-wide fixed-point
+    order). Docs absent from the dimension drop.
+
+    Exactness needs every bucket's GLOBAL best docs, which only the full
+    scored match set contains (a per-cell top-k could hide a sparse
+    bucket's best behind same-cell docs of other buckets — the field-
+    collapsing argument exactly), so matching runs the exhaustive dense
+    kernel via ``raw_scored`` — O(matches) scored rows, the inherent ES
+    cost class (ES evaluates top_hits on every matching doc per shard
+    too). Full pre-heap exclusion contract applies inside the kernel.
+    After the kernel all JVM: ONE extracts url-join pruned to the
+    partitions the runs can touch, broadcast-class facet join, then ONE
+    row_number window partitioned by (query, facet) — the bucket key IS
+    the partition key, so ranking shuffles each bucket to one task and
+    never global-sorts; no second phase needed (vs search_collapse's
+    64-way pre-top-k) because the per-bucket result is already k-bounded
+    by the window filter."""
+    from pyspark.sql import Window
+
+    from .query import _search_impl
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    scored, parts = _search_impl(
+        se, queries, n, "dense", fixed_point=True, raw_scored=True
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    keyed = (
+        scored.join(ext, ["part_id", "local_pos"])
+        .join(facets.select("url", "facet"), "url")
+        .withColumn(
+            "score6", F.floor(F.col("score") * 1_000_000).cast("long")
+        )
+    )
+    w = Window.partitionBy("query_id", "facet").orderBy(
+        F.desc("score6"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+        .select("query_id", "facet", "rank", "url", "score6")
     )

@@ -1010,6 +1010,66 @@ def search_collapse(
     )
 
 
+def search_function_score(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    factors: DataFrame,
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Function scoring (Elasticsearch ``function_score`` with
+    ``field_value_factor``, boost_mode=multiply): top-k matching docs per
+    query ranked by ``BM25 x factor``, where ``factors`` is a (url,
+    factor) dimension — the standard popularity / recency / PageRank-style
+    boost of web ranking -> (query_id, rank, url, factor, final6, score).
+    ``final6 = floor(score * factor * 1e6)`` — one IEEE double product
+    both engines round identically, so the fixed-point order is
+    oracle-exact; ties break url-asc (docID order). Docs absent from the
+    dimension drop (the ``search_sorted_by`` missing-value convention;
+    supply a defaulted dimension for ES's ``missing:`` behavior).
+
+    A multiplicative factor REORDERS globally (a low-BM25 doc with a huge
+    factor may beat everything), so a top-k heap under BM25 order cannot
+    serve it exactly — matching runs the exhaustive dense kernel via
+    ``raw_scored`` (O(matches) scored rows, the same inherent cost class
+    as collapse; ES pays it too unless users settle for the
+    rescore-window approximation, which this engine also offers). The
+    upgrade path when the factor is BOUNDED is documented: with
+    max(factor) known, BMW block bounds scale by it and the heap stays
+    exact — a one-line bound_scale change, not taken here because the
+    generic dimension is unbounded. After the kernel: pruned extracts
+    url-join, broadcast-class dimension join, two-phase rank
+    (per-(query, part) top-k, then global — never a global sort)."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    scored, parts = _search_impl(
+        se, queries, k, "dense", fixed_point=True, raw_scored=True
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    keyed = (
+        scored.join(ext, ["part_id", "local_pos"])
+        .join(factors.select("url", "factor"), "url")
+        .withColumn(
+            "final6",
+            F.floor(F.col("score") * F.col("factor") * 1_000_000).cast("long"),
+        )
+    )
+    order = (F.desc("final6"), F.asc("doc_id"))
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "factor", "final6", "score")
+    )
+
+
 def more_like_this(
     spark: SparkSession,
     index_dir: str,

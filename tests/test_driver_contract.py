@@ -98,6 +98,12 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_fuzzy",
         "engine_bm25_explain",
         "engine_bm25_page",
+        "engine_match_stats",
+        "engine_sig_terms",
+        "engine_bm25_fnscore",
+        "engine_facet_stats",
+        "engine_match_pcts",
+        "engine_top_hits",
         "engine_hits_count",
         "engine_facet_counts",
         "engine_search_sorted",

@@ -906,3 +906,320 @@ def test_extraction_byte_identity_through_build(spark, sf_micro_dir):
     bad = ext.join(truth, "url").filter(F.col("text") != F.col("truth")).count()
     assert bad == 0
     shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_match_stats_matches_python(spark, built_index, sf_unit_dir):
+    """Metric aggregation: count / distinct-count / sum6 / min6 / max6 /
+    avg6 over the oracle's match set must equal a brute-force Python pass
+    (vals are integer-valued doubles, so every Spark sum is exact and the
+    one floor-after-divide rounding is reproducible bit-for-bit)."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_stats
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    want = {}
+    for qid, text in make_queries():
+        vs = [vals[oi.urls[did]] for did in oi.score_all(text)]
+        if not vs:
+            continue
+        s = sum(vs)
+        want[qid] = (
+            len(vs),
+            len(set(vs)),
+            math.floor(s * 1_000_000),
+            math.floor(min(vs) * 1_000_000),
+            math.floor(max(vs) * 1_000_000),
+            math.floor(s / len(vs) * 1_000_000),
+        )
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        r["query_id"]: (
+            r["n_docs"], r["n_vals"], r["sum6"], r["min6"], r["max6"], r["avg6"]
+        )
+        for r in match_stats(spark, built_index, make_queries(), dim).collect()
+    }
+    assert got == want and len(want) >= 10
+
+
+def test_significant_terms_matches_python(spark, built_index, sf_unit_dir):
+    """Significant terms: per query the top-m corpus terms by lift over the
+    oracle's match set — fg from distinct-per-doc tokens, bg from corpus
+    df, own query terms excluded, min_fg floor, floored-double lift with
+    term-asc ties. Engine must reproduce the Python ranking exactly and
+    must never emit a query's own term."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import parse_query, tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import significant_terms
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    doc_tokens = {u: set(tokenize(t)) for u, t in rows}
+    m, min_fg = 5, 2
+    want = []
+    for qid, text in make_queries():
+        pos, negs = parse_query(text)
+        own = set(tokenize(pos)) | set(negs)
+        matched = [oi.urls[did] for did in oi.score_all(text)]
+        n_matched = len(matched)
+        if not n_matched:
+            continue
+        fg = {}
+        for u in matched:
+            for t in doc_tokens[u]:
+                fg[t] = fg.get(t, 0) + 1
+        cand = []
+        for t, f in fg.items():
+            if t in own or f < min_fg:
+                continue
+            bg = len(oi.postings[t])
+            lift6 = math.floor(
+                1_000_000.0 * (float(f) * float(oi.n_docs))
+                / (float(n_matched) * float(bg))
+            )
+            cand.append((-lift6, t, f, bg))
+        for nl, t, f, bg in sorted(cand)[:m]:
+            want.append((qid, t, f, bg, -nl))
+    got = sorted(
+        (r["query_id"], r["term"], r["fg"], r["bg"], r["lift6"])
+        for r in significant_terms(
+            spark, built_index, make_queries(), m=m, min_fg=min_fg
+        ).collect()
+    )
+    assert got == sorted(want) and len(got) > 0
+    own_all = {
+        (qid, t)
+        for qid, text in make_queries()
+        for t in tokenize(parse_query(text)[0])
+    }
+    assert not own_all & {(q, t) for q, t, _f, _b, _l in got}
+
+
+def test_function_score_matches_python(spark, built_index, sf_unit_dir):
+    """Function score: BM25 x per-doc factor re-ranked exhaustively must
+    equal the Python oracle's boosted order (quarter-step factors are
+    exactly representable, so score*factor rounds identically), the boost
+    must genuinely reorder someone, and docs missing from the dimension
+    must drop (search_sorted_by's missing-value convention)."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_function_score
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    k = 10
+    # sf-unit urls aren't numeric — key the quarter-step factor on the
+    # url's position in sorted order (== docID order) instead.
+    fmap = {u: 0.5 + (i % 8) * 0.25 for i, u in enumerate(oi.urls)}
+
+    def factor(u: str) -> float:
+        return fmap[u]
+
+    want, reordered = [], False
+    for qid, text in make_queries():
+        scored = [
+            (
+                math.floor(sc * factor(oi.urls[did]) * 1_000_000),
+                did,
+                factor(oi.urls[did]),
+                sc,
+            )
+            for did, sc in oi.score_all(text).items()
+        ]
+        boosted = sorted(scored, key=lambda t: (-t[0], t[1]))[:k]
+        base = sorted(
+            ((math.floor(sc * 1e6), did) for did, sc in oi.score_all(text).items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        if [d for _f, d, _fa, _s in boosted] != [d for _s, d in base]:
+            reordered = True
+        for rank, (f6, did, fa, _sc) in enumerate(boosted, 1):
+            want.append((qid, rank, oi.urls[did], fa, f6))
+    assert reordered, "factor never reordered a top-k — pick a wider spread"
+    urls = [u for u, _t in rows]
+    factors = spark.createDataFrame(
+        [(u, factor(u)) for u in urls], "url string, factor double"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["url"], r["factor"], r["final6"])
+        for r in search_function_score(
+            spark, built_index, make_queries(), factors, k=k
+        ).collect()
+    )
+    assert got == sorted(want)
+    # Missing-doc drop: restrict the dimension to half the corpus — no
+    # excluded url may appear, and survivors re-rank densely from 1.
+    half = {u for i, u in enumerate(oi.urls) if i % 2 == 0}
+    factors2 = spark.createDataFrame(
+        [(u, factor(u)) for u in sorted(half)], "url string, factor double"
+    )
+    got2 = search_function_score(
+        spark, built_index, make_queries(), factors2, k=k
+    ).collect()
+    assert got2 and all(r["url"] in half for r in got2)
+    ranks = {}
+    for r in got2:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in ranks.values())
+
+
+def test_facet_stats_matches_python(spark, built_index, sf_unit_dir):
+    """Bucketed stats: per (query, site-facet) count / distinct / sum6 /
+    min6 / max6 / avg6 must equal a brute-force Python pass over the
+    oracle's match set (integer-valued doubles keep every Spark sum
+    exact); every query with matches must span >= 2 facet buckets so the
+    grouping can't pass vacuously."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import facet_stats
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    site = {u: u.split("/")[2] for u, _t in rows}
+    vals = {u: float(len(t)) for u, t in rows}
+    want = {}
+    for qid, text in make_queries():
+        per: dict[str, list[float]] = {}
+        for did in oi.score_all(text):
+            u = oi.urls[did]
+            per.setdefault(site[u], []).append(vals[u])
+        for fac, vs in per.items():
+            s = sum(vs)
+            want[(qid, fac)] = (
+                len(vs),
+                len(set(vs)),
+                math.floor(s * 1_000_000),
+                math.floor(min(vs) * 1_000_000),
+                math.floor(max(vs) * 1_000_000),
+                math.floor(s / len(vs) * 1_000_000),
+            )
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    fac = docs.select(
+        "url", F.split(F.col("url"), "/").getItem(2).alias("facet")
+    )
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        (r["query_id"], r["facet"]): (
+            r["n_docs"], r["n_vals"], r["sum6"], r["min6"], r["max6"], r["avg6"]
+        )
+        for r in facet_stats(
+            spark, built_index, make_queries(), fac, dim
+        ).collect()
+    }
+    assert got == want
+    buckets: dict[int, int] = {}
+    for qid, _fac in got:
+        buckets[qid] = buckets.get(qid, 0) + 1
+    assert buckets and max(buckets.values()) >= 2
+
+
+def test_match_percentiles_matches_python(spark, built_index, sf_unit_dir):
+    """Exact percentiles: pct6 must equal Python percentile_disc (sorted
+    multiset, 1-based index ceil(pct*n/100)) over the oracle's match set
+    for every requested percent, p100-less domain enforced, and bad
+    percents raise."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_percentiles
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    percents = [10, 50, 90, 100]
+    want = {}
+    for qid, text in make_queries():
+        vs = sorted(vals[oi.urls[did]] for did in oi.score_all(text))
+        if not vs:
+            continue
+        n = len(vs)
+        for p in percents:
+            idx = max(1, -(-p * n // 100))  # ceil without floats
+            want[(qid, p)] = (n, math.floor(vs[idx - 1] * 1_000_000))
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        (r["query_id"], r["pct"]): (r["n_docs"], r["pct6"])
+        for r in match_percentiles(
+            spark, built_index, make_queries(), dim, percents=percents
+        ).collect()
+    }
+    assert got == want and len(want) >= 4 * 10
+    # p100 must be the max, p10 <= p50 <= p90 <= p100 monotone.
+    for qid in {q for q, _p in got}:
+        seq = [got[(qid, p)][1] for p in percents]
+        assert seq == sorted(seq)
+    with pytest.raises(ValueError, match="percents"):
+        match_percentiles(spark, built_index, make_queries(), dim, percents=[0])
+    with pytest.raises(ValueError, match="percents"):
+        match_percentiles(
+            spark, built_index, make_queries(), dim, percents=[101]
+        )
+
+
+def test_top_hits_matches_python(spark, built_index, sf_unit_dir):
+    """Bucketed top hits: per (query, site-facet) the top-n docs by
+    floored BM25 with docID-asc ties must equal a Python re-rank of the
+    oracle's full score set; at least one bucket winner must be absent
+    from the plain global top-n (the exhaustive-kernel justification —
+    a truncated top-k provably could not serve it)."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import top_hits
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    site = {u: u.split("/")[2] for u, _t in rows}
+    n = 3
+    want, beyond_global = [], False
+    for qid, text in make_queries():
+        scored = sorted(
+            ((math.floor(sc * 1e6), did) for did, sc in oi.score_all(text).items()),
+            key=lambda t: (-t[0], t[1]),
+        )
+        global_top = {did for _s, did in scored[:n]}
+        per: dict[str, list[tuple[int, int]]] = {}
+        for s6, did in scored:
+            per.setdefault(site[oi.urls[did]], []).append((s6, did))
+        for fac, lst in per.items():
+            for rank, (s6, did) in enumerate(lst[:n], 1):
+                want.append((qid, fac, rank, oi.urls[did], s6))
+                if did not in global_top:
+                    beyond_global = True
+    assert beyond_global, "every bucket winner sits in the global top-n"
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    fac = docs.select(
+        "url", F.split(F.col("url"), "/").getItem(2).alias("facet")
+    )
+    got = sorted(
+        (r["query_id"], r["facet"], r["rank"], r["url"], r["score6"])
+        for r in top_hits(spark, built_index, make_queries(), fac, n=n).collect()
+    )
+    assert got == sorted(want)
