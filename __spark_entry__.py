@@ -920,6 +920,47 @@ def _dead_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear score fusion (round 5, plans/hybrid.py hybrid_search_linear):
+    the same two retriever lists as engine_hybrid_rrf, min-max normalized
+    per query in pure int64 and combined HYBRID_WEIGHT_PCT% sparse + rest
+    dense — the OpenSearch normalization-processor fusion. Must reproduce
+    the hybrid_linear SQL exactly."""
+    from pageindex_spark.driverq import HYBRID_QVECS, HYBRID_WEIGHT_PCT
+    from pageindex_spark.plans.hybrid import hybrid_search_linear
+
+    index_dir = _engine_index(spark, sf_dir)
+    embs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    url = F.lpad(F.col("vec_id").cast("string"), 10, "0").alias("url")
+    corpus = embs.select(url, "embedding")
+    qmap = spark.createDataFrame(HYBRID_QVECS, "query_id int, vid long")
+    qvecs = embs.join(
+        F.broadcast(qmap), F.col("vec_id") == F.col("vid")
+    ).select("query_id", "embedding")
+    top = hybrid_search_linear(
+        spark, index_dir, BM25_QUERIES, qvecs, corpus, k=10,
+        weight_pct=HYBRID_WEIGHT_PCT,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "lin6",
+    )
+
+
+def _engine_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean (round 5, plans/query.py suggest_spelling): FUZZY_QUERIES'
+    misspelled tokens get their top-3 one-edit vocabulary corrections by
+    (edit distance, df desc, term asc) — the ES term suggester in
+    suggest_mode=missing. Must reproduce the spell_suggest SQL exactly."""
+    from pageindex_spark.driverq import FUZZY_QUERIES
+    from pageindex_spark.plans.query import suggest_spelling
+
+    index_dir = _engine_index(spark, sf_dir)
+    return suggest_spelling(spark, index_dir, FUZZY_QUERIES, s=3, max_edits=1)
+
+
 def _engine_bm25_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time delete masking (plans/deletes.py layer 2): tombstone
     every 7th doc on a dedicated copy of the batch index, search WITHOUT
@@ -1129,6 +1170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
     q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
+    q["engine_hybrid_linear"] = _engine_hybrid_linear  # min-max weighted sum
+    q["engine_spell_suggest"] = _engine_spell_suggest  # did-you-mean
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
@@ -1187,6 +1230,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]
     o["engine_hybrid_rrf"] = o["hybrid_rrf"]
+    o["engine_hybrid_linear"] = o["hybrid_linear"]
+    o["engine_spell_suggest"] = o["spell_suggest"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]

@@ -20,6 +20,8 @@ from .plans.query import (  # noqa: F401
     search_snippets,
     search_synonyms,
     search_wildcard,
+    suggest_spelling,
     suggest_terms,
 )
+from .plans.hybrid import hybrid_search_linear, hybrid_search_rrf  # noqa: F401
 from .session import get_spark, warm_up  # noqa: F401

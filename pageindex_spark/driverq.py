@@ -500,6 +500,132 @@ select query_id, rank, term, df from ranked where rank <= {k}
 """
 
 
+def _suggest_spell_sql(d: _Dialect, s: int = 3, max_edits: int = 1) -> str:
+    """Did-you-mean twin (plans/query.py ``suggest_spelling``): each query
+    token ABSENT from the vocabulary (suggest_mode=missing) joins every
+    vocabulary term within ``max_edits`` Levenshtein edits, ranked by
+    (edit distance asc, df desc, term asc) — Lucene DirectSpellChecker's
+    comparator. Reuses FUZZY_QUERIES: the misspellings that fuzzy
+    RETRIEVAL rescues are exactly what a suggester must correct."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+occ as (select doc_id, {d.unnest(d.terms('text'))} as term from documents),
+dfreq as (select term, cast(count(distinct doc_id) as bigint) as df from occ group by term),
+qtok as (select distinct query_id, {d.unnest(d.terms('query_text'))} as token from queries),
+missing as (
+  select q.query_id, q.token from qtok q
+  left join dfreq v on v.term = q.token where v.term is null
+),
+cand as (
+  select m.query_id, m.token, f.term as suggestion,
+         cast(levenshtein(m.token, f.term) as int) as dist, f.df
+  from missing m join dfreq f on levenshtein(m.token, f.term) <= {max_edits}
+),
+ranked as (
+  select query_id, token, suggestion, dist, df,
+         row_number() over (partition by query_id, token
+                            order by dist asc, df desc, suggestion asc) as rank
+  from cand
+)
+select query_id, token, rank, suggestion, dist, df from ranked where rank <= {s}
+"""
+
+
+HYBRID_WEIGHT_PCT = 70
+
+
+def _hybrid_linear_sql(d: _Dialect, k: int = 10) -> str:
+    """Linear-fusion twin (plans/hybrid.py ``hybrid_search_linear``): the
+    same two depth-cut retriever lists as the RRF twin, but carrying their
+    floored scores; each list min-max normalizes per query in pure int64
+    (((v - mn) * 1e6) div (mx - mn); single-value lists pin to 1e6), docs
+    combine as HYBRID_WEIGHT_PCT% sparse + rest dense with an integer
+    div-100 — no float past the two floored retriever scores."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    qmap = ", ".join(f"({qid}, {vid})" for qid, vid in HYBRID_QVECS)
+    dep, pct = HYBRID_DEPTH, HYBRID_WEIGHT_PCT
+    idiv = "//" if d.duck else "div"
+    dot = d.dot("q.qe", "c.embedding")
+    nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
+    nc = f"sqrt({d.dot('c.embedding', 'c.embedding')})"
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+qmap(query_id, vid) as (values {qmap}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+sscored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as s6
+  from contrib group by query_id, doc_id
+),
+sparse as (
+  select * from (
+    select query_id, doc_id, s6,
+           row_number() over (partition by query_id order by s6 desc, doc_id asc) as sr
+    from sscored
+  ) t where sr <= {dep}
+),
+snorm as (
+  select l.query_id, l.doc_id,
+         case when mm.mx = mm.mn then cast(1000000 as bigint)
+              else ((l.s6 - mm.mn) * 1000000) {idiv} (mm.mx - mm.mn) end as sn6
+  from sparse l join (
+    select query_id, min(s6) as mn, max(s6) as mx from sparse group by query_id
+  ) mm on mm.query_id = l.query_id
+),
+qv as (select m.query_id, e.embedding as qe from qmap m join embeddings e on e.vec_id = m.vid),
+dscored as (
+  select q.query_id, c.vec_id as doc_id,
+         cast(floor(({dot}) / (({nq}) * ({nc})) * 1000000) as bigint) as d6
+  from qv q join embeddings c on true
+),
+dense as (
+  select * from (
+    select query_id, doc_id, d6,
+           row_number() over (partition by query_id order by d6 desc, doc_id asc) as dr
+    from dscored
+  ) t where dr <= {dep}
+),
+dnorm as (
+  select l.query_id, l.doc_id,
+         case when mm.mx = mm.mn then cast(1000000 as bigint)
+              else ((l.d6 - mm.mn) * 1000000) {idiv} (mm.mx - mm.mn) end as dn6
+  from dense l join (
+    select query_id, min(d6) as mn, max(d6) as mx from dense group by query_id
+  ) mm on mm.query_id = l.query_id
+),
+fused as (
+  select coalesce(s.query_id, e.query_id) as query_id,
+         coalesce(s.doc_id, e.doc_id) as doc_id,
+         ({pct} * coalesce(s.sn6, 0) + {100 - pct} * coalesce(e.dn6, 0)) {idiv} 100 as lin6
+  from snorm s full outer join dnorm e
+    on s.query_id = e.query_id and s.doc_id = e.doc_id
+),
+rranked as (
+  select query_id, doc_id, lin6,
+         row_number() over (partition by query_id order by lin6 desc, doc_id asc) as rank
+  from fused
+)
+select query_id, rank, doc_id, lin6 from rranked where rank <= {k}
+"""
+
+
 def _mlt_sql(d: _Dialect, k: int = 10, max_terms: int = 10) -> str:
     """More-like-this twin (plans/query.py more_like_this): each seed doc's
     ``max_terms`` top terms by floor(tf * idf * 1e6) desc / term asc form an
@@ -1872,6 +1998,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # hybrid sparse+dense RRF (plans/hybrid.py): BM25 + cosine lists fused
     # by integerized reciprocal-rank contributions.
     pairs["hybrid_rrf"] = both(_hybrid_rrf_sql)
+    # linear fusion (plans/hybrid.py hybrid_search_linear): min-max
+    # normalized weighted sum, pure int64 past the retriever floors.
+    pairs["hybrid_linear"] = both(_hybrid_linear_sql)
+    # did-you-mean (plans/query.py suggest_spelling): absent tokens ->
+    # 1-edit vocabulary corrections by (dist, df desc, term).
+    pairs["spell_suggest"] = both(_suggest_spell_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
     pairs["bm25_explain"] = both(_explain_sql)
 

@@ -96,3 +96,100 @@ def hybrid_search_rrf(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "url", "rrf6")
     )
+
+
+def hybrid_search_linear(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    query_vecs: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    depth: int = 30,
+    weight_pct: int = 70,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Normalized weighted-sum fusion (the OpenSearch hybrid-search
+    ``normalization-processor`` with ``min_max`` normalization +
+    ``arithmetic_mean`` combination — the OTHER standard fusion next to
+    RRF) -> (query_id, rank, url, lin6): each retriever's top-``depth``
+    list min-max normalizes per query, then docs combine as
+    ``weight_pct%`` sparse + ``(100-weight_pct)%`` dense.
+
+    Where RRF needs no calibration but flattens score GAPS to rank steps,
+    min-max fusion preserves them — a runaway BM25 winner stays a runaway
+    — at the cost of sensitivity to each list's min/max; that trade is why
+    engines ship both. EVERYTHING after the two floored retriever scores
+    is INT64: ``norm6 = ((v - mn) * 1e6) div (mx - mn)`` (a single-value
+    list pins to 1e6, the OpenSearch min==max convention),
+    ``lin6 = (weight_pct * sn6 + (100-weight_pct) * dn6) div 100`` — no
+    float division or sum anywhere an engine could round differently, the
+    exact-oracle discipline of ``match_percentiles``. Docs in one list
+    only contribute 0 from the other (the missing-doc rule RRF uses too).
+
+    Plan shape: identical to ``hybrid_search_rrf`` — the retrievers
+    dominate at scale; normalization adds one tiny per-query min/max agg
+    broadcast back over <= queries x depth rows, fusion one full-outer
+    join of the two lists, rank one window."""
+    from ..operators.similarity import cosine_topk_batch
+    from .query import get_searcher
+
+    if depth < k:
+        raise ValueError(f"depth ({depth}) must be >= k ({k})")
+    if not 0 <= int(weight_pct) <= 100:
+        raise ValueError(f"weight_pct must be in [0, 100], got {weight_pct}")
+    se = get_searcher(spark, index_dir, cell_parts)
+
+    def _norm(lst: DataFrame, col: str) -> DataFrame:
+        mm = lst.groupBy("query_id").agg(
+            F.min(col).alias("mn"), F.max(col).alias("mx")
+        )
+        return (
+            lst.join(F.broadcast(mm), "query_id")
+            .withColumn(
+                "norm6",
+                F.when(F.col("mx") == F.col("mn"), F.lit(1_000_000).cast("long"))
+                .otherwise(
+                    F.expr(f"(({col} - mn) * 1000000) div (mx - mn)")
+                ),
+            )
+            .select("query_id", "url", "norm6")
+        )
+
+    sparse = _norm(
+        se.search(queries, k=depth, mode=mode, fixed_point=True).select(
+            "query_id",
+            "url",
+            F.floor(F.col("score") * 1_000_000).cast("long").alias("s6"),
+        ),
+        "s6",
+    ).withColumnRenamed("norm6", "sn6")
+    dense = _norm(
+        cosine_topk_batch(
+            embeddings,
+            query_vecs,
+            k=depth,
+            key="url",
+            vec_col="embedding",
+            exclude_self=False,
+        ).select("query_id", F.col("vec_id").alias("url"), "cos6"),
+        "cos6",
+    ).withColumnRenamed("norm6", "dn6")
+    p = int(weight_pct)
+    fused = (
+        sparse.join(dense, ["query_id", "url"], "full_outer")
+        .withColumn(
+            "lin6",
+            F.expr(
+                f"({p} * coalesce(sn6, 0L) + {100 - p} * coalesce(dn6, 0L)) "
+                "div 100"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("lin6"), F.asc("url"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "lin6")
+    )

@@ -1223,3 +1223,169 @@ def test_top_hits_matches_python(spark, built_index, sf_unit_dir):
         for r in top_hits(spark, built_index, make_queries(), fac, n=n).collect()
     )
     assert got == sorted(want)
+
+
+def test_suggest_spelling_matches_python(spark, built_index, sf_unit_dir):
+    """Did-you-mean: corpus-mined misspellings (one char mutated so the
+    token leaves the vocabulary) must get exactly the Python-ranked
+    one-edit corrections ((dist, df desc, term asc) — and the original
+    term must appear among them); tokens the index KNOWS and hopeless
+    garbage must both yield zero rows."""
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import suggest_spelling
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vocab_df = {t: len(p) for t, p in oi.postings.items()}
+
+    def ed1(a: str, b: str) -> bool:
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) > len(b):
+            a, b = b, a
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) <= 1
+        for i in range(len(b)):
+            if b[:i] + b[i + 1:] == a:
+                return True
+        return False
+
+    # Mine misspellings deterministically: mutate char 1 of frequent
+    # corpus terms to 'q' until 3 leave the vocabulary.
+    base = sorted(vocab_df, key=lambda t: (-vocab_df[t], t))
+    typos = []
+    for t in base:
+        if len(t) < 4:
+            continue
+        bad = t[0] + "q" + t[2:]
+        if bad != t and bad not in vocab_df and tokenize(bad) == [bad]:
+            typos.append((bad, t))
+            if len(typos) == 3:
+                break
+    assert len(typos) == 3
+    queries = [(i + 1, bad) for i, (bad, _t) in enumerate(typos)]
+    want = []
+    for qid, (bad, _t) in zip((1, 2, 3), typos):
+        cand = sorted(
+            (
+                (1, -vocab_df[v], v)
+                for v in vocab_df
+                if ed1(bad, v)
+            )
+        )[:3]
+        for rank, (dist, ndf, v) in enumerate(cand, 1):
+            want.append((qid, bad, rank, v, dist, -ndf))
+    got = sorted(
+        (r["query_id"], r["token"], r["rank"], r["suggestion"], r["dist"], r["df"])
+        for r in suggest_spelling(
+            spark, built_index, queries, s=3, max_edits=1
+        ).collect()
+    )
+    assert got == sorted(want) and len(got) > 0
+    # Every mined typo's ORIGINAL term must be among its suggestions.
+    sugg = {(q, t): set() for q, t, *_ in got}
+    for q, t, _r, v, _d, _f in got:
+        sugg[(q, t)].add(v)
+    for qid, (bad, orig) in zip((1, 2, 3), typos):
+        assert orig in sugg[(qid, bad)]
+    # suggest_mode=missing: a known token and garbage both yield nothing.
+    assert (
+        suggest_spelling(
+            spark, built_index, [(1, base[0]), (2, "zzzzqqqqzz")], s=3
+        ).count()
+        == 0
+    )
+
+
+def test_hybrid_linear_matches_python(spark, built_index, sf_unit_dir):
+    """Linear fusion: engine ranks must equal a pure-Python min-max fusion
+    (int64 normalization and combination after the two floored retriever
+    scores) over deterministic synthetic embeddings; the k=depth=1 call
+    exercises the single-value-list mx==mn -> 1e6 pin on both sides; bad
+    depth/weight raise."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hybrid import hybrid_search_linear
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    dim = 4
+
+    def vec(i: int) -> list[float]:
+        return [float((i * p) % m + 1) for p, m in ((3, 7), (5, 11), (7, 13), (11, 17))][:dim]
+
+    embs = [(u, vec(i)) for i, u in enumerate(oi.urls)]
+    qs = make_queries()[:5]
+    qvec = {qid: vec(1000 + qid * 37) for qid, _t in qs}
+
+    def cos6(a: list[float], b: list[float]) -> int:
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return math.floor(dot / (na * nb) * 1_000_000)
+
+    def fuse(k: int, depth: int, pct: int):
+        out = []
+        emap = dict(embs)
+        for qid, text in qs:
+            sp = sorted(
+                (
+                    (math.floor(sc * 1e6), oi.urls[did])
+                    for did, sc in oi.score_all(text).items()
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )[:depth]
+            dn = sorted(
+                ((cos6(qvec[qid], v), u) for u, v in emap.items()),
+                key=lambda t: (-t[0], t[1]),
+            )[:depth]
+
+            def norm(lst):
+                if not lst:
+                    return {}
+                vals = [s for s, _u in lst]
+                mn, mx = min(vals), max(vals)
+                if mx == mn:
+                    return {u: 1_000_000 for _s, u in lst}
+                return {u: ((s - mn) * 1_000_000) // (mx - mn) for s, u in lst}
+
+            sn, dnn = norm(sp), norm(dn)
+            fusedd = {
+                u: (pct * sn.get(u, 0) + (100 - pct) * dnn.get(u, 0)) // 100
+                for u in set(sn) | set(dnn)
+            }
+            ranked = sorted(fusedd.items(), key=lambda t: (-t[1], t[0]))[:k]
+            for rank, (u, l6) in enumerate(ranked, 1):
+                out.append((qid, rank, u, l6))
+        return out
+
+    edf = spark.createDataFrame(embs, "url string, embedding array<double>")
+    qdf = spark.createDataFrame(
+        [(qid, qvec[qid]) for qid, _t in qs],
+        "query_id int, embedding array<double>",
+    )
+    for k, depth, pct in ((10, 30, 70), (1, 1, 40)):
+        got = sorted(
+            (r["query_id"], r["rank"], r["url"], r["lin6"])
+            for r in hybrid_search_linear(
+                spark, built_index, qs, qdf, edf, k=k, depth=depth,
+                weight_pct=pct,
+            ).collect()
+        )
+        assert got == sorted(fuse(k, depth, pct)) and len(got) > 0
+    with pytest.raises(ValueError, match="depth"):
+        hybrid_search_linear(spark, built_index, qs, qdf, edf, k=10, depth=5)
+    with pytest.raises(ValueError, match="weight_pct"):
+        hybrid_search_linear(
+            spark, built_index, qs, qdf, edf, k=1, depth=1, weight_pct=101
+        )
