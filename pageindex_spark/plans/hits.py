@@ -144,6 +144,18 @@ def search_count(
     empty = spark.createDataFrame([], "query_id int, n_hits long")
     if state is None:
         return empty
+    return _count_matches(state).withColumnRenamed("n", "n_hits")
+
+
+def _count_matches(state) -> DataFrame:
+    """Per-query match counts from a ``_match_state`` — the cheap count
+    kernel: per-cell partial counts (no coordinates, no url join) are the
+    only shuffled rows — O(cells), never O(matches) — then one tiny sum.
+    Shared by ``search_count`` and the surfaces that need the match-set
+    SIZE next to the match set itself (``significant_terms``): re-running
+    this count shape beats duplicating the URL-joined kernel lineage, and
+    a persist() would trade that for cache ownership a lazy API can't
+    release. Output (query_id, n)."""
     bc_payload, bc_neg, bc_deleted, slices, _runs = state
 
     def count_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -158,7 +170,7 @@ def search_count(
     partial = slices.groupBy("cell").applyInPandas(
         count_cell, schema="query_id int, n long"
     )
-    return partial.groupBy("query_id").agg(F.sum("n").alias("n_hits"))
+    return partial.groupBy("query_id").agg(F.sum("n").alias("n"))
 
 
 def _matched_urls(spark: SparkSession, se, state) -> DataFrame:
@@ -406,9 +418,11 @@ def significant_terms(
         .filter(F.col("fg") >= min_fg)
         .join(own, ["query_id", "term"], "left_anti")
     )
-    n_matched = matched.groupBy("query_id").agg(
-        F.count("*").alias("n_matched")
-    )
+    # Match-set SIZE via the cheap count kernel (_count_matches), NOT a
+    # count over `matched`: the latter would duplicate the URL-joined
+    # kernel lineage (Spark recomputes a branched DAG), doubling the
+    # dominant cost at scale. The count pass shuffles O(cells) rows.
+    n_matched = _count_matches(state).withColumnRenamed("n", "n_matched")
     ts = spark.read.parquet(se.paths.term_stats)
     if se.committed_deltas is not None:
         ts = ts.filter(F.col("delta") == max(se.committed_deltas))
@@ -585,15 +599,19 @@ def match_percentiles(
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(w))
-    n = hist.groupBy("query_id").agg(F.sum("c").alias("n_docs"))
-    pdf = spark.createDataFrame([(p,) for p in ps], "pct int")
-    targets = n.crossJoin(F.broadcast(pdf)).withColumn(
-        "tgt",
-        F.expr("(cast(pct as bigint) * n_docs + 99) div 100"),
+    # n_docs as a whole-partition window over the SAME histogram relation
+    # (not a second groupBy off `hist`): a branched DAG would recompute
+    # the whole match kernel for the count side — one lineage, one kernel
+    # pass, and both windows share the per-query exchange.
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n_docs", F.sum("c").over(Window.partitionBy("query_id"))
     )
+    pdf = spark.createDataFrame([(p,) for p in ps], "pct int")
     return (
-        cum.join(targets, "query_id")
+        cum.crossJoin(F.broadcast(pdf))
+        .withColumn(
+            "tgt", F.expr("(cast(pct as bigint) * n_docs + 99) div 100")
+        )
         .filter(F.col("cum") >= F.col("tgt"))
         .groupBy("query_id", "pct")
         .agg(
