@@ -142,11 +142,14 @@ def hybrid_search_linear(
     se = get_searcher(spark, index_dir, cell_parts)
 
     def _norm(lst: DataFrame, col: str) -> DataFrame:
-        mm = lst.groupBy("query_id").agg(
-            F.min(col).alias("mn"), F.max(col).alias("mx")
-        )
+        # min/max as whole-partition windows, NOT a groupBy + self-join: a
+        # branched DAG would re-execute the retriever subtree (the BMW
+        # search / cosine scan) for the stats side. One lineage, and the
+        # window runs over <= queries x depth rows.
+        wq = Window.partitionBy("query_id")
         return (
-            lst.join(F.broadcast(mm), "query_id")
+            lst.withColumn("mn", F.min(col).over(wq))
+            .withColumn("mx", F.max(col).over(wq))
             .withColumn(
                 "norm6",
                 F.when(F.col("mx") == F.col("mn"), F.lit(1_000_000).cast("long"))
