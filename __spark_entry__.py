@@ -920,6 +920,46 @@ def _dead_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp term queries (round 5, plans/query.py search_regexp): each
+    REGEXP_QUERIES pattern full-matches against the committed term
+    dictionary, expansion runs as OR/BMW — the ES regexp query. Must
+    reproduce the bm25_regexp SQL exactly."""
+    from pageindex_spark.driverq import REGEXP_QUERIES
+    from pageindex_spark.plans.query import search_regexp
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_regexp(
+        spark, index_dir, REGEXP_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_pct_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse percentiles (round 5, plans/hits.py match_percentile_ranks):
+    percent of each query's matching docs with n_chars under each
+    AT_VALUES threshold, pure-int64 fixed point; the below-floor threshold
+    must emit its rank6 = 0 row. Must reproduce the pct_ranks SQL
+    exactly."""
+    from pageindex_spark.driverq import AT_VALUES
+    from pageindex_spark.plans.hits import match_percentile_ranks
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return match_percentile_ranks(
+        spark, index_dir, BM25_QUERIES, dim, at_values=AT_VALUES
+    )
+
+
 def _engine_hybrid_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear score fusion (round 5, plans/hybrid.py hybrid_search_linear):
     the same two retriever lists as engine_hybrid_rrf, min-max normalized
@@ -1172,6 +1212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
     q["engine_hybrid_linear"] = _engine_hybrid_linear  # min-max weighted sum
     q["engine_spell_suggest"] = _engine_spell_suggest  # did-you-mean
+    q["engine_bm25_regexp"] = _engine_bm25_regexp  # regexp term queries
+    q["engine_pct_ranks"] = _engine_pct_ranks  # inverse percentiles
     q["engine_bm25_masked"] = _engine_bm25_masked  # tombstone masking
     q["engine_bm25_deletes"] = _engine_bm25_deletes  # expunge (physical)
     q["engine_bm25_not"] = _engine_bm25_not  # boolean NOT ('-term')
@@ -1232,6 +1274,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_hybrid_rrf"] = o["hybrid_rrf"]
     o["engine_hybrid_linear"] = o["hybrid_linear"]
     o["engine_spell_suggest"] = o["spell_suggest"]
+    o["engine_bm25_regexp"] = o["bm25_regexp"]
+    o["engine_pct_ranks"] = o["pct_ranks"]
     o["engine_bm25_masked"] = o["bm25_masked"]
     o["engine_bm25_deletes"] = o["bm25_expunged"]
     o["engine_bm25_not"] = o["bm25_not"]

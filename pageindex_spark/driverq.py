@@ -82,6 +82,24 @@ FUZZY_QUERIES = [
     (5, "zzzzz"),
 ]
 
+# Regexp query set (plans/query.py search_regexp — ES regexp query, full-term
+# anchored match, engine-portable subset: literals/classes/quantifiers/
+# alternation only): 'cust[a-z]*' (prefix-class), 'w.ndow' (single-any mid),
+# '(qu|v)ery' (alternation), '[a-z]*rge' (leading-any), and a no-match
+# pattern ('zzz[0-9]+x' -> query 5 returns zero rows on both sides).
+REGEXP_QUERIES = [
+    (1, "cust[a-z]*"),
+    (2, "w.ndow"),
+    (3, "(qu|v)ery"),
+    (4, "[a-z]*rge"),
+    (5, "zzz[0-9]+x"),
+]
+
+# Percentile-ranks thresholds (plans/hits.py match_percentile_ranks) over
+# documents.n_chars — one below the corpus floor (rank6 = 0 row must still
+# emit), one mid-mass, one above almost everything.
+AT_VALUES = [40, 300, 1500]
+
 # General-wildcard query set ('*' any run / '?' one char, ANY position —
 # plans/query.py search_wildcard): 's?a*' -> scan/small/spark (mid-word '?'),
 # 'w*w' -> window (inner '*'), '?uery' -> query (LEADING wildcard, the
@@ -879,6 +897,75 @@ ranked as (
   from scored
 )
 select query_id, rank, doc_id, score6 from ranked where rank <= 10
+"""
+
+
+def _bm25_regexp_sql(d: _Dialect, k: int = 10) -> str:
+    """Regexp-query twin (plans/query.py ``search_regexp``): each pattern
+    expands to every CORPUS term it FULLY matches (Spark ``rlike`` with
+    explicit anchors, DuckDB ``regexp_full_match`` — the fixture patterns
+    stay in the engine-portable regex subset), then ordinary OR scoring
+    over the expansion — the scoring-BooleanQuery rewrite."""
+    qpats = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
+    if d.duck:
+        m = "regexp_full_match(v.term, '(?:' || q.pat || ')')"
+    else:
+        m = "v.term rlike ('^(?:' || q.pat || ')$')"
+    return f"""
+with qpats(query_id, pat) as (values {qpats}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+qterms as (
+  select distinct q.query_id, v.term
+  from qpats q join dfreq v on {m}
+),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+def _pct_ranks_sql(d: _Dialect) -> str:
+    """Percentile-ranks twin (plans/hits.py ``match_percentile_ranks``):
+    per (query, AT_VALUES threshold) the percent of matching docs with
+    n_chars <= threshold as rank6 = (cnt_le * 100 * 1e6) integer-div n —
+    pure int64, and below-floor thresholds still emit rank6 = 0 (the
+    conditional sum keeps every pair)."""
+    alist = ", ".join(f"({a})" for a in AT_VALUES)
+    idiv = "//" if d.duck else "div"
+    return f"""{_matched_cte(d)}
+, ats(at) as (values {alist}),
+keyed as (
+  select m.query_id, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select k.query_id, a.at,
+       cast(count(*) as bigint) as n_docs,
+       cast((sum(case when k.val <= cast(a.at as double) then 1 else 0 end)
+          * 100000000) {idiv} cast(count(*) as bigint) as bigint) as rank6
+from keyed k cross join ats a
+group by k.query_id, a.at
 """
 
 
@@ -2005,6 +2092,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # 1-edit vocabulary corrections by (dist, df desc, term).
     pairs["spell_suggest"] = both(_suggest_spell_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
+    # regexp term queries (plans/query.py search_regexp): full-term
+    # anchored vocabulary expansion -> OR scoring.
+    pairs["bm25_regexp"] = both(_bm25_regexp_sql)
+    # inverse percentiles (plans/hits.py match_percentile_ranks): percent
+    # of matched docs under each AT_VALUES threshold, pure int64.
+    pairs["pct_ranks"] = both(_pct_ranks_sql)
     pairs["bm25_explain"] = both(_explain_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:

@@ -679,3 +679,62 @@ def top_hits(
         .filter(F.col("rank") <= n)
         .select("query_id", "facet", "rank", "url", "score6")
     )
+
+
+def match_percentile_ranks(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    at_values: list[int] = (100, 500, 1500),
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Inverse percentiles over the FULL match set (Elasticsearch
+    ``percentile_ranks`` agg — "what fraction of this search's docs are
+    under 500 chars?") -> (query_id, at, n_docs, rank6): per (query,
+    threshold), the percent of matching docs whose value is <= the
+    threshold, as ``rank6 = (cnt_le * 100 * 1e6) div n`` — a percent in
+    fixed-point 1e6, PURE INT64 like ``match_percentiles``' target
+    arithmetic (no float division an engine could round differently;
+    int64 headroom holds to 9e10 matched docs). A threshold below every
+    value still emits its row with rank6 = 0 (the ES contract — the
+    conditional sum keeps every (query, at) pair; a filter+count would
+    silently drop empty buckets).
+
+    Same scale shape as ``match_percentiles``: matched rows aggregate to
+    the per-query value histogram first (map-side combine), the tiny
+    histogram cross-joins the broadcast threshold list, and ONE
+    conditional-sum groupBy finishes — no window, no global sort, one
+    kernel lineage. ``at_values`` are integers (thresholds over
+    integer-valued attributes — the fixture domain); empty raises."""
+    ats = sorted({int(a) for a in at_values})
+    if not ats:
+        raise ValueError("at_values must be a non-empty list of ints")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, at int, n_docs long, rank6 long"
+    )
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    hist = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id", val.alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    adf = spark.createDataFrame([(a,) for a in ats], "at int")
+    return (
+        hist.crossJoin(F.broadcast(adf))
+        .groupBy("query_id", "at")
+        .agg(
+            F.sum(
+                F.when(F.col("v") <= F.col("at").cast("double"), F.col("c"))
+                .otherwise(F.lit(0))
+            ).alias("cnt"),
+            F.sum("c").alias("n_docs"),
+        )
+        .withColumn("rank6", F.expr("(cnt * 100000000) div n_docs"))
+        .select("query_id", "at", "n_docs", "rank6")
+    )

@@ -891,6 +891,79 @@ def search_wildcard(
     )
 
 
+def search_regexp(
+    spark: SparkSession,
+    index_dir: str,
+    patterns: list[tuple[int, str]],
+    k: int = 10,
+    mode: str = "bmw",
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    max_expansions: int = 1000,
+) -> DataFrame:
+    """Top-k BM25 for REGEXP term queries (Elasticsearch ``regexp`` query /
+    Lucene ``RegexpQuery``): each (query_id, pattern) matches the ENTIRE
+    term (implicit anchoring, the ES contract — 'cust.*' matches customer,
+    never locust), the matching vocabulary expands into an OR query, and
+    retrieval runs as the standard scoring-BooleanQuery rewrite (the
+    ``search_prefix``/``search_wildcard``/``search_fuzzy`` shape: BM25 is
+    a per-distinct-term sum, so driver-side expansion is exactly
+    equivalent, each expansion scoring with its own idf; pruning /
+    deletes / fixed_point compose unchanged on the concrete terms).
+
+    Expansion plan: ONE column-pruned term-dictionary scan, every pattern
+    evaluated JVM-side as ``rlike('^(?:pat)$')`` (anchors supply the
+    full-match contract). Patterns use Java regex here and RE2-family
+    engines in twins/oracles — the engine-portable subset (literals,
+    char classes, '.', '*', '+', '?', '{m,n}', alternation, grouping) is
+    the documented domain, the same subset the ES regexp query guarantees;
+    backrefs/lookarounds are Java-only and out of contract. A pattern
+    expanding past ``max_expansions`` raises (silent truncation would be
+    scan-order-dependent); one matching nothing contributes no terms, and
+    a query with no surviving terms returns no rows. At trillion-term
+    vocabularies the dictionary pass swaps to an n-gram sidecar that
+    prefilters candidate terms by the pattern's literal n-grams (Lucene's
+    own RegexpQuery acceleration), plan downstream unchanged."""
+    import re as _re
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    pats = sorted({p for _qid, p in patterns})
+    exp: dict[str, list[str]] = {}
+    if pats:
+        ts = spark.read.parquet(se.paths.term_stats)
+        if se.committed_deltas is not None:
+            ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+        cond = F.col("term").rlike(f"^(?:{pats[0]})$")
+        for p in pats[1:]:
+            cond = cond | F.col("term").rlike(f"^(?:{p})$")
+        vocab = [
+            r["term"] for r in ts.filter(cond).select("term").distinct().collect()
+        ]
+        for p in pats:
+            rx = _re.compile(f"(?:{p})")
+            m = sorted(t for t in vocab if rx.fullmatch(t))
+            if len(m) > max_expansions:
+                raise ValueError(
+                    f"regexp {p!r} expands to {len(m)} terms "
+                    f"(> max_expansions={max_expansions})"
+                )
+            exp[p] = m
+    expanded = []
+    for qid, p in patterns:
+        words = exp.get(p, [])
+        if words:
+            expanded.append((qid, " ".join(words)))
+    if not expanded:
+        out_schema = "query_id int, rank int, url string, score double" + (
+            ", text string" if with_text else ""
+        )
+        return spark.createDataFrame([], out_schema)
+    return se.search(
+        expanded, k=k, mode=mode, fixed_point=fixed_point, with_text=with_text
+    )
+
+
 def search_synonyms(
     spark: SparkSession,
     index_dir: str,

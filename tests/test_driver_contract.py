@@ -110,6 +110,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_hybrid_rrf",
         "engine_hybrid_linear",
         "engine_spell_suggest",
+        "engine_bm25_regexp",
+        "engine_pct_ranks",
         "engine_bm25_snippets",
         "engine_bm25_merged",
         "engine_phrase_pos",

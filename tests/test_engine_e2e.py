@@ -1389,3 +1389,92 @@ def test_hybrid_linear_matches_python(spark, built_index, sf_unit_dir):
         hybrid_search_linear(
             spark, built_index, qs, qdf, edf, k=1, depth=1, weight_pct=101
         )
+
+
+def test_search_regexp_matches_python(spark, built_index, sf_unit_dir):
+    """Regexp queries: the engine must equal plain search on the Python
+    re.fullmatch expansion of each pattern over the corpus vocabulary
+    (the lockstep contract — same anchored-full-match semantics), with a
+    class pattern proven to match MULTIPLE terms, a no-match pattern
+    yielding zero rows, and the expansion-cap raise."""
+    import re
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_regexp
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vocab = sorted(oi.postings)
+    # Deterministic multi-term pattern: the 4-char prefix shared by the
+    # most vocabulary terms, as prefix[a-z]* — plus alternation and a
+    # no-match class.
+    from collections import Counter
+
+    pref, _n = Counter(t[:4] for t in vocab if len(t) >= 5).most_common(1)[0]
+    pats = [(1, f"{pref}[a-z]*"), (2, "zzzq[0-9]+x")]
+    exp = {p: sorted(t for t in vocab if re.fullmatch(f"(?:{p})", t)) for _q, p in pats}
+    assert len(exp[pats[0][1]]) >= 2, "prefix-class pattern must multi-match"
+    assert not exp[pats[1][1]]
+    got = search_regexp(
+        spark, built_index, pats, k=10, fixed_point=True
+    ).collect()
+    want = search(
+        spark,
+        built_index,
+        [(1, " ".join(exp[pats[0][1]]))],
+        k=10,
+        fixed_point=True,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert not [r for r in got if r["query_id"] == 2]
+    with pytest.raises(ValueError, match="max_expansions"):
+        search_regexp(
+            spark, built_index, [(1, "[a-z]+")], k=10, max_expansions=5
+        )
+
+
+def test_percentile_ranks_matches_python(spark, built_index, sf_unit_dir):
+    """Inverse percentiles: rank6 must equal the pure-int Python
+    (cnt_le * 1e8) // n over the oracle's match set at every threshold,
+    including a below-floor threshold that still emits rank6 = 0 and an
+    above-ceiling one pinned at exactly 1e8; empty thresholds raise."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_percentile_ranks
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    lo = int(min(vals.values())) - 1
+    hi = int(max(vals.values())) + 1
+    ats = [lo, 500, hi]
+    want = {}
+    for qid, text in make_queries():
+        vs = [vals[oi.urls[did]] for did in oi.score_all(text)]
+        if not vs:
+            continue
+        n = len(vs)
+        for a in ats:
+            cnt = sum(1 for v in vs if v <= a)
+            want[(qid, a)] = (n, (cnt * 100_000_000) // n)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        (r["query_id"], r["at"]): (r["n_docs"], r["rank6"])
+        for r in match_percentile_ranks(
+            spark, built_index, make_queries(), dim, at_values=ats
+        ).collect()
+    }
+    assert got == want and len(want) >= 3 * 10
+    for qid in {q for q, _a in got}:
+        assert got[(qid, lo)][1] == 0
+        assert got[(qid, hi)][1] == 100_000_000
+    with pytest.raises(ValueError, match="at_values"):
+        match_percentile_ranks(
+            spark, built_index, make_queries(), dim, at_values=[]
+        )
