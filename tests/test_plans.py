@@ -279,3 +279,63 @@ def test_fuzzy_negation_passes_through(spark, index_dir):
     assert out  # fuzzy 'ba' matches something
     for r in out:
         assert "ce" not in tokenize(r["text"])
+
+
+def test_single_lineage_plans_no_duplicate_kernels(spark, index_dir):
+    """Branched-DAG regression guards (the fork-recompute trap): the
+    physical plans must contain EXACTLY the intended number of Python
+    match-kernel executions — match_percentiles ONE (the n_docs total is
+    a window over the value histogram, not a second kernel),
+    significant_terms TWO with exactly one URL-joined (the second is the
+    cheap O(cells) count shape: no extracts join on that branch), and
+    hybrid_search_linear's min-max normalization must not re-execute the
+    retrievers (one FlatMapGroupsInPandas for the BM25 side, one corpus
+    scan for the cosine side)."""
+    from pyspark.sql import Window
+
+    from pageindex_spark.plans.hits import match_percentiles, significant_terms
+    from pageindex_spark.plans.hybrid import hybrid_search_linear
+
+    def tree(df) -> str:
+        # operator tree only — the formatted detail section repeats every
+        # node name, which would double-count instances
+        return _explain(df).split("\n\n(1)")[0]
+
+    qs = [(1, "ba di"), (2, "ce")]
+    ext = spark.read.parquet(os.path.join(index_dir, "docs_extracted"))
+    dim = ext.select("url", F.length("text").cast("double").alias("val"))
+
+    plan = tree(match_percentiles(spark, index_dir, qs, dim))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+    full = _explain(significant_terms(spark, index_dir, qs))
+    assert full.split("\n\n(1)")[0].count("FlatMapGroupsInPandas") == 2
+    # exactly ONE scan reads the extracts TEXT (the count branch ships no
+    # text — that's what makes the second kernel pass the cheap shape)
+    text_scans = [
+        ln for ln in full.splitlines()
+        if "ReadSchema" in ln and "text:string" in ln
+    ]
+    assert len(text_scans) == 1, text_scans
+
+    embs = ext.select(
+        "url",
+        F.array(
+            F.length("text").cast("double") + F.lit(1.0),
+            F.lit(2.0),
+            (F.length("text") % 7).cast("double") + F.lit(1.0),
+        ).alias("embedding"),
+    )
+    qv = embs.limit(2).select(
+        F.row_number().over(Window.orderBy("url")).alias("query_id"),
+        "embedding",
+    )
+    plan = tree(
+        hybrid_search_linear(spark, index_dir, qs, qv, embs, k=5, depth=5)
+    )
+    # each retriever list must appear ONCE: the sparse list lands as a
+    # single ExistingRDD scan, the dense cosine pass as a single
+    # broadcast nested-loop join — the groupBy-rejoin normalization this
+    # guards against duplicated both subtrees
+    assert plan.count("Scan ExistingRDD") == 1
+    assert plan.count("BroadcastNestedLoopJoin") == 1
