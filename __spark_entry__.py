@@ -442,6 +442,21 @@ def _engine_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return significant_terms(spark, index_dir, BM25_QUERIES)
 
 
+def _engine_sig_terms_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler aggregation (round 5, plans/hits.py significant_terms with
+    sample_hex): significant terms over the deterministic md5-prefix doc
+    sample (ES sampler agg + significant_terms sub-agg) — fg and
+    n_matched measure the sample, bg and n_docs stay corpus-wide. Must
+    reproduce the sig_terms_sampled SQL exactly."""
+    from pageindex_spark.driverq import SIG_SAMPLE_HEX
+    from pageindex_spark.plans.hits import significant_terms
+
+    index_dir = _engine_index(spark, sf_dir)
+    return significant_terms(
+        spark, index_dir, BM25_QUERIES, sample_hex=SIG_SAMPLE_HEX
+    )
+
+
 def _engine_bm25_fnscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Function score (round 5, plans/query.py search_function_score):
     BM25 x field_value_factor (boost_mode=multiply) with the deterministic
@@ -1202,6 +1217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
+    q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
     q["engine_facet_stats"] = _engine_facet_stats  # stats per bucket
     q["engine_match_pcts"] = _engine_match_pcts  # exact percentiles
@@ -1264,6 +1280,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_match_stats"] = o["match_stats"]
     o["engine_sig_terms"] = o["sig_terms"]
+    o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]
     o["engine_bm25_fnscore"] = o["fn_score"]
     o["engine_facet_stats"] = o["facet_stats"]
     o["engine_match_pcts"] = o["match_pcts"]

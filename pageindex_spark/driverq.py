@@ -1339,23 +1339,38 @@ select query_id, facet, rank, doc_id, score6 from ranked where rank <= {n}
 """
 
 
-def _sig_terms_sql(d: _Dialect, m: int = 5, min_fg: int = 2) -> str:
+SIG_SAMPLE_HEX = "0123456789a"
+
+
+def _sig_terms_sql(
+    d: _Dialect, m: int = 5, min_fg: int = 2, sampled: bool = False
+) -> str:
     """Significant-terms twin (plans/hits.py ``significant_terms``): per
     query the m corpus terms most over-represented in the match set —
     fg = matched docs containing the term (the query's OWN terms excluded,
     fg >= min_fg), bg = corpus df, ranked by
     lift6 = floor(1e6 * (fg * n_docs) / (n_matched * bg)) with term-asc
     ties. The double division is written in the engine's exact
-    association order."""
+    association order. ``sampled`` adds the ES sampler stage: matched docs
+    filter to those whose md5 of the zero-padded doc_id (== the engine's
+    url) starts with a SIG_SAMPLE_HEX digit; fg and n_matched measure the
+    sample, bg and n_docs stay corpus-wide."""
+    if sampled:
+        digits = ", ".join(f"'{c}'" for c in SIG_SAMPLE_HEX)
+        url = f"lpad(cast(m.doc_id as {d.str_type()}), 10, '0')"
+        sample_where = f"where substr(md5({url}), 1, 1) in ({digits})"
+    else:
+        sample_where = ""
     return f"""{_matched_cte(d)}
 , nd as (select cast(count(*) as double) as n_docs from toks),
+matched_s as (select m.query_id, m.doc_id from matched m {sample_where}),
 nm as (
   select query_id, cast(count(*) as double) as n_matched
-  from matched group by query_id
+  from matched_s group by query_id
 ),
 doc_terms as (
   select distinct m.query_id, m.doc_id, o.term
-  from matched m join occ o on o.doc_id = m.doc_id
+  from matched_s m join occ o on o.doc_id = m.doc_id
 ),
 fg as (
   select t.query_id, t.term, cast(count(*) as bigint) as fg
@@ -2141,6 +2156,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # significant terms (plans/hits.py significant_terms): terms most
     # over-represented in the match set vs corpus df, own terms excluded.
     pairs["sig_terms"] = both(_sig_terms_sql)
+    # sampler aggregation (ES sampler + significant_terms sub-agg): the
+    # deterministic md5-prefix doc sample, fg/n_matched in-sample.
+    pairs["sig_terms_sampled"] = both(lambda d: _sig_terms_sql(d, sampled=True))
     # function score (plans/query.py search_function_score): BM25 x
     # field_value_factor, boost_mode=multiply — exhaustive re-rank.
     pairs["fn_score"] = both(_function_score_sql)

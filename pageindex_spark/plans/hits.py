@@ -359,6 +359,7 @@ def significant_terms(
     m: int = 5,
     min_fg: int = 2,
     cell_parts: int = 4,
+    sample_hex: str | None = None,
 ) -> DataFrame:
     """Significant-terms aggregation (Elasticsearch ``significant_terms``):
     per query, the ``m`` index terms most OVER-REPRESENTED in the match
@@ -376,12 +377,25 @@ def significant_terms(
 
     Cost class: the matched docs' DISTINCT tokens must be enumerated —
     O(matched tokens), the heaviest full-match surface (ES runs this agg
-    on a sampled shard subset for the same reason; a sampler stage here
-    would be one extra filter). Plan: the ``_matched_urls`` tail joins the
-    extracts TEXT (pruned partitions), tokens explode distinct-per-doc
-    (JVM codegen tokenizer, ``array_distinct``), one groupBy counts fg,
-    the committed term_stats joins bg (broadcast-class: only terms the
-    match set contains), per-query window takes the top-m."""
+    on a sampled shard subset for the same reason). Plan: the
+    ``_matched_urls`` tail joins the extracts TEXT (pruned partitions),
+    tokens explode distinct-per-doc (JVM codegen tokenizer,
+    ``array_distinct``), one groupBy counts fg, the committed term_stats
+    joins bg (broadcast-class: only terms the match set contains),
+    per-query window takes the top-m.
+
+    ``sample_hex`` is the ES ``sampler`` aggregation: a DETERMINISTIC doc
+    sample — keep matched docs whose ``md5(url)`` starts with one of the
+    given hex digits ('012' = a 3/16 sample; ``rand()`` would not
+    reproduce across engines, the ``sampled_verification`` rule) —
+    applied BEFORE the text join, so the O(matched tokens) explode (the
+    part that dominates) shrinks by the sample fraction while bg and
+    n_docs stay corpus-wide (ES sampler semantics: sub-agg over the
+    sample, background unchanged). fg and n_matched both measure the
+    SAMPLE; the sampled count rides a count over the sampled coordinates
+    (a second kernel execution of the forked lineage — under sampling
+    the token explode, not the match kernel, is the cost being bought
+    down, the same trade ES's shard sampler makes)."""
     from ..functions.sqlglue import spark_terms
     from ..functions.tokenizer import parse_boost_query, parse_query, tokenize
     from pyspark.sql import Window
@@ -403,6 +417,15 @@ def significant_terms(
     own = spark.createDataFrame(own_rows or [(-1, "")], "query_id int, term string")
 
     matched = _matched_urls(spark, se, state)
+    if sample_hex is not None:
+        digits = sorted(set(sample_hex.lower()))
+        if not digits or not set(digits) <= set("0123456789abcdef"):
+            raise ValueError(
+                f"sample_hex must be non-empty hex digits, got {sample_hex!r}"
+            )
+        matched = matched.filter(
+            F.substring(F.md5(F.col("url")), 1, 1).isin(digits)
+        )
     ext = spark.read.parquet(se.paths.docs_extracted).select(
         F.col("part_id").cast("int").alias("part_id"), "local_pos", "url", "text"
     )
@@ -418,11 +441,19 @@ def significant_terms(
         .filter(F.col("fg") >= min_fg)
         .join(own, ["query_id", "term"], "left_anti")
     )
-    # Match-set SIZE via the cheap count kernel (_count_matches), NOT a
-    # count over `matched`: the latter would duplicate the URL-joined
-    # kernel lineage (Spark recomputes a branched DAG), doubling the
-    # dominant cost at scale. The count pass shuffles O(cells) rows.
-    n_matched = _count_matches(state).withColumnRenamed("n", "n_matched")
+    if sample_hex is None:
+        # Match-set SIZE via the cheap count kernel (_count_matches), NOT
+        # a count over `matched`: the latter would duplicate the
+        # URL-joined kernel lineage (Spark recomputes a branched DAG),
+        # doubling the dominant cost at scale. O(cells) shuffled rows.
+        n_matched = _count_matches(state).withColumnRenamed("n", "n_matched")
+    else:
+        # Sampled size must count the SAMPLE — the url-hash filter only
+        # exists post-join, so this forks the kernel lineage (docstring:
+        # sampling buys down the token explode, not the match kernel).
+        n_matched = matched.groupBy("query_id").agg(
+            F.count("*").alias("n_matched")
+        )
     ts = spark.read.parquet(se.paths.term_stats)
     if se.committed_deltas is not None:
         ts = ts.filter(F.col("delta") == max(se.committed_deltas))

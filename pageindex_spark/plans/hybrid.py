@@ -143,8 +143,10 @@ def hybrid_search_linear(
 
     def _norm(lst: DataFrame, col: str) -> DataFrame:
         # min/max as whole-partition windows, NOT a groupBy + self-join: a
-        # branched DAG would re-execute the retriever subtree (the BMW
-        # search / cosine scan) for the stats side. One lineage, and the
+        # branched DAG re-executes the list's subtree for the stats side —
+        # for the dense list that is the whole cosine corpus scan (the
+        # sparse list is already a driver-materialized local relation, so
+        # only cheap rescans there). One lineage either way, and the
         # window runs over <= queries x depth rows.
         wq = Window.partitionBy("query_id")
         return (

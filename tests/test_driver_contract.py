@@ -100,6 +100,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_page",
         "engine_match_stats",
         "engine_sig_terms",
+        "engine_sig_terms_sampled",
         "engine_bm25_fnscore",
         "engine_facet_stats",
         "engine_match_pcts",

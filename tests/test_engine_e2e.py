@@ -1478,3 +1478,74 @@ def test_percentile_ranks_matches_python(spark, built_index, sf_unit_dir):
         match_percentile_ranks(
             spark, built_index, make_queries(), dim, at_values=[]
         )
+
+
+def test_significant_terms_sampler_matches_python(spark, built_index, sf_unit_dir):
+    """Sampler aggregation: significant_terms over the deterministic
+    md5-prefix doc sample must equal the Python oracle with the same
+    hashlib filter — fg/n_matched in-sample, bg/n_docs corpus-wide — the
+    sample must genuinely shrink the match set AND change at least one
+    lift, and bad hex raises."""
+    import hashlib
+    import math
+
+    from pageindex_spark.functions.tokenizer import parse_query, tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import significant_terms
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    doc_tokens = {u: set(tokenize(t)) for u, t in rows}
+    hexd = "01234567"  # 8/16 sample
+
+    def in_sample(u: str) -> bool:
+        return hashlib.md5(u.encode()).hexdigest()[0] in hexd
+
+    m, min_fg = 5, 2
+
+    def python_sig(sampled: bool):
+        out = []
+        for qid, text in make_queries():
+            pos, negs = parse_query(text)
+            own = set(tokenize(pos)) | set(negs)
+            matched = [oi.urls[d] for d in oi.score_all(text)]
+            if sampled:
+                matched = [u for u in matched if in_sample(u)]
+            if not matched:
+                continue
+            fg: dict[str, int] = {}
+            for u in matched:
+                for t in doc_tokens[u]:
+                    fg[t] = fg.get(t, 0) + 1
+            cand = []
+            for t, f in fg.items():
+                if t in own or f < min_fg:
+                    continue
+                bg = len(oi.postings[t])
+                lift6 = math.floor(
+                    1_000_000.0 * (float(f) * float(oi.n_docs))
+                    / (float(len(matched)) * float(bg))
+                )
+                cand.append((-lift6, t, f, bg))
+            for nl, t, f, bg in sorted(cand)[:m]:
+                out.append((qid, t, f, bg, -nl))
+        return sorted(out)
+
+    want = python_sig(sampled=True)
+    got = sorted(
+        (r["query_id"], r["term"], r["fg"], r["bg"], r["lift6"])
+        for r in significant_terms(
+            spark, built_index, make_queries(), m=m, min_fg=min_fg,
+            sample_hex=hexd,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+    full = python_sig(sampled=False)
+    assert got != full, "the sample never changed a lift — widen the corpus"
+    with pytest.raises(ValueError, match="sample_hex"):
+        significant_terms(
+            spark, built_index, make_queries(), sample_hex="xyz"
+        )
