@@ -590,6 +590,58 @@ def _engine_search_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_search_sorted_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor paging composed with a field sort (round 5, plans/hits.py
+    search_sorted_by search_after=): page 1's rank-SORTED_AFTER_RANK row
+    per query becomes the (sort_key, url) cursor; the result is the next
+    10 rows strictly past it, ranks page-relative — per-part top-ks stay
+    at k at any page depth. Queries whose first page wasn't full have no
+    cursor and drop. Must reproduce the search_sorted_after SQL exactly."""
+    from pageindex_spark.driverq import SORTED_AFTER_RANK
+    from pageindex_spark.plans.hits import search_sorted_by
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("bigint").alias("sort_key"),
+    )
+    page1 = search_sorted_by(spark, index_dir, BM25_QUERIES, dim, k=SORTED_AFTER_RANK)
+    cursors = {
+        int(r["query_id"]): (int(r["sort_key"]), r["url"])
+        for r in page1.filter(F.col("rank") == SORTED_AFTER_RANK).collect()
+    }
+    qs = [(qid, t) for qid, t in BM25_QUERIES if qid in cursors]
+    top = search_sorted_by(
+        spark, index_dir, qs, dim, k=10, search_after=cursors
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "sort_key",
+    )
+
+
+def _engine_facet_top_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-agg size (round 5, plans/hits.py facet_counts top_n=): the
+    FACET_TOP_N lang buckets per query keep their names, the tail folds
+    into one '__other__' row — the ES size + sum_other_doc_count
+    bucket-explosion control. Must reproduce the facet_top_other SQL
+    exactly."""
+    from pageindex_spark.driverq import FACET_TOP_N
+    from pageindex_spark.plans.hits import facet_counts
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("lang").alias("facet"),
+    )
+    out = facet_counts(spark, index_dir, BM25_QUERIES, dim, top_n=FACET_TOP_N)
+    return out.select("query_id", "facet", "n_docs")
+
+
 def _engine_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval (round 5, plans/hybrid.py): BM25 over
     the committed index + cosine over the embeddings table (vec_id == doc
@@ -1225,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
+    q["engine_search_sorted_after"] = _engine_search_sorted_after  # + cursor
+    q["engine_facet_top_other"] = _engine_facet_top_other  # terms-agg size
     q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
     q["engine_hybrid_linear"] = _engine_hybrid_linear  # min-max weighted sum
     q["engine_spell_suggest"] = _engine_spell_suggest  # did-you-mean
@@ -1288,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]
     o["engine_search_sorted"] = o["search_sorted"]
+    o["engine_search_sorted_after"] = o["search_sorted_after"]
+    o["engine_facet_top_other"] = o["facet_top_other"]
     o["engine_hybrid_rrf"] = o["hybrid_rrf"]
     o["engine_hybrid_linear"] = o["hybrid_linear"]
     o["engine_spell_suggest"] = o["spell_suggest"]

@@ -1020,6 +1020,68 @@ select query_id, rank, doc_id, sort_key from ranked where rank <= {k}
 """
 
 
+SORTED_AFTER_RANK = 10
+
+
+def _search_sorted_after_sql(d: _Dialect, k: int = 10) -> str:
+    """Cursor-paged sort-by-field twin (plans/hits.py ``search_sorted_by``
+    with ``search_after``): the base sorted order's rank-SORTED_AFTER_RANK
+    row per query becomes the (sort_key, doc_id) cursor; the result is the
+    next k rows STRICTLY past it under (sort_key desc, doc_id asc), ranks
+    page-relative 1..k — ES search_after composed with a field sort."""
+    ar = SORTED_AFTER_RANK
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, m.doc_id, cast(doc.n_chars as bigint) as sort_key
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+base as (
+  select query_id, doc_id, sort_key,
+         row_number() over (partition by query_id order by sort_key desc, doc_id asc) as rank
+  from keyed
+),
+cur as (
+  select query_id, sort_key as cur_key, doc_id as cur_id
+  from base where rank = {ar}
+),
+paged as (
+  select k.query_id, k.doc_id, k.sort_key,
+         row_number() over (partition by k.query_id order by k.sort_key desc, k.doc_id asc) as rank
+  from keyed k join cur c on c.query_id = k.query_id
+  where k.sort_key < c.cur_key
+     or (k.sort_key = c.cur_key and k.doc_id > c.cur_id)
+)
+select query_id, rank, doc_id, sort_key from paged where rank <= {k}
+"""
+
+
+FACET_TOP_N = 2
+
+
+def _facet_top_other_sql(d: _Dialect) -> str:
+    """Terms-agg size twin (plans/hits.py ``facet_counts`` with ``top_n``):
+    per query the FACET_TOP_N lang buckets by (n_docs desc, facet asc)
+    keep their names, every other bucket folds into one '__other__' row —
+    ES's size + sum_other_doc_count contract."""
+    return f"""{_matched_cte(d)}
+, counts as (
+  select m.query_id, doc.lang as facet, cast(count(*) as bigint) as n_docs
+  from matched m join documents doc on doc.doc_id = m.doc_id
+  group by m.query_id, doc.lang
+),
+ranked as (
+  select query_id, facet, n_docs,
+         row_number() over (partition by query_id order by n_docs desc, facet asc) as rk
+  from counts
+)
+select query_id,
+       case when rk <= {FACET_TOP_N} then facet else '__other__' end as facet,
+       cast(sum(n_docs) as bigint) as n_docs
+from ranked
+group by query_id, case when rk <= {FACET_TOP_N} then facet else '__other__' end
+"""
+
+
 def _bm25_syn_sql(d: _Dialect, k: int = 10) -> str:
     """Query-time synonym twin (plans/query.py ``search_synonyms``): each
     query token expands IN SQL to itself plus its mapped synonyms (one
@@ -2097,6 +2159,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # sort-by-field (plans/hits.py search_sorted_by): match set ranked by
     # an external attribute (documents.n_chars), relevance never computed.
     pairs["search_sorted"] = both(_search_sorted_sql)
+    # cursor paging composed with the field sort (plans/hits.py
+    # search_sorted_by search_after=): page 2 via the rank-10 cursor.
+    pairs["search_sorted_after"] = both(_search_sorted_after_sql)
+    # terms-agg size + sum_other_doc_count (plans/hits.py facet_counts
+    # top_n=): top buckets named, tail folded into '__other__'.
+    pairs["facet_top_other"] = both(_facet_top_other_sql)
     # hybrid sparse+dense RRF (plans/hybrid.py): BM25 + cosine lists fused
     # by integerized reciprocal-rank contributions.
     pairs["hybrid_rrf"] = both(_hybrid_rrf_sql)

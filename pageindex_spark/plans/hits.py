@@ -237,22 +237,56 @@ def facet_counts(
     queries: list[tuple[int, str]],
     facets: DataFrame,
     cell_parts: int = 4,
+    top_n: int | None = None,
+    other_label: str = "__other__",
 ) -> DataFrame:
     """Facet counts over the FULL match set -> (query_id, facet, n_docs):
     for every query, how many matching docs carry each facet value
     (Elasticsearch terms aggregation). ``facets`` is a (url, facet)
     dimension DataFrame; matched urls come from the shared
-    ``_matched_urls`` tail (kernel match -> pruned url join)."""
+    ``_matched_urls`` tail (kernel match -> pruned url join).
+
+    ``top_n`` is the ES terms-agg ``size`` + ``sum_other_doc_count``
+    contract — the bucket-explosion control a high-cardinality facet
+    (urls, hosts) needs at scale: per query only the ``top_n`` buckets by
+    (n_docs desc, facet asc) return under their own names; every other
+    bucket collapses into ONE ``other_label`` row carrying the remainder
+    (emitted only when non-zero, like ES's non-zero sum_other_doc_count).
+    Single lineage: the per-(query, facet) counts get a rank window (the
+    counts relation is facet-cardinality-sized, not match-sized), the
+    bucket key rewrites to ``other_label`` past the rank, and ONE more
+    map-side-combined groupBy folds the tail — never a fork that would
+    re-run the match kernel, and never a global sort."""
+    from pyspark.sql import Window
+
     se = get_searcher(spark, index_dir, cell_parts)
     state = _match_state(se, queries)
     empty = spark.createDataFrame([], "query_id int, facet string, n_docs long")
     if state is None:
         return empty
-    return (
+    counts = (
         _matched_urls(spark, se, state)
         .join(facets, "url")
         .groupBy("query_id", "facet")
         .agg(F.count("*").alias("n_docs"))
+    )
+    if top_n is None:
+        return counts
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc("facet")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "facet",
+            F.when(F.col("rk") <= top_n, F.col("facet")).otherwise(
+                F.lit(other_label)
+            ),
+        )
+        .groupBy("query_id", "facet")
+        .agg(F.sum("n_docs").alias("n_docs"))
     )
 
 
@@ -482,6 +516,7 @@ def search_sorted_by(
     k: int = 10,
     descending: bool = True,
     cell_parts: int = 4,
+    search_after: dict[int, tuple] | None = None,
 ) -> DataFrame:
     """Sort-by-field retrieval (Elasticsearch ``sort`` on an attribute):
     the top-``k`` MATCHING docs per query ordered by an external sort key
@@ -501,7 +536,19 @@ def search_sorted_by(
     top-k per query is contained in the union of per-part top-ks), phase
     2 ranks the <= queries x parts x k survivors — the same global-rank
     shape as the BM25 plan's ``_rank_and_lookup``. Ties break url-asc
-    (== docID order, the engine-wide tie-break)."""
+    (== docID order, the engine-wide tie-break).
+
+    ``search_after`` cursors page this surface the ES way (``search_after``
+    composes with any sort, not just relevance): per query, the
+    (sort_key, url) sort values of the last consumed row; only rows
+    STRICTLY past the cursor in (sort_key desc/asc, url asc) order rank,
+    with page-relative ranks 1..k. The cursor is an ADMISSION predicate
+    on the matched rows BEFORE the two-phase rank — the fourth pre-heap
+    channel of the engine-wide exclusion contract, applied to the
+    field-sort surface: per-part top-ks stay at k at ANY page depth
+    (offset paging here would deepen them to offset+k). A query id
+    without a cursor entry pages from the top (ES semantics for a
+    missing search_after)."""
     from pyspark.sql import Window
 
     se = get_searcher(spark, index_dir, cell_parts)
@@ -519,6 +566,23 @@ def search_sorted_by(
     keyed = _matched_urls(spark, se, state).join(
         sort_keys.select("url", "sort_key"), "url"
     )
+    if search_after:
+        cur = spark.createDataFrame(
+            [(int(q), sk, u) for q, (sk, u) in sorted(search_after.items())],
+            f"query_id int, cur_key {kt}, cur_url string",
+        )
+        keyed = keyed.join(F.broadcast(cur), "query_id", "left")
+        past = (
+            (F.col("sort_key") < F.col("cur_key"))
+            if descending
+            else (F.col("sort_key") > F.col("cur_key"))
+        ) | (
+            (F.col("sort_key") == F.col("cur_key"))
+            & (F.col("url") > F.col("cur_url"))
+        )
+        keyed = keyed.filter(F.col("cur_key").isNull() | past).drop(
+            "cur_key", "cur_url"
+        )
     w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
     w_all = Window.partitionBy("query_id").orderBy(*order)
     return (

@@ -108,6 +108,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_hits_count",
         "engine_facet_counts",
         "engine_search_sorted",
+        "engine_search_sorted_after",
+        "engine_facet_top_other",
         "engine_hybrid_rrf",
         "engine_hybrid_linear",
         "engine_spell_suggest",

@@ -1549,3 +1549,102 @@ def test_significant_terms_sampler_matches_python(spark, built_index, sf_unit_di
         significant_terms(
             spark, built_index, make_queries(), sample_hex="xyz"
         )
+
+
+def test_search_sorted_after_pages_exactly(spark, built_index, sf_unit_dir):
+    """Cursor paging on a field sort: page 2 via the page-1 rank-10
+    (sort_key, url) cursor must equal rows 11..20 of the full Python
+    sorted order with page-relative ranks; a query id WITHOUT a cursor
+    entry pages from the top (ES missing-search_after semantics)."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import search_sorted_by
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: len(t) for u, t in rows}
+    qs = make_queries()[:5]
+    order = {}
+    for qid, text in qs:
+        order[qid] = sorted(
+            ((vals[oi.urls[d]], oi.urls[d]) for d in oi.score_all(text)),
+            key=lambda t: (-t[0], t[1]),
+        )
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url", F.length("text").cast("bigint").alias("sort_key")
+    )
+    cursors = {
+        qid: (order[qid][9][0], order[qid][9][1])
+        for qid, _t in qs
+        if len(order[qid]) >= 10
+    }
+    assert cursors
+    # Drop one query's cursor — it must page from the top.
+    free_qid = sorted(cursors)[0]
+    del cursors[free_qid]
+    got = search_sorted_by(
+        spark, built_index, qs, dim, k=10, search_after=cursors
+    ).collect()
+    want = []
+    for qid, _t in qs:
+        base = 0 if qid not in cursors else 10
+        for rank, (sk, u) in enumerate(order[qid][base : base + 10], 1):
+            want.append((qid, rank, u, sk))
+    got_t = sorted(
+        (r["query_id"], r["rank"], r["url"], r["sort_key"]) for r in got
+    )
+    assert got_t == sorted(want) and len(got_t) > 0
+
+
+def test_facet_top_other_matches_python(spark, built_index, sf_unit_dir):
+    """Terms-agg size: the top-n site buckets keep their names, the tail
+    folds into ONE '__other__' row whose count equals the exact remainder
+    (totals conserved vs the unbounded aggregation); top_n < 1 raises."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import facet_counts
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    site = {u: u.split("/")[2] for u, _t in rows}
+    top_n = 3
+    want = {}
+    for qid, text in make_queries():
+        per: dict[str, int] = {}
+        for d in oi.score_all(text):
+            fac = site[oi.urls[d]]
+            per[fac] = per.get(fac, 0) + 1
+        ranked = sorted(per.items(), key=lambda t: (-t[1], t[0]))
+        for fac, n in ranked[:top_n]:
+            want[(qid, fac)] = n
+        other = sum(n for _f, n in ranked[top_n:])
+        if other:
+            want[(qid, "__other__")] = other
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url", F.split(F.col("url"), "/").getItem(2).alias("facet")
+    )
+    got = {
+        (r["query_id"], r["facet"]): r["n_docs"]
+        for r in facet_counts(
+            spark, built_index, make_queries(), dim, top_n=top_n
+        ).collect()
+    }
+    assert got == want
+    assert any(f == "__other__" for _q, f in got), "tail never folded"
+    # totals conserved vs the unbounded aggregation
+    full = facet_counts(spark, built_index, make_queries(), dim).collect()
+    tot_full: dict[int, int] = {}
+    for r in full:
+        tot_full[r["query_id"]] = tot_full.get(r["query_id"], 0) + r["n_docs"]
+    tot_top: dict[int, int] = {}
+    for (qid, _f), n in got.items():
+        tot_top[qid] = tot_top.get(qid, 0) + n
+    assert tot_top == tot_full
+    with pytest.raises(ValueError, match="top_n"):
+        facet_counts(spark, built_index, make_queries(), dim, top_n=0)
