@@ -207,10 +207,24 @@ def _matched_urls(spark: SparkSession, se, state) -> DataFrame:
     matched = slices.groupBy("cell").applyInPandas(
         match_cell, schema="query_id int, part_id int, local_pos long"
     )
-    # Prune the url lookup to partitions the matches can live in — derived
-    # driver-side from the pruned RUN metadata (column-pruned, blobs never
-    # load; collecting from `slices` instead would re-execute the whole
-    # slicing job for a second action), the same trick as prune_norms.
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        "part_id", "local_pos", "url"
+    )
+    parts = _run_touched_parts(se, runs)
+    if 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    return matched.join(ext, ["part_id", "local_pos"]).select(
+        "query_id", "part_id", "url"
+    )
+
+
+def _run_touched_parts(se, runs) -> set[int]:
+    """Extract partitions the pruned runs' docID ranges can touch — derived
+    driver-side from the RUN metadata (column-pruned, blobs never load;
+    collecting from the slices DF instead would re-execute the whole
+    slicing job for a second action), the same trick as prune_norms.
+    Shared by the ``_matched_urls`` url lookup and ``significant_terms``'
+    text scan."""
     ranges = [
         (int(r["first_doc"]), int(r["last_doc"]))
         for r in runs.select("first_doc", "last_doc").collect()
@@ -221,14 +235,7 @@ def _matched_urls(spark: SparkSession, se, state) -> DataFrame:
         p0 = int(np.searchsorted(grid, first, side="right")) - 1
         p1 = int(np.searchsorted(grid, last, side="right")) - 1
         parts.update(range(max(p0, 0), min(p1, len(grid) - 1) + 1))
-    ext = spark.read.parquet(se.paths.docs_extracted).select(
-        "part_id", "local_pos", "url"
-    )
-    if 2 * len(parts) < len(grid):
-        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
-    return matched.join(ext, ["part_id", "local_pos"]).select(
-        "query_id", "part_id", "url"
-    )
+    return parts
 
 
 def facet_counts(
@@ -252,6 +259,10 @@ def facet_counts(
     (n_docs desc, facet asc) return under their own names; every other
     bucket collapses into ONE ``other_label`` row carrying the remainder
     (emitted only when non-zero, like ES's non-zero sum_other_doc_count).
+    The sentinel is IN-BAND: callers must pick an ``other_label`` outside
+    the facet domain (ES sidesteps this by returning
+    sum_other_doc_count out-of-band; a real bucket named like the label
+    would silently merge with the tail).
     Single lineage: the per-(query, facet) counts get a rank window (the
     counts relation is facet-cardinality-sized, not match-sized), the
     bucket key rewrites to ``other_label`` past the rank, and ONE more
@@ -460,14 +471,25 @@ def significant_terms(
         matched = matched.filter(
             F.substring(F.md5(F.col("url")), 1, 1).isin(digits)
         )
+    # Text scan pruned to the partitions the matches can live in (the
+    # _matched_urls trick), joined on (part_id, url) BEFORE tokenizing —
+    # the tokenizer projection sits ABOVE the join, so it evaluates on
+    # O(matched docs), not the whole corpus (a select-below-join would
+    # tokenize every scanned row: Catalyst does not hoist expensive
+    # projections). Sampling composes: the md5 filter already shrank
+    # `matched`, so the explode shrinks with it.
     ext = spark.read.parquet(se.paths.docs_extracted).select(
-        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url", "text"
+        F.col("part_id").cast("int").alias("part_id"), "url", "text"
     )
-    doc_terms = (
-        matched.join(
-            ext.select("url", F.expr(spark_terms("text")).alias("tk")), "url"
-        )
-        .select("query_id", "url", F.explode(F.array_distinct("tk")).alias("term"))
+    parts = _run_touched_parts(se, state[4])
+    if 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    doc_terms = matched.join(ext, ["part_id", "url"]).select(
+        "query_id",
+        "url",
+        F.explode(
+            F.array_distinct(F.expr(spark_terms("text")))
+        ).alias("term"),
     )
     fg = (
         doc_terms.groupBy("query_id", "term")

@@ -738,15 +738,16 @@ def suggest_spelling(
     like ``search_fuzzy`` skips them. A token with no candidate inside the
     edit budget yields no rows.
 
-    Plan shape: ONE term-dictionary scan (column-pruned to (term, df),
-    streamed indexes pinned to the committed max delta) does double duty —
-    the exact-membership probe for the missing set is a driver-side
-    ``isin`` collect over the handful of query tokens, and the candidate
-    scan is the same full ``levenshtein`` pass as ``search_fuzzy`` (edit
-    distance can't push to parquet min/max; a deletion-neighborhood or
-    trigram sidecar is the trillion-term swap, plan unchanged). Candidates
-    join the tiny (query, token) relation BROADCAST; ranking is one window
-    over O(tokens x candidates) rows — never postings, never norms."""
+    Plan shape: the exact-membership probe rides the Searcher's
+    bucket-pruned idf cache (``_ensure_idf`` — the dictionary scan
+    filters to the tokens' hash buckets, a handful of parquet files);
+    only the candidate pass is a full ``levenshtein`` dictionary scan
+    like ``search_fuzzy`` (column-pruned to (term, df), streamed indexes
+    pinned to the committed max delta; edit distance can't push to
+    parquet min/max — a deletion-neighborhood or trigram sidecar is the
+    trillion-term swap, plan unchanged). Candidates join the tiny
+    (query, token) relation BROADCAST; ranking is one window over
+    O(tokens x candidates) rows — never postings, never norms."""
     from ..functions.tokenizer import parse_query, tokenize
 
     se = get_searcher(spark, index_dir, cell_parts)
@@ -763,17 +764,18 @@ def suggest_spelling(
     if not tok_rows:
         return empty
     uniq = sorted({t for _qid, t in tok_rows})
-    ts = spark.read.parquet(se.paths.term_stats)
-    if se.committed_deltas is not None:
-        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
-    known = {
-        r["term"]
-        for r in ts.filter(F.col("term").isin(uniq)).select("term").collect()
-    }
+    # Membership via the Searcher's bucket-pruned idf cache (_ensure_idf
+    # filters the dictionary scan to the tokens' hash buckets — a handful
+    # of parquet files), not a bespoke full-dictionary isin scan.
+    _ensure_idf(se, uniq)
+    known = {t for t in uniq if se._idf_cache[t] is not None}
     missing = [(qid, t) for qid, t in tok_rows if t not in known]
     if not missing:
         return empty
     muniq = sorted({t for _qid, t in missing})
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
     cond = F.levenshtein(F.col("term"), F.lit(muniq[0])) <= max_edits
     for t in muniq[1:]:
         cond = cond | (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
@@ -949,9 +951,15 @@ def search_regexp(
                     f"(> max_expansions={max_expansions})"
                 )
             exp[p] = m
-    expanded = []
+    # Multiple patterns under one query_id OR together (ES bool-should of
+    # regexp queries) — expansions union per qid, deduped, so a repeated
+    # qid never produces duplicate result rows.
+    by_qid: dict[int, list[str]] = {}
     for qid, p in patterns:
-        words = exp.get(p, [])
+        by_qid.setdefault(qid, []).append(p)
+    expanded = []
+    for qid, ps in sorted(by_qid.items()):
+        words = sorted({t for p in ps for t in exp.get(p, [])})
         if words:
             expanded.append((qid, " ".join(words)))
     if not expanded:
