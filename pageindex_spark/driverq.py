@@ -360,24 +360,10 @@ def _hybrid_rrf_sql(d: _Dialect, k: int = 10) -> str:
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
 qmap(query_id, vid) as (values {qmap}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+{_bm25_corpus_cte(d)},
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 sscored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
   from contrib group by query_id, doc_id
@@ -570,24 +556,10 @@ def _hybrid_linear_sql(d: _Dialect, k: int = 10) -> str:
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
 qmap(query_id, vid) as (values {qmap}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+{_bm25_corpus_cte(d)},
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 sscored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as s6
   from contrib group by query_id, doc_id
@@ -913,26 +885,12 @@ def _bm25_regexp_sql(d: _Dialect, k: int = 10) -> str:
         m = "v.term rlike ('^(?:' || q.pat || ')$')"
     return f"""
 with qpats(query_id, pat) as (values {qpats}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+{_bm25_corpus_cte(d)},
 qterms as (
   select distinct q.query_id, v.term
   from qpats q join dfreq v on {m}
 ),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 scored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
   from contrib group by query_id, doc_id
@@ -1018,6 +976,35 @@ ranked as (
 )
 select query_id, rank, doc_id, sort_key from ranked where rank <= {k}
 """
+
+
+def _bm25_corpus_cte(d: _Dialect) -> str:
+    """Shared BM25 statistics chain (toks -> doc_stats -> corpus -> occ ->
+    postings -> dfreq) — the relational mirror of the committed index's
+    postings + norms + term_stats, factored so a tokenizer/stats change
+    edits ONE place (r5 review finding; the pre-existing twins built on
+    the parameterized ``_bm25_sql`` already centralize their copy)."""
+    return f"""toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term)"""
+
+
+# Per-(query term, doc) BM25 contribution over the shared chain; requires a
+# qterms(query_id, term) CTE defined earlier in the WITH list. k1=1.2,
+# b=0.75 inline — the same constants every twin and the engine share.
+_BM25_CONTRIB_CTE = """contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+)"""
 
 
 SORTED_AFTER_RANK = 10
@@ -1238,24 +1225,10 @@ def _bm25_collapse_sql(d: _Dialect, k: int = 10) -> str:
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+{_bm25_corpus_cte(d)},
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 scored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
   from contrib group by query_id, doc_id
@@ -1369,24 +1342,10 @@ def _top_hits_sql(d: _Dialect, n: int = 3) -> str:
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+{_bm25_corpus_cte(d)},
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 scored as (
   select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
   from contrib group by query_id, doc_id
@@ -1478,24 +1437,10 @@ def _function_score_sql(d: _Dialect, k: int = 10) -> str:
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
-toks as (select doc_id, {d.terms('text')} as terms from documents),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
-corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+{_bm25_corpus_cte(d)},
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
-postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
-dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
-contrib as (
-  select q.query_id, p.doc_id,
-         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
-  from qterms q
-  join postings p on p.term = q.term
-  join dfreq d on d.term = q.term
-  join doc_stats s on s.doc_id = p.doc_id
-  cross join corpus c
-),
+{_BM25_CONTRIB_CTE},
 scored as (
   select query_id, doc_id, sum(w) as raw_score
   from contrib group by query_id, doc_id
