@@ -642,6 +642,35 @@ def _engine_facet_top_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "facet", "n_docs")
 
 
+def _engine_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-agg pagination (round 5, plans/hits.py composite_buckets):
+    page 1's last lang-bucket key per query becomes the after-key cursor,
+    page 2 is the next COMPOSITE_SIZE buckets strictly past it in key
+    order — ES's scalable bucket pagination. Must reproduce the
+    composite_after SQL exactly."""
+    from pageindex_spark.driverq import COMPOSITE_SIZE
+    from pageindex_spark.plans.hits import composite_buckets
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("lang").alias("facet"),
+    )
+    page1 = composite_buckets(
+        spark, index_dir, BM25_QUERIES, dim, size=COMPOSITE_SIZE
+    )
+    cursors: dict[int, str] = {}
+    for r in page1.collect():
+        q = int(r["query_id"])
+        if q not in cursors or r["facet"] > cursors[q]:
+            cursors[q] = r["facet"]
+    qs = [(qid, t) for qid, t in BM25_QUERIES if qid in cursors]
+    return composite_buckets(
+        spark, index_dir, qs, dim, size=COMPOSITE_SIZE, after=cursors
+    )
+
+
 def _engine_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid sparse+dense retrieval (round 5, plans/hybrid.py): BM25 over
     the committed index + cosine over the embeddings table (vec_id == doc
@@ -1279,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_search_sorted"] = _engine_search_sorted  # sort-by-field
     q["engine_search_sorted_after"] = _engine_search_sorted_after  # + cursor
     q["engine_facet_top_other"] = _engine_facet_top_other  # terms-agg size
+    q["engine_composite_after"] = _engine_composite_after  # composite agg
     q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
     q["engine_hybrid_linear"] = _engine_hybrid_linear  # min-max weighted sum
     q["engine_spell_suggest"] = _engine_spell_suggest  # did-you-mean
@@ -1344,6 +1374,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_search_sorted"] = o["search_sorted"]
     o["engine_search_sorted_after"] = o["search_sorted_after"]
     o["engine_facet_top_other"] = o["facet_top_other"]
+    o["engine_composite_after"] = o["composite_after"]
     o["engine_hybrid_rrf"] = o["hybrid_rrf"]
     o["engine_hybrid_linear"] = o["hybrid_linear"]
     o["engine_spell_suggest"] = o["spell_suggest"]

@@ -1042,6 +1042,40 @@ select query_id, rank, doc_id, sort_key from paged where rank <= {k}
 """
 
 
+COMPOSITE_SIZE = 2
+
+
+def _composite_after_sql(d: _Dialect) -> str:
+    """Composite-agg twin (plans/hits.py ``composite_buckets``): lang
+    buckets of the match set ordered by KEY (facet asc); page 1's last
+    bucket key per query becomes the after-key cursor, and the result is
+    page 2 — the next COMPOSITE_SIZE buckets strictly past it (ES's
+    composite terms source + after_key pagination)."""
+    sz = COMPOSITE_SIZE
+    return f"""{_matched_cte(d)}
+, counts as (
+  select m.query_id, doc.lang as facet, cast(count(*) as bigint) as n_docs
+  from matched m join documents doc on doc.doc_id = m.doc_id
+  group by m.query_id, doc.lang
+),
+page1 as (
+  select query_id, facet,
+         row_number() over (partition by query_id order by facet asc) as rk
+  from counts
+),
+cur as (
+  select query_id, facet as cur_facet from page1 where rk = {sz}
+),
+page2 as (
+  select c.query_id, c.facet, c.n_docs,
+         row_number() over (partition by c.query_id order by c.facet asc) as rk
+  from counts c join cur on cur.query_id = c.query_id
+  where c.facet > cur.cur_facet
+)
+select query_id, facet, n_docs from page2 where rk <= {sz}
+"""
+
+
 FACET_TOP_N = 2
 
 
@@ -2110,6 +2144,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # terms-agg size + sum_other_doc_count (plans/hits.py facet_counts
     # top_n=): top buckets named, tail folded into '__other__'.
     pairs["facet_top_other"] = both(_facet_top_other_sql)
+    # composite agg (plans/hits.py composite_buckets): key-ordered bucket
+    # pagination via after-key cursors — page 2 of the lang buckets.
+    pairs["composite_after"] = both(_composite_after_sql)
     # hybrid sparse+dense RRF (plans/hybrid.py): BM25 + cosine lists fused
     # by integerized reciprocal-rank contributions.
     pairs["hybrid_rrf"] = both(_hybrid_rrf_sql)

@@ -855,3 +855,66 @@ def match_percentile_ranks(
         .withColumn("rank6", F.expr("(cnt * 100000000) div n_docs"))
         .select("query_id", "at", "n_docs", "rank6")
     )
+
+
+def composite_buckets(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    facets: DataFrame,
+    size: int = 2,
+    after: dict[int, str] | None = None,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Composite aggregation (Elasticsearch ``composite`` agg with a terms
+    source) -> (query_id, facet, n_docs): match-set buckets ordered by
+    KEY (facet asc), paginated ``size`` at a time by an after-key cursor —
+    THE scalable bucket pagination: the plain terms agg must materialize
+    and rank EVERY bucket to find the top ones, while composite streams
+    buckets in key order behind a cursor, so unbounded bucket cardinality
+    (per-host, per-url facets) pages through in size-bounded chunks (ES's
+    own recommendation past ~10k buckets; its after-key is this cursor).
+    ``after`` maps query_id -> the last facet key already consumed; a
+    query id without an entry pages from the first bucket (the
+    missing-after first-page semantics). The caller reads the next cursor
+    off the page's own max facet — exactly ES's ``after_key``.
+
+    Plan: the per-(query, facet) counts relation (facet-cardinality-sized,
+    map-side combined), broadcast cursor join, then ONE row_number window
+    by (facet asc) per query cut at ``size`` — single lineage, no kernel
+    re-run, and the window ranks only buckets PAST the cursor; size < 1
+    raises."""
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "query_id int, facet string, n_docs long")
+    if state is None:
+        return empty
+    counts = (
+        _matched_urls(spark, se, state)
+        .join(facets, "url")
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if after:
+        cur = spark.createDataFrame(
+            [(int(q), f) for q, f in sorted(after.items())],
+            "query_id int, cur_facet string",
+        )
+        counts = (
+            counts.join(F.broadcast(cur), "query_id", "left")
+            .filter(
+                F.col("cur_facet").isNull()
+                | (F.col("facet") > F.col("cur_facet"))
+            )
+            .drop("cur_facet")
+        )
+    w = Window.partitionBy("query_id").orderBy(F.asc("facet"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= size)
+        .select("query_id", "facet", "n_docs")
+    )

@@ -1648,3 +1648,53 @@ def test_facet_top_other_matches_python(spark, built_index, sf_unit_dir):
     assert tot_top == tot_full
     with pytest.raises(ValueError, match="top_n"):
         facet_counts(spark, built_index, make_queries(), dim, top_n=0)
+
+
+def test_composite_buckets_paginate_exactly(spark, built_index, sf_unit_dir):
+    """Composite aggregation: key-ordered site buckets must paginate in
+    exact size-bounded chunks behind per-query after-key cursors — page 2
+    equals the Python buckets[size:2*size] slice, a query WITHOUT a
+    cursor pages from the first bucket, and size < 1 raises. The site
+    facet is high-cardinality, the case composite exists for."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import composite_buckets
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    site = {u: u.split("/")[2] for u, _t in rows}
+    size = 3
+    qs = make_queries()[:5]
+    buckets = {}
+    for qid, text in qs:
+        per: dict[str, int] = {}
+        for d in oi.score_all(text):
+            fac = site[oi.urls[d]]
+            per[fac] = per.get(fac, 0) + 1
+        buckets[qid] = sorted(per.items())
+    assert all(len(b) > 2 * size for b in buckets.values()), (
+        "site facet must out-cardinality two pages"
+    )
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url", F.split(F.col("url"), "/").getItem(2).alias("facet")
+    )
+    cursors = {qid: buckets[qid][size - 1][0] for qid, _t in qs}
+    free_qid = sorted(cursors)[0]
+    del cursors[free_qid]
+    got = sorted(
+        (r["query_id"], r["facet"], r["n_docs"])
+        for r in composite_buckets(
+            spark, built_index, qs, dim, size=size, after=cursors
+        ).collect()
+    )
+    want = []
+    for qid, _t in qs:
+        base = 0 if qid not in cursors else size
+        for fac, n in buckets[qid][base : base + size]:
+            want.append((qid, fac, n))
+    assert got == sorted(want) and len(got) == size * len(qs)
+    with pytest.raises(ValueError, match="size"):
+        composite_buckets(spark, built_index, qs, dim, size=0)
