@@ -642,6 +642,17 @@ def _engine_facet_top_other(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "facet", "n_docs")
 
 
+def _engine_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacency matrix (round 5, plans/hits.py adjacency_counts): per
+    query pair qa <= qb the count of docs matching both — pairs expanded
+    JVM-side from per-doc query sets, one kernel lineage, no self-join.
+    Must reproduce the adjacency SQL exactly."""
+    from pageindex_spark.plans.hits import adjacency_counts
+
+    index_dir = _engine_index(spark, sf_dir)
+    return adjacency_counts(spark, index_dir, BM25_QUERIES)
+
+
 def _engine_composite_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-agg pagination (round 5, plans/hits.py composite_buckets):
     page 1's last lang-bucket key per query becomes the after-key cursor,
@@ -1309,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_search_sorted_after"] = _engine_search_sorted_after  # + cursor
     q["engine_facet_top_other"] = _engine_facet_top_other  # terms-agg size
     q["engine_composite_after"] = _engine_composite_after  # composite agg
+    q["engine_adjacency"] = _engine_adjacency  # adjacency matrix
     q["engine_hybrid_rrf"] = _engine_hybrid_rrf  # BM25 + cosine RRF fusion
     q["engine_hybrid_linear"] = _engine_hybrid_linear  # min-max weighted sum
     q["engine_spell_suggest"] = _engine_spell_suggest  # did-you-mean
@@ -1375,6 +1387,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_search_sorted_after"] = o["search_sorted_after"]
     o["engine_facet_top_other"] = o["facet_top_other"]
     o["engine_composite_after"] = o["composite_after"]
+    o["engine_adjacency"] = o["adjacency"]
     o["engine_hybrid_rrf"] = o["hybrid_rrf"]
     o["engine_hybrid_linear"] = o["hybrid_linear"]
     o["engine_spell_suggest"] = o["spell_suggest"]

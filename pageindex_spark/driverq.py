@@ -1042,6 +1042,20 @@ select query_id, rank, doc_id, sort_key from paged where rank <= {k}
 """
 
 
+def _adjacency_sql(d: _Dialect) -> str:
+    """Adjacency-matrix twin (plans/hits.py ``adjacency_counts``): per
+    query pair qa <= qb the count of docs matching both (diagonal = each
+    query's own hit count) — a match-set self-join in the oracle; the
+    engine expands pairs from per-doc query sets instead (no self-join,
+    single kernel lineage)."""
+    return f"""{_matched_cte(d)}
+select a.query_id as qa, b.query_id as qb, cast(count(*) as bigint) as n_docs
+from matched a join matched b
+  on b.doc_id = a.doc_id and b.query_id >= a.query_id
+group by a.query_id, b.query_id
+"""
+
+
 COMPOSITE_SIZE = 2
 
 
@@ -2147,6 +2161,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # composite agg (plans/hits.py composite_buckets): key-ordered bucket
     # pagination via after-key cursors — page 2 of the lang buckets.
     pairs["composite_after"] = both(_composite_after_sql)
+    # adjacency matrix (plans/hits.py adjacency_counts): pairwise
+    # match-set intersection counts incl. the diagonal.
+    pairs["adjacency"] = both(_adjacency_sql)
     # hybrid sparse+dense RRF (plans/hybrid.py): BM25 + cosine lists fused
     # by integerized reciprocal-rank contributions.
     pairs["hybrid_rrf"] = both(_hybrid_rrf_sql)

@@ -918,3 +918,51 @@ def composite_buckets(
         .filter(F.col("rk") <= size)
         .select("query_id", "facet", "n_docs")
     )
+
+
+def adjacency_counts(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Adjacency-matrix aggregation (Elasticsearch ``adjacency_matrix``)
+    -> (qa, qb, n_docs): for every query pair qa <= qb, how many docs
+    match BOTH (the diagonal qa == qb is each query's own hit count —
+    ES returns singles + intersections the same way). The co-occurrence
+    matrix behind "users searching X also match Y" analytics.
+
+    Single lineage, no self-join: a self-join of the matched relation on
+    url would fork the kernel lineage (Spark re-executes both sides) and
+    shuffle O(matches^2 / docs) rows; instead matched coordinates group
+    ONCE per doc (``collect_set(query_id)`` — bounded by the query-batch
+    size per doc), and the qa <= qb pairs expand JVM-side with
+    whole-stage-codegen higher-order functions (``transform`` +
+    ``flatten`` + ``explode`` over the sorted set), then one map-side
+    combined groupBy counts — O(matches) shuffled rows in, O(pairs)
+    out. The pre-aggregation exclusion contract applies per query inside
+    the kernel as always (a doc tombstoned or negated for qa simply
+    lacks qa in its set)."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "qa int, qb int, n_docs long")
+    if state is None:
+        return empty
+    per_doc = (
+        _matched_urls(spark, se, state)
+        .groupBy("part_id", "url")
+        .agg(F.sort_array(F.collect_set("query_id")).alias("qs"))
+    )
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(qs, (x, i) -> "
+            "transform(slice(qs, i + 1, size(qs) - i), "
+            "y -> struct(x as qa, y as qb))))"
+        )
+    ).alias("p")
+    return (
+        per_doc.select(pairs)
+        .select(F.col("p.qa").alias("qa"), F.col("p.qb").alias("qb"))
+        .groupBy("qa", "qb")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -111,6 +111,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_search_sorted_after",
         "engine_facet_top_other",
         "engine_composite_after",
+        "engine_adjacency",
         "engine_hybrid_rrf",
         "engine_hybrid_linear",
         "engine_spell_suggest",

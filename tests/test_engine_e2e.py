@@ -1698,3 +1698,35 @@ def test_composite_buckets_paginate_exactly(spark, built_index, sf_unit_dir):
     assert got == sorted(want) and len(got) == size * len(qs)
     with pytest.raises(ValueError, match="size"):
         composite_buckets(spark, built_index, qs, dim, size=0)
+
+
+def test_adjacency_counts_matches_python(spark, built_index, sf_unit_dir):
+    """Adjacency matrix: pairwise match-set intersection counts (qa <= qb,
+    diagonal = each query's own hit count) must equal brute-force Python
+    set intersections, with at least one NON-EMPTY off-diagonal pair so
+    the pair expansion can't pass vacuously."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import adjacency_counts
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    qs = make_queries()[:8]
+    sets = {qid: set(oi.score_all(text)) for qid, text in qs}
+    want = {}
+    ids = sorted(sets)
+    for i, qa in enumerate(ids):
+        for qb in ids[i:]:
+            n = len(sets[qa] & sets[qb])
+            if n:
+                want[(qa, qb)] = n
+    assert any(qa != qb for qa, qb in want), "no overlapping match sets"
+    got = {
+        (r["qa"], r["qb"]): r["n_docs"]
+        for r in adjacency_counts(spark, built_index, qs).collect()
+    }
+    assert got == want
+    for qid in ids:
+        assert got.get((qid, qid), 0) == len(sets[qid])
