@@ -541,6 +541,26 @@ def _engine_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_range_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense histogram (round 5, plans/hits.py range_facets_dense): the
+    range aggregation against DENSE_BOUNDS with min_doc_count=0 — empty
+    buckets emit explicit zeros from a driver-side (query x bucket)
+    domain literal; no-match queries still emit nothing. Must reproduce
+    the range_dense SQL exactly."""
+    from pageindex_spark.driverq import DENSE_BOUNDS
+    from pageindex_spark.plans.hits import range_facets_dense
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return range_facets_dense(
+        spark, index_dir, BM25_QUERIES, dim, [float(b) for b in DENSE_BOUNDS]
+    )
+
+
 def _engine_hits_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Total hit counts (round 5, plans/hits.py): per-cell partial counts
     over the pruned postings — O(cells) shuffled rows, no norms, no heap.
@@ -1306,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_collapse"] = _engine_bm25_collapse  # one doc per key
     q["engine_bm25_syn"] = _engine_bm25_syn  # query-time synonyms
     q["engine_range_facets"] = _engine_range_facets  # range aggregation
+    q["engine_range_dense"] = _engine_range_dense  # histogram min_doc_count=0
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
@@ -1373,6 +1394,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_collapse"] = o["bm25_collapse"]
     o["engine_bm25_syn"] = o["bm25_syn"]
     o["engine_range_facets"] = o["range_facets"]
+    o["engine_range_dense"] = o["range_dense"]
     o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_match_stats"] = o["match_stats"]
     o["engine_sig_terms"] = o["sig_terms"]

@@ -1191,6 +1191,56 @@ from bucketed group by query_id, bucket
 """
 
 
+# Dense-histogram bounds (plans/hits.py range_facets_dense): the narrow
+# [150, 155) bucket is chosen to be EMPTY for at least one query so the
+# min_doc_count=0 zero-row contract is exercised, not vacuous.
+DENSE_BOUNDS = [0, 150, 155, 300, 600, 100000]
+
+
+def _range_dense_sql(d: _Dialect) -> str:
+    """Dense-histogram twin (plans/hits.py ``range_facets_dense``): the
+    range_facets bucketing against DENSE_BOUNDS, left-joined onto the
+    full (query x bucket) domain literal so empty buckets emit explicit
+    zeros (ES histogram min_doc_count=0); queries with no matches at all
+    still emit nothing (window-sum filter)."""
+    bl = [float(x) for x in DENSE_BOUNDS]
+    comps = " + ".join(
+        f"(case when val >= {b!r} then 1 else 0 end)" for b in bl[1:-1]
+    )
+    dom = ", ".join(
+        f"({qid}, {b})"
+        for qid, _t in BM25_QUERIES
+        for b in range(len(bl) - 1)
+    )
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+bucketed as (
+  select query_id, cast({comps} as int) as bucket
+  from keyed where val >= {bl[0]!r} and val < {bl[-1]!r}
+),
+sparse as (
+  select query_id, bucket, cast(count(*) as bigint) as n_docs
+  from bucketed group by query_id, bucket
+),
+domain(query_id, bucket) as (values {dom}),
+dense as (
+  select dm.query_id, dm.bucket,
+         cast(coalesce(s.n_docs, 0) as bigint) as n_docs
+  from domain dm left join sparse s
+    on s.query_id = dm.query_id and s.bucket = dm.bucket
+),
+tot as (
+  select query_id, bucket, n_docs,
+         sum(n_docs) over (partition by query_id) as tot
+  from dense
+)
+select query_id, bucket, n_docs from tot where tot > 0
+"""
+
+
 def _bm25_rescore_sql(d: _Dialect, k: int = 10) -> str:
     """Rescore-window twin (plans/query.py ``rescore_phrase``): the base
     BM25 top-RESCORE_WINDOW per query (ordinary ranked CTE over the
@@ -2214,6 +2264,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # range aggregation (plans/hits.py range_facets): matched docs bucketed
     # by n_chars against RANGE_BOUNDS, sum-of-comparisons bucket index.
     pairs["range_facets"] = both(_range_facets_sql)
+    # dense histogram (plans/hits.py range_facets_dense): min_doc_count=0
+    # — empty buckets emit explicit zeros against DENSE_BOUNDS.
+    pairs["range_dense"] = both(_range_dense_sql)
     # rescore window (plans/query.py rescore_phrase): +bonus6 for the
     # contiguous bigram inside the base top-RESCORE_WINDOW, re-ranked.
     pairs["bm25_rescore"] = both(_bm25_rescore_sql)

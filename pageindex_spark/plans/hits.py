@@ -966,3 +966,46 @@ def adjacency_counts(
         .groupBy("qa", "qb")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def range_facets_dense(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    boundaries: list[float],
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Dense-histogram variant of ``range_facets`` (Elasticsearch
+    ``histogram`` with ``min_doc_count: 0``) -> (query_id, bucket,
+    n_docs): EVERY interior bucket emits for every query that matched at
+    least one doc — empty buckets as explicit zeros, the contract a
+    time-series / distribution UI needs (gaps must render as gaps, not
+    vanish). Queries with no matches at all still emit nothing (the
+    engine-wide GROUP-BY convention).
+
+    Single lineage: the sparse bucket counts LEFT-join a DRIVER-SIDE
+    (query x bucket) domain literal (both factors are known before any
+    job: the query batch and the boundary list — no distinct-scan of the
+    counts relation, which would fork the kernel lineage), zeros
+    coalesce in, and one whole-partition window sum keeps only queries
+    whose total is positive. O(queries x buckets) extra rows — metadata-
+    sized at any corpus scale."""
+    from pyspark.sql import Window
+
+    sparse = range_facets(
+        spark, index_dir, queries, values, boundaries, cell_parts
+    )
+    n_buckets = len(boundaries) - 1
+    domain = spark.createDataFrame(
+        [(int(qid), b) for qid, _t in queries for b in range(n_buckets)],
+        "query_id int, bucket int",
+    )
+    wq = Window.partitionBy("query_id")
+    return (
+        domain.join(sparse, ["query_id", "bucket"], "left")
+        .withColumn("n_docs", F.coalesce(F.col("n_docs"), F.lit(0).cast("long")))
+        .withColumn("tot", F.sum("n_docs").over(wq))
+        .filter(F.col("tot") > 0)
+        .select("query_id", "bucket", "n_docs")
+    )

@@ -112,6 +112,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_facet_top_other",
         "engine_composite_after",
         "engine_adjacency",
+        "engine_range_dense",
         "engine_hybrid_rrf",
         "engine_hybrid_linear",
         "engine_spell_suggest",

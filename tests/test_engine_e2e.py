@@ -1730,3 +1730,52 @@ def test_adjacency_counts_matches_python(spark, built_index, sf_unit_dir):
     assert got == want
     for qid in ids:
         assert got.get((qid, qid), 0) == len(sets[qid])
+
+
+def test_range_facets_dense_matches_python(spark, built_index, sf_unit_dir):
+    """Dense histogram (min_doc_count=0): every interior bucket emits for
+    every matched query — empty buckets as explicit zeros — matching a
+    brute-force Python pass; at least one zero bucket must exist (the
+    contract can't pass vacuously) and the bucket domain is exactly
+    n_buckets rows per matched query."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import range_facets_dense
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    lo = min(vals.values())
+    # a narrow 1-unit bucket right above the corpus floor is empty for
+    # most queries; the wide outer buckets are not
+    bounds = [0.0, lo + 1.0, lo + 2.0, 1500.0, 1e9]
+    nb = len(bounds) - 1
+    want = {}
+    for qid, text in make_queries():
+        matched = list(oi.score_all(text))
+        if not matched:
+            continue
+        per = {b: 0 for b in range(nb)}
+        for did in matched:
+            v = vals[oi.urls[did]]
+            if not (bounds[0] <= v < bounds[-1]):
+                continue
+            per[sum(1 for x in bounds[1:-1] if v >= x)] += 1
+        for b, n in per.items():
+            want[(qid, b)] = n
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        (r["query_id"], r["bucket"]): r["n_docs"]
+        for r in range_facets_dense(
+            spark, built_index, make_queries(), dim, bounds
+        ).collect()
+    }
+    assert got == want
+    assert any(n == 0 for n in got.values()), "no empty bucket — widen"
+    per_q: dict[int, int] = {}
+    for qid, _b in got:
+        per_q[qid] = per_q.get(qid, 0) + 1
+    assert all(v == nb for v in per_q.values())
