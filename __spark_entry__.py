@@ -499,6 +499,109 @@ def _engine_facet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_stats(spark, index_dir, BM25_QUERIES, fac, dim)
 
 
+def _engine_ext_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended stats (round 5, plans/hits.py match_extended_stats): ES
+    extended_stats over the match set's n_chars — count/sum/avg plus sum
+    of squares, population variance, stddev and the mean±2σ bounds, one
+    map-side-combined groupBy. Must reproduce the ext_stats SQL exactly."""
+    from pageindex_spark.plans.hits import match_extended_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return match_extended_stats(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (round 5, plans/hits.py match_weighted_avg): ES
+    weighted_avg — sum(val*w)/sum(w) over the match set with the
+    deterministic quarter-step weight. Must reproduce the weighted_avg
+    SQL exactly."""
+    from pageindex_spark.plans.hits import match_weighted_avg
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+        (
+            F.lit(0.5)
+            + (F.col("doc_id") % 8).cast("double") * F.lit(0.25)
+        ).alias("w"),
+    )
+    return match_weighted_avg(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_match_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-value agg (round 5, plans/hits.py match_missing): ES
+    missing — present/missing split of the match set against the
+    deliberately-partial dimension (doc_id % 3 == 0 carries no value),
+    left join + conditional counts, never an anti-join fork. Must
+    reproduce the match_missing SQL exactly."""
+    from pageindex_spark.plans.hits import match_missing
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.filter(F.col("doc_id") % 3 != 0).select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+    return match_missing(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar date histogram (round 5, plans/hits.py date_histogram):
+    ES date_histogram with calendar_interval=month over the deterministic
+    doc date (2024-01-01 + doc_id%400 days), bucket as the 'yyyy-MM'
+    string. Must reproduce the date_histogram SQL exactly."""
+    from pageindex_spark.driverq import DATE_DIM_EPOCH, DATE_DIM_MOD
+    from pageindex_spark.plans.hits import date_histogram
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return date_histogram(spark, index_dir, BM25_QUERIES, dim, "month")
+
+
+def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear decay scoring (round 5, plans/query.py search_function_score
+    with a decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
+    function_score linear decay (origin=0, scale=8192). The scale is a
+    power of two, so the factor is exactly representable and the product
+    rounds identically across engines. Must reproduce the fn_decay SQL
+    exactly."""
+    from pageindex_spark.driverq import DECAY_SCALE
+    from pageindex_spark.plans.query import search_function_score
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    factors = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.col("n_chars").cast("double") / F.lit(float(DECAY_SCALE)),
+        ).alias("factor"),
+    )
+    top = search_function_score(spark, index_dir, BM25_QUERIES, factors, k=10)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "final6",
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_match_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (round 5, plans/hits.py match_percentiles):
     percentile_disc over the match set's n_chars at PCT_LIST, computed on
@@ -1329,6 +1432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_range_dense"] = _engine_range_dense  # histogram min_doc_count=0
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
+    q["engine_ext_stats"] = _engine_ext_stats  # extended_stats (variance)
+    q["engine_weighted_avg"] = _engine_weighted_avg  # weighted_avg
+    q["engine_match_missing"] = _engine_match_missing  # missing agg
+    q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
+    q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
@@ -1397,6 +1505,11 @@ def oracle_sql() -> dict[str, str]:
     o["engine_range_dense"] = o["range_dense"]
     o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_match_stats"] = o["match_stats"]
+    o["engine_ext_stats"] = o["ext_stats"]
+    o["engine_weighted_avg"] = o["weighted_avg"]
+    o["engine_match_missing"] = o["match_missing"]
+    o["engine_date_histogram"] = o["date_histogram"]
+    o["engine_fn_decay"] = o["fn_decay"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]
     o["engine_bm25_fnscore"] = o["fn_score"]

@@ -1391,6 +1391,118 @@ from keyed group by query_id, facet
 """
 
 
+def _ext_stats_sql(d: _Dialect) -> str:
+    """Extended-stats twin (plans/hits.py ``match_extended_stats``):
+    second-moment family over the match set's n_chars — population
+    variance ``ss/n - mean**2`` clamped at 0 before the sqrt, stddev,
+    mean -/+ 2*sigma bounds. Expression order matches the kernel exactly
+    (each rounding is one shared IEEE op); ``sumsq`` stays a raw bigint
+    (exact for integral inputs; *1e6 would overflow first at scale)."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+agg as (
+  select query_id,
+         cast(count(*) as bigint) as n,
+         sum(val) as s,
+         sum(val * val) as ss
+  from keyed group by query_id
+),
+ext as (
+  select query_id, n, s, ss,
+         s / n as mean,
+         greatest(ss / n - (s / n) * (s / n), cast(0 as double)) as var
+  from agg
+)
+select query_id,
+       n as n_docs,
+       cast(floor(s * 1000000) as bigint) as sum6,
+       cast(floor(mean * 1000000) as bigint) as avg6,
+       cast(ss as bigint) as sumsq,
+       cast(floor(var * 1000000) as bigint) as var6,
+       cast(floor(sqrt(var) * 1000000) as bigint) as std6,
+       cast(floor((mean - 2.0 * sqrt(var)) * 1000000) as bigint) as lo6,
+       cast(floor((mean + 2.0 * sqrt(var)) * 1000000) as bigint) as hi6
+from ext
+"""
+
+
+def _weighted_avg_sql(d: _Dialect) -> str:
+    """Weighted-average twin (plans/hits.py ``match_weighted_avg``):
+    sum(val*w)/sum(w) over the match set — val = n_chars, w = the
+    deterministic quarter-step weight (FS_FACTOR_SQL's shape: exactly
+    representable doubles, so both partial sums are exact and the single
+    division rounds identically across engines)."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id,
+         cast(doc.n_chars as double) as val,
+         0.5 + cast(doc.doc_id % 8 as double) * 0.25 as w
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select query_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(floor(sum(val * w) * 1000000) as bigint) as wsum6,
+       cast(floor(sum(w) * 1000000) as bigint) as wtot6,
+       cast(floor(sum(val * w) / sum(w) * 1000000) as bigint) as wavg6
+from keyed group by query_id
+"""
+
+
+# The deliberately-partial dimension for the missing agg: docs whose id is
+# divisible by 3 carry NO value (deterministic, engine-neutral).
+MISSING_DIM_PRED = "doc_id % 3 <> 0"
+
+
+def _match_missing_sql(d: _Dialect) -> str:
+    """Missing-agg twin (plans/hits.py ``match_missing``): matched docs
+    left-joined to the deliberately-partial n_chars dimension
+    (MISSING_DIM_PRED); present/missing split via conditional counts."""
+    return f"""{_matched_cte(d)}
+, dim as (
+  select doc_id, cast(n_chars as double) as val
+  from documents where {MISSING_DIM_PRED}
+),
+keyed as (
+  select m.query_id, d2.val
+  from matched m left join dim d2 on d2.doc_id = m.doc_id
+)
+select query_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(count(val) as bigint) as n_present,
+       cast(count(*) - count(val) as bigint) as n_missing
+from keyed group by query_id
+"""
+
+
+# Deterministic per-doc date for the date_histogram entries: epoch
+# 2024-01-01 + (doc_id % 400) days spans ~14 calendar months.
+DATE_DIM_EPOCH = "2024-01-01"
+DATE_DIM_MOD = 400
+
+
+def _date_histogram_sql(d: _Dialect) -> str:
+    """Date-histogram twin (plans/hits.py ``date_histogram``, month
+    interval): matched docs bucketed by the calendar month of the
+    deterministic doc date; bucket is the 'yyyy-MM' STRING both engines
+    format identically."""
+    day = f"cast(doc.doc_id % {DATE_DIM_MOD} as int)"
+    if d.duck:
+        bucket = f"strftime(date '{DATE_DIM_EPOCH}' + {day}, '%Y-%m')"
+    else:
+        bucket = f"date_format(date_add(date '{DATE_DIM_EPOCH}', {day}), 'yyyy-MM')"
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, {bucket} as bucket
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select query_id, bucket, cast(count(*) as bigint) as n_docs
+from keyed group by query_id, bucket
+"""
+
+
 PCT_LIST = (25, 50, 75, 90, 99)
 
 
@@ -1526,12 +1638,31 @@ select query_id, term, fg, bg, lift6 from ranked where rk <= {m}
 # the boost genuinely reorders (a 4.5x spread dwarfs typical BM25 gaps).
 FS_FACTOR_SQL = "0.5 + cast(doc_id % 8 as double) * 0.25"
 
+# Linear decay (ES function_score ``linear`` decay, origin=0, scale=8192,
+# field=n_chars): factor = max(0, 1 - n_chars/8192). 8192 is a power of
+# two, so the division and the subtraction are EXACT in a double —
+# cross-engine bit identity by construction.
+DECAY_SCALE = 8192
+FS_DECAY_SQL = (
+    "greatest(cast(0 as double), "
+    f"1.0 - cast(doc.n_chars as double) / {DECAY_SCALE}.0)"
+)
 
-def _function_score_sql(d: _Dialect, k: int = 10) -> str:
+
+def _function_score_sql(
+    d: _Dialect, k: int = 10, factor_sql: str | None = None
+) -> str:
     """Function-score twin (plans/query.py ``search_function_score``): the
     full BM25 scored set times a per-doc factor (field_value_factor,
     boost_mode=multiply), re-ranked by final6 = floor(score * factor * 1e6)
-    with doc_id-asc ties; score6 is the unboosted fixed-point BM25."""
+    with doc_id-asc ties; score6 is the unboosted fixed-point BM25.
+    ``factor_sql`` swaps the factor expression (the decay variant); any
+    expression mentioning ``doc.`` gets the documents join."""
+    factor = FS_FACTOR_SQL if factor_sql is None else factor_sql
+    doc_join = (
+        " join documents doc on doc.doc_id = s.doc_id" if "doc." in factor
+        else ""
+    )
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
@@ -1545,9 +1676,9 @@ scored as (
 ),
 boosted as (
   select s.query_id, s.doc_id,
-         cast(floor(s.raw_score * ({FS_FACTOR_SQL}) * 1000000) as bigint) as final6,
+         cast(floor(s.raw_score * ({factor}) * 1000000) as bigint) as final6,
          cast(floor(s.raw_score * 1000000) as bigint) as score6
-  from scored s
+  from scored s{doc_join}
 ),
 ranked as (
   select query_id, doc_id, final6, score6,
@@ -2282,6 +2413,24 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # function score (plans/query.py search_function_score): BM25 x
     # field_value_factor, boost_mode=multiply — exhaustive re-rank.
     pairs["fn_score"] = both(_function_score_sql)
+    # linear decay scoring (plans/query.py search_function_score with the
+    # decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
+    # function_score linear decay on a numeric field.
+    pairs["fn_decay"] = both(
+        lambda d: _function_score_sql(d, factor_sql=FS_DECAY_SQL)
+    )
+    # extended stats (plans/hits.py match_extended_stats): ES
+    # extended_stats — variance/stddev/bounds over the match set.
+    pairs["ext_stats"] = both(_ext_stats_sql)
+    # weighted average (plans/hits.py match_weighted_avg): ES weighted_avg
+    # with the deterministic quarter-step weight.
+    pairs["weighted_avg"] = both(_weighted_avg_sql)
+    # missing-value agg (plans/hits.py match_missing): present/missing
+    # split over a deliberately-partial dimension.
+    pairs["match_missing"] = both(_match_missing_sql)
+    # calendar date histogram (plans/hits.py date_histogram): per-month
+    # match counts over the deterministic doc date.
+    pairs["date_histogram"] = both(_date_histogram_sql)
     # bucketed stats (plans/hits.py facet_stats): match_stats per
     # (query, lang bucket) — ES terms agg + stats sub-agg.
     pairs["facet_stats"] = both(_facet_stats_sql)

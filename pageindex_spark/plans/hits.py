@@ -397,6 +397,194 @@ def match_stats(
     )
 
 
+def match_extended_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Extended stats (Elasticsearch ``extended_stats``) over the FULL
+    match set -> (query_id, n_docs, sum6, avg6, sumsq, var6, std6, lo6,
+    hi6): per query the count, sum and mean of the value plus the
+    second-moment family — sum of squares, POPULATION variance
+    ``sum_sq/n - mean**2`` (the ES formula), standard deviation, and the
+    ES ``std_deviation_bounds`` ``mean -/+ 2*sigma``. Floats leave as
+    floor(x*1e6) bigints except ``sumsq``, which stays a raw bigint: the
+    inputs are integral, so the sum of squares is exact as an int64 while
+    the *1e6 fixed-point blowup would overflow first (~1e13 of raw
+    headroom at web scale vs ~1e7 after scaling).
+
+    Oracle determinism: with integer-valued dims every partial sum
+    (``sum(val)``, ``sum(val*val)``) is EXACT in a double regardless of
+    partition order (< 2^53), so the only roundings are the divisions /
+    multiply / subtract / sqrt written in the SAME expression order as
+    the SQL twin — each a single correctly-rounded IEEE op, hence
+    bit-identical across engines. Variance clamps at 0 (``greatest``)
+    before the sqrt: the exact-arithmetic cancellation of a constant
+    column can land an ulp below zero and NaN the stddev in BOTH engines
+    otherwise. One map-side-combined groupBy over the ``_matched_urls``
+    tail — same cost class as ``match_stats``."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, n_docs long, sum6 long, avg6 long, sumsq long, "
+        "var6 long, std6 long, lo6 long, hi6 long"
+    )
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    val = F.col("val").cast("double")
+    agg = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(val).alias("s"),
+            F.sum(val * val).alias("ss"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.greatest(F.col("ss") / F.col("n") - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return agg.select(
+        "query_id",
+        F.col("n").alias("n_docs"),
+        f6(F.col("s")).alias("sum6"),
+        f6(mean).alias("avg6"),
+        F.col("ss").cast("long").alias("sumsq"),
+        f6(var).alias("var6"),
+        f6(std).alias("std6"),
+        f6(mean - F.lit(2.0) * std).alias("lo6"),
+        f6(mean + F.lit(2.0) * std).alias("hi6"),
+    )
+
+
+def match_weighted_avg(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Weighted average (Elasticsearch ``weighted_avg``) over the FULL
+    match set -> (query_id, n_docs, wsum6, wtot6, wavg6): per query
+    ``sum(val*w) / sum(w)`` plus both raw sums, floats as floor(x*1e6)
+    bigints. ``values`` is a (url, val, w) dimension — val the metric, w
+    the per-doc weight (relevance, sample weight, dwell time). Docs
+    absent from the dimension drop (supply a defaulted dim for ES's
+    ``missing:``). Determinism matches ``match_extended_stats``: with
+    integer vals and dyadic-rational weights every partial sum is exact,
+    leaving one division + one flooring multiply, identical across
+    engines. One map-side-combined groupBy over the ``_matched_urls``
+    tail."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = "query_id int, n_docs long, wsum6 long, wtot6 long, wavg6 long"
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    v = F.col("val").cast("double")
+    w = F.col("w").cast("double")
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val", "w"), "url")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            f6(F.sum(v * w)).alias("wsum6"),
+            f6(F.sum(w)).alias("wtot6"),
+            f6(F.sum(v * w) / F.sum(w)).alias("wavg6"),
+        )
+    )
+
+
+def match_missing(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Missing-value aggregation (Elasticsearch ``missing``) -> (query_id,
+    n_docs, n_present, n_missing): per query, how many matching docs
+    carry a value in the (url, val) dimension and how many do NOT — the
+    coverage check a UI shows next to any metric agg ("avg price (120 of
+    340 products have one)"). Every other full-match surface drops
+    dimension-absent docs via its inner join; this is the one place the
+    absent docs ARE the statistic, so the join flips to a left join and
+    the split rides two conditional counts in ONE map-side-combined
+    groupBy — never an anti-join fork that would re-run the match
+    kernel."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = "query_id int, n_docs long, n_present long, n_missing long"
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("val").alias("n_present"),
+            (F.count("*") - F.count("val")).alias("n_missing"),
+        )
+    )
+
+
+# Calendar bucket formats for date_histogram. No 'week': engines disagree
+# on week-start/ISO-week conventions more than any UI benefits here.
+_DATE_HISTO_FMT = {"day": "yyyy-MM-dd", "month": "yyyy-MM", "year": "yyyy"}
+
+
+def date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Calendar date histogram (Elasticsearch ``date_histogram`` with
+    ``calendar_interval``) -> (query_id, bucket, n_docs): matched docs
+    joined to a (url, d) DATE dimension, bucketed by truncating to the
+    calendar ``interval`` (day / month / year). Buckets leave as STRINGS
+    ('2024-03' for month) — a date-typed key would hash differently
+    across engines and time zones; the lexicographic order of the fixed
+    formats equals chronological order, so callers sort the strings.
+    Sparse buckets only (ES min_doc_count=1 default; compose with the
+    ``range_facets_dense`` domain-join trick for explicit zeros). The
+    bucket key derives in JVM codegen (``date_format``); one
+    map-side-combined groupBy over the ``_matched_urls`` tail — the same
+    single-shuffle plan as ``facet_counts`` with a derived key, which is
+    exactly what ES's date_histogram is."""
+    fmt = _DATE_HISTO_FMT.get(interval)
+    if fmt is None:
+        raise ValueError(
+            f"interval must be one of {sorted(_DATE_HISTO_FMT)}, got "
+            f"{interval!r}"
+        )
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, bucket string, n_docs long"
+    )
+    if state is None:
+        return empty
+    return (
+        _matched_urls(spark, se, state)
+        .join(dates.select("url", "d"), "url")
+        .withColumn("bucket", F.date_format("d", fmt))
+        .groupBy("query_id", "bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

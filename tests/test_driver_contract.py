@@ -99,6 +99,11 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_explain",
         "engine_bm25_page",
         "engine_match_stats",
+        "engine_ext_stats",
+        "engine_weighted_avg",
+        "engine_match_missing",
+        "engine_date_histogram",
+        "engine_fn_decay",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
         "engine_bm25_fnscore",

@@ -1779,3 +1779,147 @@ def test_range_facets_dense_matches_python(spark, built_index, sf_unit_dir):
     for qid, _b in got:
         per_q[qid] = per_q.get(qid, 0) + 1
     assert all(v == nb for v in per_q.values())
+
+
+def test_extended_and_weighted_stats_match_python(spark, built_index, sf_unit_dir):
+    """match_extended_stats + match_weighted_avg vs brute force: the
+    integer-valued dims make every partial sum exact, so the floored
+    double expressions must agree bit-for-bit with the same ops in
+    Python (division / multiply / subtract / sqrt, one rounding each)."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import (
+        match_extended_stats,
+        match_weighted_avg,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    wts = {u: 0.5 + (len(t) % 8) * 0.25 for u, t in rows}
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    want_ext, want_w = {}, {}
+    for qid, text in make_queries():
+        matched = list(oi.score_all(text))
+        if not matched:
+            continue
+        vs = [vals[oi.urls[d]] for d in matched]
+        ws = [wts[oi.urls[d]] for d in matched]
+        n, s, ss = len(vs), sum(vs), sum(v * v for v in vs)
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        std = math.sqrt(var)
+        want_ext[qid] = (
+            n, f6(s), f6(mean), int(ss), f6(var), f6(std),
+            f6(mean - 2.0 * std), f6(mean + 2.0 * std),
+        )
+        vw = sum(v * w for v, w in zip(vs, ws))
+        sw = sum(ws)
+        want_w[qid] = (n, f6(vw), f6(sw), f6(vw / sw))
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        F.length("text").cast("double").alias("val"),
+        (
+            F.lit(0.5) + (F.length("text") % 8).cast("double") * F.lit(0.25)
+        ).alias("w"),
+    )
+    got_ext = {
+        r["query_id"]: (
+            r["n_docs"], r["sum6"], r["avg6"], r["sumsq"], r["var6"],
+            r["std6"], r["lo6"], r["hi6"],
+        )
+        for r in match_extended_stats(
+            spark, built_index, make_queries(), dim
+        ).collect()
+    }
+    assert got_ext == want_ext
+    got_w = {
+        r["query_id"]: (r["n_docs"], r["wsum6"], r["wtot6"], r["wavg6"])
+        for r in match_weighted_avg(
+            spark, built_index, make_queries(), dim
+        ).collect()
+    }
+    assert got_w == want_w
+
+
+def test_match_missing_matches_python(spark, built_index, sf_unit_dir):
+    """match_missing vs brute force over a deliberately-partial dim
+    (len(text) % 3 == 0 carries no value); both splits must be non-empty
+    so the contract can't pass vacuously."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_missing
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    has_val = {u: (len(t) % 3 != 0) for u, t in rows}
+    want = {}
+    for qid, text in make_queries():
+        matched = list(oi.score_all(text))
+        if not matched:
+            continue
+        pres = sum(1 for d in matched if has_val[oi.urls[d]])
+        want[qid] = (len(matched), pres, len(matched) - pres)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.filter(F.length("text") % 3 != 0).select(
+        "url", F.length("text").cast("double").alias("val")
+    )
+    got = {
+        r["query_id"]: (r["n_docs"], r["n_present"], r["n_missing"])
+        for r in match_missing(
+            spark, built_index, make_queries(), dim
+        ).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values())
+    assert any(v[2] > 0 for v in got.values())
+
+
+def test_date_histogram_matches_python(spark, built_index, sf_unit_dir):
+    """date_histogram (calendar month) vs brute force: the deterministic
+    per-doc date (2024-01-01 + len%400 days) must bucket into identical
+    'yyyy-MM' strings; the bad-interval guard raises."""
+    import datetime
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import date_histogram
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    epoch = datetime.date(2024, 1, 1)
+    month = {
+        u: (epoch + datetime.timedelta(days=len(t) % 400)).strftime("%Y-%m")
+        for u, t in rows
+    }
+    want: dict[tuple[int, str], int] = {}
+    for qid, text in make_queries():
+        for d in oi.score_all(text):
+            key = (qid, month[oi.urls[d]])
+            want[key] = want.get(key, 0) + 1
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.length("text") % 400).cast("int")
+        ).alias("d"),
+    )
+    got = {
+        (r["query_id"], r["bucket"]): r["n_docs"]
+        for r in date_histogram(
+            spark, built_index, make_queries(), dim, "month"
+        ).collect()
+    }
+    assert got == want
+    assert len({b for _q, b in got}) > 1, "all dates in one bucket — widen"
+    with pytest.raises(ValueError):
+        date_histogram(spark, built_index, make_queries(), dim, "fortnight")
