@@ -572,6 +572,28 @@ def _engine_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram(spark, index_dir, BM25_QUERIES, dim, "month")
 
 
+def _engine_date_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline aggs (round 5, plans/hits.py date_histogram_pipeline): ES
+    cumulative_sum / derivative / moving_fn over the month buckets of the
+    deterministic doc date — one window pass after the histogram shuffle.
+    Must reproduce the date_pipeline SQL exactly."""
+    from pageindex_spark.driverq import DATE_DIM_EPOCH, DATE_DIM_MOD
+    from pageindex_spark.plans.hits import date_histogram_pipeline
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return date_histogram_pipeline(
+        spark, index_dir, BM25_QUERIES, dim, "month", window=3
+    )
+
+
 def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear decay scoring (round 5, plans/query.py search_function_score
     with a decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
@@ -599,6 +621,213 @@ def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").cast("bigint").alias("doc_id"),
         "final6",
         F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction max (round 5, plans/query.py search_dis_max): Lucene
+    DisjunctionMaxQuery — best single-term BM25 + 0.5 * the rest, each
+    query decomposed into single-term subqueries through ONE raw_scored
+    kernel call. Must reproduce the dis_max SQL exactly."""
+    from pageindex_spark.plans.query import search_dis_max
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_dis_max(spark, index_dir, BM25_QUERIES, k=10, tie_breaker=0.5)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "final6",
+        "best6",
+    )
+
+
+def _engine_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase-prefix search (round 5, plans/query.py search_phrase_prefix):
+    ES match_phrase_prefix — the PHRASE_QUERIES bigrams with the second
+    word cut to its first PHRASE_PREFIX_LEN chars, verified exactly
+    against candidate text (no max_expansions truncation). Must reproduce
+    the phrase_prefix SQL exactly."""
+    from pageindex_spark.driverq import PHRASE_PREFIX_LEN, PHRASE_QUERIES
+    from pageindex_spark.plans.query import search_phrase_prefix
+
+    index_dir = _engine_index(spark, sf_dir)
+    triples = [
+        (qid, t.split()[0], t.split()[1][:PHRASE_PREFIX_LEN])
+        for qid, t in PHRASE_QUERIES
+    ]
+    top = search_phrase_prefix(
+        spark, index_dir, triples, k=10, fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosting query (round 5, plans/query.py search_boosting): ES
+    boosting — positive BM25 with docs matching the shared negative term
+    demoted by 0.5, one even/odd-encoded raw_scored kernel call. Must
+    reproduce the boosting SQL exactly."""
+    from pageindex_spark.driverq import BOOSTING_NEG_TERM
+    from pageindex_spark.plans.query import search_boosting
+
+    index_dir = _engine_index(spark, sf_dir)
+    triples = [(qid, text, BOOSTING_NEG_TERM) for qid, text in BM25_QUERIES]
+    top = search_boosting(spark, index_dir, triples, k=10, negative_boost=0.5)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "final6",
+        "demoted",
+    )
+
+
+def _engine_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare terms (round 5, plans/hits.py rare_terms): ES rare_terms —
+    n_chars values carried by <= 3 matching docs, exact groupBy + HAVING.
+    Must reproduce the rare_terms SQL exactly."""
+    from pageindex_spark.driverq import RARE_TERMS_MAX_DOC_COUNT
+    from pageindex_spark.plans.hits import rare_terms
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("string").alias("facet"),
+    )
+    return rare_terms(
+        spark, index_dir, BM25_QUERIES, dim,
+        max_doc_count=RARE_TERMS_MAX_DOC_COUNT,
+    )
+
+
+def _engine_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terms-set query (round 5, plans/query.py search_terms_set): per-doc
+    dynamic minimum_should_match — doc_id%3+1 distinct query terms
+    required, matched count + OR BM25 sum from one decomposed kernel
+    call. Must reproduce the terms_set SQL exactly."""
+    from pageindex_spark.plans.query import search_terms_set
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        ((F.col("doc_id") % 3) + 1).alias("required"),
+    )
+    top = search_terms_set(spark, index_dir, BM25_QUERIES, dim, k=10)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "score6",
+        "n_matched",
+        "req",
+    )
+
+
+def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet with the engine's canonical url (zero-padded
+    doc_id) alongside the raw columns — shared by the index-free entries."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.withColumn(
+        "url", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+
+
+def _engine_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percolation (round 5, plans/percolate.py): the flagship queries as
+    the registered set, documents as the incoming feed — broadcast-join
+    batch plan. Must reproduce the percolate SQL exactly."""
+    from pageindex_spark.plans.percolate import percolate
+
+    docs = _docs_with_url(spark, sf_dir).select("url", "text")
+    out = percolate(spark, BM25_QUERIES, docs)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "query_id",
+        "n_matched",
+        "n_required",
+    )
+
+
+def _engine_percolate_stateless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATELESS percolation plan (the streaming-safe literal-inline
+    variant) forced on a batch frame — pinning in the driver gate that both
+    physical plans produce identical rows against the same SQL twin."""
+    from pageindex_spark.plans.percolate import percolate
+
+    docs = _docs_with_url(spark, sf_dir).select("url", "text")
+    out = percolate(spark, BM25_QUERIES, docs, stateless=True)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "query_id",
+        "n_matched",
+        "n_required",
+    )
+
+
+def _engine_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-first search (round 5, plans/query.py search_span_first): each
+    flagship query's first token within the first SPAN_FIRST_END positions,
+    BM25-ranked. Must reproduce the span_first SQL exactly."""
+    from pageindex_spark.driverq import SPAN_FIRST_END
+    from pageindex_spark.plans.query import search_span_first
+
+    index_dir = _engine_index(spark, sf_dir)
+    spans = [
+        (qid, text.split()[0], SPAN_FIRST_END) for qid, text in BM25_QUERIES
+    ]
+    top = search_span_first(spark, index_dir, spans, k=10, fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-terms aggregation (round 5, plans/hits.py multi_terms): the
+    match set bucketed by the compound (lang, source) key. Must reproduce
+    the multi_terms SQL exactly."""
+    from pageindex_spark.plans.hits import multi_terms
+
+    index_dir = _engine_index(spark, sf_dir)
+    dim = _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.col("lang").alias("facet_a"),
+        F.col("source").alias("facet_b"),
+    )
+    return multi_terms(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-metrics aggregation (round 5, plans/hits.py top_metrics): the
+    surrogate metric from the TOP_METRICS_SIZE matching docs with the
+    largest n_chars. Must reproduce the top_metrics SQL exactly."""
+    from pageindex_spark.driverq import TOP_METRICS_SIZE
+    from pageindex_spark.plans.hits import top_metrics
+
+    index_dir = _engine_index(spark, sf_dir)
+    dim = _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.col("n_chars").cast("long").alias("sort_key"),
+        (F.col("doc_id") % 97).cast("long").alias("metric"),
+    )
+    out = top_metrics(
+        spark, index_dir, BM25_QUERIES, dim, size=TOP_METRICS_SIZE
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "sort_key",
+        "metric",
     )
 
 
@@ -1436,7 +1665,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_weighted_avg"] = _engine_weighted_avg  # weighted_avg
     q["engine_match_missing"] = _engine_match_missing  # missing agg
     q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
+    q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
+    q["engine_dis_max"] = _engine_dis_max  # disjunction max
+    q["engine_boosting"] = _engine_boosting  # negative-match demotion
+    q["engine_phrase_prefix"] = _engine_phrase_prefix  # search-as-you-type
+    q["engine_rare_terms"] = _engine_rare_terms  # long-tail buckets
+    q["engine_terms_set"] = _engine_terms_set  # per-doc dynamic msm
+    q["engine_percolate"] = _engine_percolate  # reverse search (batch plan)
+    q["engine_percolate_stateless"] = _engine_percolate_stateless
+    q["engine_span_first"] = _engine_span_first  # term in the lede
+    q["engine_multi_terms"] = _engine_multi_terms  # compound-key buckets
+    q["engine_top_metrics"] = _engine_top_metrics  # metrics of top-sorted
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
@@ -1509,7 +1749,18 @@ def oracle_sql() -> dict[str, str]:
     o["engine_weighted_avg"] = o["weighted_avg"]
     o["engine_match_missing"] = o["match_missing"]
     o["engine_date_histogram"] = o["date_histogram"]
+    o["engine_date_pipeline"] = o["date_pipeline"]
     o["engine_fn_decay"] = o["fn_decay"]
+    o["engine_dis_max"] = o["dis_max"]
+    o["engine_boosting"] = o["boosting"]
+    o["engine_phrase_prefix"] = o["phrase_prefix"]
+    o["engine_rare_terms"] = o["rare_terms"]
+    o["engine_terms_set"] = o["terms_set"]
+    o["engine_percolate"] = o["percolate"]
+    o["engine_percolate_stateless"] = o["percolate"]
+    o["engine_span_first"] = o["span_first"]
+    o["engine_multi_terms"] = o["multi_terms"]
+    o["engine_top_metrics"] = o["top_metrics"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]
     o["engine_bm25_fnscore"] = o["fn_score"]

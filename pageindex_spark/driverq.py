@@ -215,6 +215,11 @@ class _Dialect:
     def arr_intersect(self, a: str, b: str) -> str:
         return f"list_intersect({a}, {b})" if self.duck else f"array_intersect({a}, {b})"
 
+    def head_slice(self, a: str, n: int) -> str:
+        """First ``n`` elements of an array column (shorter arrays pass
+        through whole in both dialects)."""
+        return f"{a}[1:{n}]" if self.duck else f"slice({a}, 1, {n})"
+
     def str_type(self) -> str:
         return "varchar" if self.duck else "string"
 
@@ -1483,23 +1488,56 @@ DATE_DIM_EPOCH = "2024-01-01"
 DATE_DIM_MOD = 400
 
 
+def _date_bucket_expr(d: _Dialect) -> str:
+    """The shared month-bucket expression: deterministic doc date
+    formatted as the 'yyyy-MM' STRING both engines render identically."""
+    day = f"cast(doc.doc_id % {DATE_DIM_MOD} as int)"
+    if d.duck:
+        return f"strftime(date '{DATE_DIM_EPOCH}' + {day}, '%Y-%m')"
+    return f"date_format(date_add(date '{DATE_DIM_EPOCH}', {day}), 'yyyy-MM')"
+
+
+def _date_histo_cte(d: _Dialect) -> str:
+    """Matched CTE + month-bucketed counts, shared by the histogram twin
+    and the pipeline-agg twin."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, {_date_bucket_expr(d)} as bucket
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+hist as (
+  select query_id, bucket, cast(count(*) as bigint) as n_docs
+  from keyed group by query_id, bucket
+)
+"""
+
+
 def _date_histogram_sql(d: _Dialect) -> str:
     """Date-histogram twin (plans/hits.py ``date_histogram``, month
     interval): matched docs bucketed by the calendar month of the
     deterministic doc date; bucket is the 'yyyy-MM' STRING both engines
     format identically."""
-    day = f"cast(doc.doc_id % {DATE_DIM_MOD} as int)"
-    if d.duck:
-        bucket = f"strftime(date '{DATE_DIM_EPOCH}' + {day}, '%Y-%m')"
-    else:
-        bucket = f"date_format(date_add(date '{DATE_DIM_EPOCH}', {day}), 'yyyy-MM')"
-    return f"""{_matched_cte(d)}
-, keyed as (
-  select m.query_id, {bucket} as bucket
-  from matched m join documents doc on doc.doc_id = m.doc_id
-)
-select query_id, bucket, cast(count(*) as bigint) as n_docs
-from keyed group by query_id, bucket
+    return f"""{_date_histo_cte(d)}
+select query_id, bucket, n_docs from hist
+"""
+
+
+def _date_histo_pipeline_sql(d: _Dialect, window: int = 3) -> str:
+    """Pipeline-agg twin (plans/hits.py ``date_histogram_pipeline``):
+    the month histogram annotated with the running total, the
+    bucket-over-bucket derivative (NULL first bucket via ``lag``), and
+    the floored trailing ``window``-bucket moving average. Explicit ROWS
+    frames — bucket keys are unique per query after the group by, but
+    the default RANGE frame is a trap worth never relying on."""
+    over = "partition by query_id order by bucket"
+    return f"""{_date_histo_cte(d)}
+select query_id, bucket, n_docs,
+       cast(sum(n_docs) over ({over}
+         rows between unbounded preceding and current row) as bigint) as cum_docs,
+       cast(n_docs - lag(n_docs) over ({over}) as bigint) as deriv,
+       cast(floor(avg(cast(n_docs as double)) over ({over}
+         rows between {window - 1} preceding and current row) * 1000000) as bigint) as mavg6
+from hist
 """
 
 
@@ -1567,6 +1605,297 @@ ranked as (
   from scored s join documents doc on doc.doc_id = s.doc_id
 )
 select query_id, facet, rank, doc_id, score6 from ranked where rank <= {n}
+"""
+
+
+def _dis_max_sql(d: _Dialect, k: int = 10, tie: float = 0.5) -> str:
+    """Disjunction-max twin (plans/query.py ``search_dis_max``): per
+    (query, doc) the max and sum of the per-term contributions combine as
+    ``best + tie * (sum - best)`` — Lucene DisjunctionMaxQuery. The max
+    is order-free; the sum is the same partial-sum class as every scored
+    twin; ``tie`` is exactly representable so the combination rounds
+    identically across engines. Ranked by final6 desc, doc_id-asc ties."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+combined as (
+  select query_id, doc_id,
+         cast(floor((max(w) + {tie!r} * (sum(w) - max(w))) * 1000000) as bigint) as final6,
+         cast(floor(max(w) * 1000000) as bigint) as best6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, final6, best6,
+         row_number() over (partition by query_id order by final6 desc, doc_id asc) as rank
+  from combined
+)
+select query_id, rank, doc_id, final6, best6 from ranked where rank <= {k}
+"""
+
+
+# The shared negative query for the boosting-query entries: 'data' is a
+# head term (query 1's own first term), so demotion bites inside several
+# queries' top-10 — the reorder is non-vacuous by construction.
+BOOSTING_NEG_TERM = "data"
+
+# Prefix length for the match_phrase_prefix entries: the first 3 chars of
+# each PHRASE_QUERIES bigram's second word — short enough that the prefix
+# also matches OTHER vocabulary ('spa' ~ spark/spa*, 'sor' ~ sort/...), so
+# the prefix test is genuinely weaker than the full phrase.
+PHRASE_PREFIX_LEN = 3
+
+
+def _phrase_prefix_sql(d: _Dialect, k: int = 10) -> str:
+    """Phrase-prefix twin (plans/query.py ``search_phrase_prefix``): docs
+    where the full term is IMMEDIATELY followed by a token starting with
+    the prefix, ranked by BM25 over the full term only (the half-typed
+    word has no stable statistics — Lucene's own practice). The prefix
+    test is a portable 1-based ``substr`` equality; DuckDB lists are
+    1-based and its empty-range generate_series yields empty, Spark
+    arrays are 0-based with the explicit size guard."""
+    qlist = ", ".join(
+        f"({qid}, '{t.split()[0]}', '{t.split()[1][:PHRASE_PREFIX_LEN]}')"
+        for qid, t in PHRASE_QUERIES
+    )
+    if d.duck:
+        adj = (
+            "len(list_filter(generate_series(1, len(t.terms) - 1), "
+            "i -> t.terms[i] = q.t1 and "
+            "substr(t.terms[i + 1], 1, length(q.p)) = q.p)) > 0"
+        )
+    else:
+        adj = (
+            "case when size(t.terms) >= 2 then "
+            "exists(sequence(0, size(t.terms) - 2), "
+            "i -> t.terms[i] = q.t1 and "
+            "substr(t.terms[i + 1], 1, length(q.p)) = q.p) else false end"
+        )
+    return f"""
+with phrases(query_id, t1, p) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+matched as (
+  select q.query_id, t.doc_id
+  from phrases q join toks t on {adj}
+),
+qterms as (select distinct query_id, t1 as term from phrases),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select m.query_id, m.doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from matched m join contrib cb on cb.query_id = m.query_id and cb.doc_id = m.doc_id
+  group by m.query_id, m.doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+def _boosting_sql(d: _Dialect, k: int = 10, nb: float = 0.5) -> str:
+    """Boosting-query twin (plans/query.py ``search_boosting``): the
+    positive BM25 scored set, multiplied by ``nb`` for docs that ALSO
+    contain BOOSTING_NEG_TERM (demoted, never excluded), ranked by the
+    floored product with doc_id-asc ties. ``nb`` is exactly representable
+    so the single product rounds identically across engines."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select query_id, doc_id, sum(w) as raw_score
+  from contrib group by query_id, doc_id
+),
+neg_matched as (
+  select distinct q.query_id, o.doc_id
+  from queries q cross join occ o where o.term = '{BOOSTING_NEG_TERM}'
+),
+boosted as (
+  select s.query_id, s.doc_id,
+         cast(floor(s.raw_score
+           * (case when nm.doc_id is not null then {nb!r} else 1.0 end)
+           * 1000000) as bigint) as final6,
+         cast(case when nm.doc_id is not null then 1 else 0 end as int) as demoted
+  from scored s left join neg_matched nm
+    on nm.query_id = s.query_id and nm.doc_id = s.doc_id
+),
+ranked as (
+  select query_id, doc_id, final6, demoted,
+         row_number() over (partition by query_id order by final6 desc, doc_id asc) as rank
+  from boosted
+)
+select query_id, rank, doc_id, final6, demoted from ranked where rank <= {k}
+"""
+
+
+RARE_TERMS_MAX_DOC_COUNT = 3
+
+
+def _rare_terms_sql(d: _Dialect, maxc: int = RARE_TERMS_MAX_DOC_COUNT) -> str:
+    """Rare-terms twin (plans/hits.py ``rare_terms``): the long-tail
+    buckets of the n_chars field over the match set — every value held by
+    at most ``maxc`` matching docs (exact groupBy + HAVING; ES's
+    CuckooFilter version is approximate). n_chars as the facet: exact
+    lengths are high-cardinality, so the tail is non-empty by
+    construction."""
+    s = "varchar" if d.duck else "string"
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as {s}) as facet
+  from matched m join documents doc on doc.doc_id = m.doc_id
+)
+select query_id, facet, cast(count(*) as bigint) as n_docs
+from keyed group by query_id, facet
+having count(*) <= {maxc}
+"""
+
+
+# Per-doc required-match threshold for the terms_set entries: 1..3 by
+# doc_id — strict docs demand 3 distinct query terms, lenient docs 1.
+TERMS_SET_REQ = "(doc_id % 3) + 1"
+
+
+def _terms_set_sql(d: _Dialect, k: int = 10) -> str:
+    """Terms-set twin (plans/query.py ``search_terms_set``): per (query,
+    doc) the count of DISTINCT matched query terms and the OR BM25 sum;
+    docs survive when the count meets their per-doc required threshold
+    (TERMS_SET_REQ), ranked by score6 desc with doc_id-asc ties."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+agg as (
+  select query_id, doc_id,
+         cast(count(*) as bigint) as n_matched,
+         cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+keyed as (
+  select a.query_id, a.doc_id, a.score6, a.n_matched,
+         cast({TERMS_SET_REQ.replace('doc_id', 'doc.doc_id')} as bigint) as req
+  from agg a join documents doc on doc.doc_id = a.doc_id
+  where a.n_matched >= {TERMS_SET_REQ.replace('doc_id', 'doc.doc_id')}
+),
+ranked as (
+  select query_id, doc_id, score6, n_matched, req,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from keyed
+)
+select query_id, rank, doc_id, score6, n_matched, req from ranked where rank <= {k}
+"""
+
+
+def _percolate_sql(d: _Dialect) -> str:
+    """Percolation twin (plans/percolate.py ``percolate``): the flagship
+    queries as the REGISTERED set, documents as the incoming stream —
+    (doc, query) pairs where the doc carries ALL of the query's distinct
+    terms (conjunctive default), with the matched/required counts."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+qreq as (select query_id, cast(count(*) as bigint) as n_required from qterms group by query_id),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+docc as (select distinct doc_id, term from occ),
+hit as (
+  select q.query_id, o.doc_id, cast(count(*) as bigint) as n_matched
+  from qterms q join docc o on o.term = q.term
+  group by q.query_id, o.doc_id
+)
+select h.doc_id, h.query_id, h.n_matched, r.n_required
+from hit h join qreq r on r.query_id = h.query_id
+where h.n_matched >= r.n_required
+"""
+
+
+# span_first boundary: the span term must sit within the first N token
+# positions (1-based inclusive) — small enough that the lede test prunes
+# real matches at every SF, large enough that each query keeps hits.
+SPAN_FIRST_END = 50
+
+
+def _span_first_sql(d: _Dialect, k: int = 10, end: int = SPAN_FIRST_END) -> str:
+    """Span-first twin (plans/query.py ``search_span_first``): each
+    flagship query's FIRST token as the span term; docs where it occurs
+    within the first ``end`` positions, ranked by that term's BM25."""
+    qlist = ", ".join(
+        f"({qid}, '{t.split()[0]}')" for qid, t in BM25_QUERIES
+    )
+    return f"""
+with spanq(query_id, term) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qterms as (select query_id, term from spanq),
+{_BM25_CONTRIB_CTE},
+matched as (
+  select s.query_id, t.doc_id
+  from spanq s join toks t
+    on {d.arr_contains(d.head_slice('t.terms', end), 's.term')}
+),
+scored as (
+  select m.query_id, m.doc_id, cast(floor(sum(c.w) * 1000000) as bigint) as score6
+  from matched m join contrib c on c.query_id = m.query_id and c.doc_id = m.doc_id
+  group by m.query_id, m.doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+def _multi_terms_sql(d: _Dialect) -> str:
+    """Multi-terms twin (plans/hits.py ``multi_terms``): the match set
+    bucketed by the COMPOUND (lang, source) key with doc counts."""
+    return f"""{_matched_cte(d)}
+select m.query_id, doc.lang as facet_a, doc.source as facet_b,
+       cast(count(*) as bigint) as n_docs
+from matched m join documents doc on doc.doc_id = m.doc_id
+group by m.query_id, doc.lang, doc.source
+"""
+
+
+TOP_METRICS_SIZE = 3
+# Deterministic surrogate metric for the top_metrics entries (the synthetic
+# documents table has one numeric attribute, which is the SORT key).
+TOP_METRICS_METRIC = "doc_id % 97"
+
+
+def _top_metrics_sql(d: _Dialect, size: int = TOP_METRICS_SIZE) -> str:
+    """Top-metrics twin (plans/hits.py ``top_metrics``): the metric values
+    carried by the ``size`` matching docs with the largest n_chars
+    (doc_id-asc ties == the engine's url-asc)."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, m.doc_id, cast(doc.n_chars as bigint) as sort_key,
+         cast(doc.{TOP_METRICS_METRIC} as bigint) as metric
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+ranked as (
+  select query_id, doc_id, sort_key, metric,
+         row_number() over (partition by query_id order by sort_key desc, doc_id asc) as rank
+  from keyed
+)
+select query_id, rank, doc_id, sort_key, metric from ranked where rank <= {size}
 """
 
 
@@ -2431,6 +2760,36 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # calendar date histogram (plans/hits.py date_histogram): per-month
     # match counts over the deterministic doc date.
     pairs["date_histogram"] = both(_date_histogram_sql)
+    # pipeline aggregations (plans/hits.py date_histogram_pipeline): ES
+    # cumulative_sum / derivative / moving_fn over the month buckets.
+    pairs["date_pipeline"] = both(_date_histo_pipeline_sql)
+    # disjunction max (plans/query.py search_dis_max): best single-term
+    # score + tie_breaker * rest — Lucene DisjunctionMaxQuery.
+    pairs["dis_max"] = both(_dis_max_sql)
+    # boosting query (plans/query.py search_boosting): negative-match
+    # docs demoted by 0.5, never excluded.
+    pairs["boosting"] = both(_boosting_sql)
+    # phrase prefix (plans/query.py search_phrase_prefix): full term +
+    # immediately-following prefix token — ES match_phrase_prefix.
+    pairs["phrase_prefix"] = both(_phrase_prefix_sql)
+    # rare terms (plans/hits.py rare_terms): long-tail facet buckets with
+    # doc_count <= K — exact where ES's CuckooFilter pass is approximate.
+    pairs["rare_terms"] = both(_rare_terms_sql)
+    # terms_set query (plans/query.py search_terms_set): per-doc dynamic
+    # minimum_should_match from a dimension field.
+    pairs["terms_set"] = both(_terms_set_sql)
+    # percolation (plans/percolate.py percolate): reverse search — which
+    # registered queries fire for each incoming doc (ES percolate query).
+    pairs["percolate"] = both(_percolate_sql)
+    # span_first (plans/query.py search_span_first): term within the first
+    # N token positions, BM25-ranked — Lucene SpanFirstQuery.
+    pairs["span_first"] = both(_span_first_sql)
+    # multi_terms (plans/hits.py multi_terms): compound-key (lang, source)
+    # buckets over the match set — ES multi_terms aggregation.
+    pairs["multi_terms"] = both(_multi_terms_sql)
+    # top_metrics (plans/hits.py top_metrics): metric values from the
+    # size docs with the largest sort field — ES top_metrics aggregation.
+    pairs["top_metrics"] = both(_top_metrics_sql)
     # bucketed stats (plans/hits.py facet_stats): match_stats per
     # (query, lang bucket) — ES terms agg + stats sub-agg.
     pairs["facet_stats"] = both(_facet_stats_sql)

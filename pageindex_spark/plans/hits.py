@@ -585,6 +585,216 @@ def date_histogram(
     )
 
 
+def date_histogram_pipeline(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    window: int = 3,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Pipeline aggregations over the calendar histogram (Elasticsearch
+    ``cumulative_sum`` / ``derivative`` / ``moving_fn`` parent-pipeline
+    aggs) -> (query_id, bucket, n_docs, cum_docs, deriv, mavg6): each
+    ``date_histogram`` bucket annotated with the running total of match
+    counts, the bucket-over-bucket delta (NULL on each query's first
+    bucket, exactly ES's skipped first derivative), and the trailing
+    unweighted moving average over the last ``window`` buckets INCLUDING
+    the current one (``MovingFunctions.unweightedAvg`` with
+    shift=window-1; partial leading windows average what exists, as ES
+    does). ``mavg6`` leaves as floor(x*1e6): counts are ints so every
+    window sum is exact and the single division rounds identically across
+    engines.
+
+    Buckets ride the sparse ``date_histogram`` output — a pipeline agg
+    over gappy buckets differences ADJACENT OBSERVED buckets
+    (gap_policy=skip); compose with a dense calendar domain when true
+    zeros matter. Plan shape: the single-shuffle histogram, then ONE
+    window pass partitioned by query_id ordered by the bucket string
+    (whose lexicographic order equals chronological order by
+    construction). Bucket counts per query are bounded by the calendar
+    (tens to thousands), so the per-query window never skews a task —
+    this is the cheap kind of window, O(buckets) not O(matches)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    from pyspark.sql import Window
+
+    base = date_histogram(
+        spark, index_dir, queries, dates, interval, cell_parts
+    )
+    w_ord = Window.partitionBy("query_id").orderBy("bucket")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_mov = w_ord.rowsBetween(-(window - 1), Window.currentRow)
+    return base.select(
+        "query_id",
+        "bucket",
+        "n_docs",
+        F.sum("n_docs").over(w_cum).alias("cum_docs"),
+        (F.col("n_docs") - F.lag("n_docs").over(w_ord)).alias("deriv"),
+        F.floor(
+            F.avg(F.col("n_docs").cast("double")).over(w_mov) * 1_000_000
+        )
+        .cast("long")
+        .alias("mavg6"),
+    )
+
+
+def rare_terms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    max_doc_count: int = 3,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Rare-terms aggregation (Elasticsearch ``rare_terms``) -> (query_id,
+    facet, n_docs): the LONG-TAIL buckets of a field over the match set —
+    every facet value carried by at most ``max_doc_count`` matching docs.
+    The inverse of the terms agg's size-N head: "which values almost
+    never co-occur with this query" (anomaly triage, typo discovery).
+    ``values`` is the usual (url, facet) dimension.
+
+    ES implements this with CuckooFilter passes and documents it as
+    approximate (false positives drop buckets); this engine's plan is the
+    same single-shuffle groupBy as ``facet_counts`` plus a HAVING — the
+    count <= K filter — and is EXACT. The head buckets the filter drops
+    were materialized anyway by the count; no second pass, no sketch
+    error. Bucket explosion is bounded by the match set size itself
+    (each surviving bucket holds >= 1 of the matched docs, so output
+    rows <= matches — same inherent class as the facet count it rides).
+    Degenerate ``max_doc_count`` raises."""
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be >= 1, got {max_doc_count}"
+        )
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, facet string, n_docs long"
+    )
+    if state is None:
+        return empty
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "facet"), "url")
+        .groupBy("query_id", "facet")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= max_doc_count)
+    )
+
+
+def multi_terms(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    keys: tuple[str, ...] = ("facet_a", "facet_b"),
+    top_n: int | None = None,
+    other_label: str = "__other__",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Multi-terms aggregation (Elasticsearch ``multi_terms``) ->
+    (query_id, *keys, n_docs): bucket the match set by a COMPOUND key —
+    every combination of the ``keys`` columns carried by matching docs,
+    with its doc count. The compound-key sibling of ``facet_counts``
+    (ES: terms agg over one field, multi_terms over several), answering
+    "which (host, language) pairs dominate this query's matches" in one
+    pass instead of a nested-agg tree. ``values`` is a (url, *keys)
+    dimension DataFrame.
+
+    Plan: the shared ``_matched_urls`` kernel tail, one dimension join,
+    one map-side-combined groupBy over (query_id, *keys) — compound keys
+    cost nothing extra in Spark (the shuffle key is just wider), unlike
+    ES where multi_terms materializes cross-product ordinals. ``top_n``
+    mirrors the ES ``size`` + ``sum_other_doc_count`` contract exactly as
+    ``facet_counts`` does: per query the top buckets by (n_docs desc, keys
+    asc) keep their names, the tail collapses into ONE row with every key
+    column rewritten to ``other_label`` (in-band sentinel — same caller
+    contract as facet_counts) — single lineage, rank window over the
+    bucket-sized counts relation, never a re-run of the match kernel."""
+    from pyspark.sql import Window
+
+    if not keys:
+        raise ValueError("multi_terms needs >= 1 key column")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    key_ddl = ", ".join(f"{c} string" for c in keys)
+    empty = spark.createDataFrame([], f"query_id int, {key_ddl}, n_docs long")
+    if state is None:
+        return empty
+    counts = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", *keys), "url")
+        .groupBy("query_id", *keys)
+        .agg(F.count("*").alias("n_docs"))
+    )
+    if top_n is None:
+        return counts
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), *[F.asc(c) for c in keys]
+    )
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    for c in keys:
+        ranked = ranked.withColumn(
+            c,
+            F.when(F.col("rk") <= top_n, F.col(c)).otherwise(
+                F.lit(other_label)
+            ),
+        )
+    return ranked.groupBy("query_id", *keys).agg(
+        F.sum("n_docs").alias("n_docs")
+    )
+
+
+def top_metrics(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    size: int = 1,
+    descending: bool = True,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Top-metrics aggregation (Elasticsearch ``top_metrics``) ->
+    (query_id, rank, url, sort_key, metric): the metric values carried by
+    the ``size`` matching docs with the largest (or smallest) ``sort_key``
+    — "the rating of the newest matching page" without shipping whole
+    documents the way ``top_hits`` does. ``values`` is a (url, sort_key,
+    metric) dimension; ties break url-asc (the engine's standing docID ==
+    url-order tie-break).
+
+    Plan: the shared ``_matched_urls`` kernel tail, dimension join, ONE
+    rank window partitioned by query_id. The window input is the matched
+    dimension rows — O(matches) like every full-match surface — and the
+    filter to ``rank <= size`` runs inside the same stage, so only
+    queries x size rows survive the window's shuffle read. ES caps this
+    agg at size=10 by default for the same reason; callers wanting
+    thousands of rows per query should use ``search_sorted_by``."""
+    from pyspark.sql import Window
+
+    if size < 1:
+        raise ValueError(f"size must be >= 1, got {size}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, url string, sort_key long, metric long"
+    )
+    if state is None:
+        return empty
+    key = F.desc("sort_key") if descending else F.asc("sort_key")
+    w = Window.partitionBy("query_id").orderBy(key, F.asc("url"))
+    return (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "sort_key", "metric"), "url")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= size)
+        .select("query_id", "rank", "url", "sort_key", "metric")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

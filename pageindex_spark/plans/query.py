@@ -509,6 +509,158 @@ def search_phrase(
     )
 
 
+def search_phrase_prefix(
+    spark: SparkSession,
+    index_dir: str,
+    phrases: list[tuple[int, str, str]],
+    k: int = 10,
+    cand_cap: int = 1000,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Phrase-prefix search (Elasticsearch ``match_phrase_prefix`` — the
+    search-as-you-type query): docs where the full terms appear
+    CONTIGUOUSLY followed immediately by a token STARTING WITH the
+    prefix -> (query_id, rank, url, score). ``phrases`` rows are
+    (query_id, full_terms_text, prefix) — the user has finished typing
+    ``full_terms_text`` and is mid-word on ``prefix``. Requires at least
+    one full term (a bare prefix is ``search_prefix``'s job; raised).
+    Ranked by BM25 over the FULL terms only — the half-typed word has no
+    stable statistics, matching Lucene's practice of scoring the phrase
+    terms and treating the expansion as a filter.
+
+    Plan: conjunctive candidates on the full terms (stage 1 of
+    ``search_phrase`` — same pruned postings scan + cell cogroup), then
+    a codegen'd verification predicate over the candidates' text:
+    ``exists`` over positions anchoring the full-term run with a
+    ``substr`` prefix test on the next slot. NO expansion cap: ES
+    truncates the prefix to ``max_expansions`` dictionary terms and can
+    MISS matches; verifying against the candidate text is exact at any
+    vocabulary size and never enumerates the dictionary. The trade is
+    stage 1's conjunctive-candidates exactness bound (cand_cap, same as
+    ``search_phrase``'s documented contract); the positions sidecar is
+    the same scale-up. Exclusion contract applies pre-heap in stage 1."""
+    from ..functions.sqlglue import spark_terms
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    qinfo: dict[int, tuple[list[str], str]] = {}
+    for qid, text, prefix in phrases:
+        terms = tokenize(text)
+        pfx = "".join(tokenize(prefix))
+        if not terms:
+            raise ValueError(
+                f"query {qid}: match_phrase_prefix needs >= 1 full term "
+                "(use search_prefix for a bare prefix)"
+            )
+        if not pfx:
+            raise ValueError(f"query {qid}: empty prefix")
+        qinfo[qid] = (terms, pfx)
+    cand = se.search(
+        [(qid, " ".join(ts)) for qid, (ts, _p) in qinfo.items()],
+        k=cand_cap,
+        mode="conjunctive",
+        fixed_point=fixed_point,
+        with_text=True,
+    )
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, (terms, pfx) in qinfo.items():
+        n = len(terms) + 1
+        run = " and ".join(
+            f"tk[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        pred = (
+            f"case when size(tk) >= {n} then "
+            f"exists(sequence(0, size(tk) - {n}), i -> {run} and "
+            f"substr(tk[i + {n - 1}], 1, {len(pfx)}) = '{pfx}') "
+            f"else false end"
+        )
+        cond = F.when(F.col("query_id") == qid, F.expr(pred)).otherwise(cond)
+    matched = cand.withColumn("tk", toks).filter(cond).drop("tk", "rank")
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("url"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score")
+    )
+
+
+def search_span_first(
+    spark: SparkSession,
+    index_dir: str,
+    spans: list[tuple[int, str, int]],
+    k: int = 10,
+    cand_cap: int = 1000,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Span-first search (Lucene ``SpanFirstQuery`` / ES ``span_first``):
+    docs where the term occurs within the FIRST ``end`` token positions —
+    "mentioned in the lede", the classic title/lead-paragraph proxy when
+    the index is single-field -> (query_id, rank, url, score). ``spans``
+    rows are (query_id, term_text, end) with ``end`` counted 1-based
+    inclusive (a match at position p requires p <= end, Lucene's span end
+    boundary); ``term_text`` must tokenize to exactly ONE term — wrapping
+    multi-term spans composes through ``search_phrase``'s machinery and is
+    out of scope here, matching the single-term SpanTermQuery that
+    span_first wraps in practice. Ranked by BM25 over the term (position
+    never changes tf — a filter, not a boost), so scores are comparable
+    with the unconstrained query's.
+
+    Plan: stage 1 pulls candidates containing the term through the standard
+    pruned-postings search (``cand_cap`` exactness bound, the documented
+    ``search_phrase`` contract), then a codegen'd verification over the
+    candidates' text: ``array_contains`` on the head ``slice`` of the token
+    array. The bag-of-words index stores no positions, so position tests
+    verify against text — same trade as ``search_phrase_prefix``; the
+    positions sidecar (plans/positions.py) is the committed-artifact
+    scale-up when lede queries dominate a workload. Exclusion contract
+    (tombstones, deletes) applies pre-heap in stage 1."""
+    from ..functions.sqlglue import spark_terms
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    qinfo: dict[int, tuple[str, int]] = {}
+    for qid, text, end in spans:
+        terms = tokenize(text)
+        if len(terms) != 1:
+            raise ValueError(
+                f"query {qid}: span_first wraps exactly one term, got "
+                f"{terms!r} (compose multi-term spans via search_phrase)"
+            )
+        if end < 1:
+            raise ValueError(f"query {qid}: end must be >= 1, got {end}")
+        qinfo[qid] = (terms[0], end)
+    cand = se.search(
+        [(qid, t) for qid, (t, _e) in qinfo.items()],
+        k=cand_cap,
+        mode="conjunctive",
+        fixed_point=fixed_point,
+        with_text=True,
+    )
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, (term, end) in qinfo.items():
+        pred = f"array_contains(slice(tk, 1, {end}), '{term}')"
+        cond = F.when(F.col("query_id") == qid, F.expr(pred)).otherwise(cond)
+    matched = cand.withColumn("tk", toks).filter(cond).drop("tk", "rank")
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("url"))
+    return (
+        matched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score")
+    )
+
+
 def _expand_prefixes(
     se: Searcher, stems: list[str], max_expansions: int
 ) -> dict[str, list[str]]:
@@ -1231,6 +1383,289 @@ def search_function_score(
         .withColumn("rank", F.row_number().over(w_all))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "url", "factor", "final6", "score")
+    )
+
+
+_DIS_MAX_WIDTH = 64  # max distinct terms per dis_max query (id encoding)
+
+
+def search_dis_max(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    tie_breaker: float = 0.5,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Disjunction-max retrieval (Elasticsearch / Lucene ``dis_max`` over
+    per-term queries, the ``best_fields`` combination): top-k matching
+    docs per query ranked by ``best + tie_breaker * (sum - best)`` where
+    ``best``/``sum`` are the max and total of the doc's single-term BM25
+    scores -> (query_id, rank, url, final6, best6). At tie_breaker=0 a
+    doc scores only its best term (pure dis_max); at 1 it degrades to the
+    ordinary OR sum. The classic use: queries whose terms are synonyms-ish
+    (one strong term match should beat scattered weak ones). ``queries``
+    are plain OR term lists — operator syntax has no meaning when each
+    term is its own subquery.
+
+    Plan: each query decomposes into single-term subqueries encoded as
+    ``qid * 64 + i`` through ONE ``raw_scored`` exhaustive kernel call —
+    the pruned postings scan dedups terms across subqueries, and since
+    the subqueries are disjoint singletons the total decode work equals
+    the plain OR query's. The per-doc max/sum then ride one map-side-
+    combined groupBy (same shuffle class as the kernel's own cell
+    cogroup), the factor math is two JVM ops, and ranking is the
+    ``search_function_score`` two-phase shape (per-(query, part) top-k,
+    then a global rank over the survivors — never a global sort). The
+    max is order-free; the sum is the same partial-sum class as every
+    scored twin. Exclusion contract (tombstones, filter) applies pre-heap
+    inside the kernel per subquery, identical to ``search``.
+
+    Pick ``tie_breaker`` exactly representable (0, 0.25, 0.5, 1) and the
+    combination is a fused multiply-add both engines round identically.
+    Reference parity: /root/reference has no ranked retrieval at all (LLM
+    prompt selection); this is the Lucene DisjunctionMaxQuery analogue on
+    this engine's kernel."""
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    sub: list[tuple[int, str]] = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize(text)))
+        if len(terms) > _DIS_MAX_WIDTH:
+            raise ValueError(
+                f"query {qid} has {len(terms)} terms > {_DIS_MAX_WIDTH}"
+            )
+        sub.extend((qid * _DIS_MAX_WIDTH + i, t) for i, t in enumerate(terms))
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, url string, final6 long, best6 long"
+    )
+    if not sub:
+        return empty
+    scored, parts = _search_impl(
+        se, sub, k, "dense", fixed_point=True, raw_scored=True
+    )
+    agg = (
+        scored.withColumn(
+            "query_id",
+            F.expr(f"query_id div {_DIS_MAX_WIDTH}").cast("int"),
+        )
+        .groupBy("query_id", "doc_id", "part_id", "local_pos")
+        .agg(F.max("score").alias("mx"), F.sum("score").alias("sm"))
+        .withColumn(
+            "final6",
+            F.floor(
+                (
+                    F.col("mx")
+                    + F.lit(float(tie_breaker))
+                    * (F.col("sm") - F.col("mx"))
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn(
+            "best6", F.floor(F.col("mx") * 1_000_000).cast("long")
+        )
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    keyed = agg.join(ext, ["part_id", "local_pos"])
+    order = (F.desc("final6"), F.asc("doc_id"))
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "final6", "best6")
+    )
+
+
+def search_boosting(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str, str]],
+    k: int = 10,
+    negative_boost: float = 0.5,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Boosting query (Elasticsearch ``boosting``): top-k docs per query
+    ranked by the POSITIVE query's BM25 score, demoted — not excluded —
+    by ``negative_boost`` when the doc ALSO matches the negative query ->
+    (query_id, rank, url, final6, demoted). The soft cousin of '-term'
+    exclusion: "prefer docs not about X" instead of "never show X".
+    ``queries`` rows are (query_id, positive_text, negative_text); the
+    negative side is a plain OR match (membership, never scored into the
+    result). final6 = floor(score * factor * 1e6) with url-asc (docID)
+    ties; pick ``negative_boost`` exactly representable (0.25, 0.5) and
+    the product rounds identically across engines.
+
+    Plan: positive and negative ride ONE ``raw_scored`` exhaustive kernel
+    call as even/odd-encoded subqueries (``qid*2`` positive, ``qid*2+1``
+    negative) — one pruned postings scan, one cell cogroup. The negative
+    rows collapse to a distinct (query, doc) membership set and LEFT-join
+    the positive scored set (membership is per-partition-local — both
+    sides carry the kernel's (part_id, local_pos) coordinates, so AQE
+    sees co-partitioned children); demotion is a ``when`` in JVM codegen,
+    then the ``search_function_score`` two-phase rank. A demoting factor
+    reorders globally, hence the exhaustive kernel (same inherent cost
+    class as function_score; a BMW heap cannot serve it exactly). The
+    negative kernel wastes its score arithmetic on a membership question
+    — a doc-only match kernel would shave it; noted, not material until
+    negative queries dominate a workload (the scan + decode dominate
+    either way). Exclusion contract (tombstones, '-term' inside either
+    text) applies pre-heap inside the kernel per subquery, as always."""
+    if not 0.0 <= negative_boost <= 1.0:
+        raise ValueError(
+            f"negative_boost must be in [0, 1], got {negative_boost}"
+        )
+    se = get_searcher(spark, index_dir, cell_parts)
+    sub: list[tuple[int, str]] = []
+    for qid, pos_text, neg_text in queries:
+        sub.append((qid * 2, pos_text))
+        if neg_text and tokenize(neg_text):
+            sub.append((qid * 2 + 1, neg_text))
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, url string, final6 long, demoted int"
+    )
+    if not sub:
+        return empty
+    scored, parts = _search_impl(
+        se, sub, k, "dense", fixed_point=True, raw_scored=True
+    )
+    half = F.expr("query_id div 2").cast("int")
+    pos = scored.filter(F.pmod("query_id", F.lit(2)) == 0).withColumn(
+        "query_id", half
+    )
+    neg = (
+        scored.filter(F.pmod("query_id", F.lit(2)) == 1)
+        .select(half.alias("query_id"), "doc_id")
+        .distinct()
+        .withColumn("neg", F.lit(1))
+    )
+    boosted = (
+        pos.join(neg, ["query_id", "doc_id"], "left")
+        .withColumn(
+            "factor",
+            F.when(F.col("neg").isNotNull(), F.lit(float(negative_boost)))
+            .otherwise(F.lit(1.0)),
+        )
+        .withColumn(
+            "final6",
+            F.floor(F.col("score") * F.col("factor") * 1_000_000).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "demoted", F.col("neg").isNotNull().cast("int")
+        )
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    keyed = boosted.join(ext, ["part_id", "local_pos"])
+    order = (F.desc("final6"), F.asc("doc_id"))
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "final6", "demoted")
+    )
+
+
+def search_terms_set(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    required: DataFrame,
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Terms-set query (Elasticsearch ``terms_set`` with
+    ``minimum_should_match_field``): top-k docs per query where the
+    number of DISTINCT query terms the doc contains meets a PER-DOC
+    threshold from the ``required`` (url, required) dimension ->
+    (query_id, rank, url, score6, n_matched, req). The dynamic cousin of
+    static ``minimum_should_match``: strict docs (high required) demand
+    full coverage, lenient docs admit partial matches. Docs absent from
+    the dimension drop (the engine-wide missing-value convention; supply
+    a defaulted dimension for keep-missing). Ranked by the full OR BM25
+    sum over floored score6 with url-asc (docID) ties.
+
+    Plan: the ``search_dis_max`` decomposition — single-term subqueries
+    encoded ``qid*64+i`` through ONE ``raw_scored`` exhaustive kernel
+    call (one pruned postings scan; disjoint singleton subqueries keep
+    total decode work equal to the plain OR query's). Per-doc matched
+    count and score sum ride one map-side-combined groupBy; the required
+    join happens AFTER the url lookup (both dimension joins are
+    broadcast-class); the threshold filter is one codegen'd comparison;
+    then the standard two-phase rank. The static-msm kernel can't serve
+    this (its threshold is per-query, applied pre-heap); the per-doc
+    threshold needs the count materialized, which only the exhaustive
+    path produces. Exclusion contract applies pre-heap per subquery."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    sub: list[tuple[int, str]] = []
+    for qid, text in queries:
+        terms = sorted(set(tokenize(text)))
+        if len(terms) > _DIS_MAX_WIDTH:
+            raise ValueError(
+                f"query {qid} has {len(terms)} terms > {_DIS_MAX_WIDTH}"
+            )
+        sub.extend((qid * _DIS_MAX_WIDTH + i, t) for i, t in enumerate(terms))
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, rank int, url string, score6 long, "
+        "n_matched long, req long",
+    )
+    if not sub:
+        return empty
+    scored, parts = _search_impl(
+        se, sub, k, "dense", fixed_point=True, raw_scored=True
+    )
+    agg = (
+        scored.withColumn(
+            "query_id",
+            F.expr(f"query_id div {_DIS_MAX_WIDTH}").cast("int"),
+        )
+        .groupBy("query_id", "doc_id", "part_id", "local_pos")
+        .agg(
+            F.count("*").alias("n_matched"),
+            F.floor(F.sum("score") * 1_000_000).cast("long").alias("score6"),
+        )
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    keyed = (
+        agg.join(ext, ["part_id", "local_pos"])
+        .join(
+            required.select(
+                "url", F.col("required").cast("long").alias("req")
+            ),
+            "url",
+        )
+        .filter(F.col("n_matched") >= F.col("req"))
+    )
+    order = (F.desc("score6"), F.asc("doc_id"))
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score6", "n_matched", "req")
     )
 
 

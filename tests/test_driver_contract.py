@@ -103,7 +103,18 @@ def test_pair_matches(name, sviews, duck):
         "engine_weighted_avg",
         "engine_match_missing",
         "engine_date_histogram",
+        "engine_date_pipeline",
         "engine_fn_decay",
+        "engine_dis_max",
+        "engine_boosting",
+        "engine_phrase_prefix",
+        "engine_rare_terms",
+        "engine_terms_set",
+        "engine_percolate",
+        "engine_percolate_stateless",
+        "engine_span_first",
+        "engine_multi_terms",
+        "engine_top_metrics",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
         "engine_bm25_fnscore",

@@ -1923,3 +1923,470 @@ def test_date_histogram_matches_python(spark, built_index, sf_unit_dir):
     assert len({b for _q, b in got}) > 1, "all dates in one bucket — widen"
     with pytest.raises(ValueError):
         date_histogram(spark, built_index, make_queries(), dim, "fortnight")
+
+
+def test_date_histogram_pipeline_matches_python(spark, built_index, sf_unit_dir):
+    """date_histogram_pipeline vs brute force: cumulative sum, derivative
+    (NULL first bucket) and the trailing 3-bucket moving average over the
+    chronologically-ordered month buckets; the bad-window guard raises."""
+    import datetime
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import date_histogram_pipeline
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    epoch = datetime.date(2024, 1, 1)
+    month = {
+        u: (epoch + datetime.timedelta(days=len(t) % 400)).strftime("%Y-%m")
+        for u, t in rows
+    }
+    counts: dict[int, dict[str, int]] = {}
+    for qid, text in make_queries():
+        for d in oi.score_all(text):
+            b = month[oi.urls[d]]
+            counts.setdefault(qid, {})[b] = counts.get(qid, {}).get(b, 0) + 1
+    want = {}
+    for qid, per in counts.items():
+        buckets = sorted(per)
+        cum = 0
+        for i, b in enumerate(buckets):
+            n = per[b]
+            cum += n
+            deriv = None if i == 0 else n - per[buckets[i - 1]]
+            win = [per[x] for x in buckets[max(0, i - 2) : i + 1]]
+            mavg6 = math.floor(sum(win) / len(win) * 1_000_000)
+            want[(qid, b)] = (n, cum, deriv, mavg6)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        F.date_add(
+            F.lit("2024-01-01").cast("date"), (F.length("text") % 400).cast("int")
+        ).alias("d"),
+    )
+    got = {
+        (r["query_id"], r["bucket"]): (
+            r["n_docs"], r["cum_docs"], r["deriv"], r["mavg6"]
+        )
+        for r in date_histogram_pipeline(
+            spark, built_index, make_queries(), dim, "month", window=3
+        ).collect()
+    }
+    assert got == want
+    assert any(v[2] is not None and v[2] < 0 for v in got.values()) or any(
+        v[2] is not None and v[2] > 0 for v in got.values()
+    ), "derivative never moved — dim degenerate"
+    with pytest.raises(ValueError):
+        date_histogram_pipeline(
+            spark, built_index, make_queries(), dim, "month", window=0
+        )
+
+
+def test_dis_max_matches_python(spark, built_index, sf_unit_dir):
+    """search_dis_max vs brute force: per doc, max and sum of the
+    single-term BM25 scores combine as best + 0.5 * (sum - best); ranks
+    over the floored value with url-asc ties. Non-vacuity: some doc must
+    match >= 2 terms so dis_max actually diverges from the OR sum, and
+    the tie_breaker domain guard raises."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_dis_max
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    want = {}
+    diverged = False
+    for qid, text in make_queries():
+        per = [oi.score_all(t) for t in sorted(set(tokenize(text)))]
+        docs_all = sorted(set().union(*[set(p) for p in per])) if per else []
+        scored = []
+        for d in docs_all:
+            vals = [p[d] for p in per if d in p]
+            mx, sm = max(vals), sum(vals)
+            if len(vals) >= 2:
+                diverged = True
+            scored.append((f6(mx + 0.5 * (sm - mx)), oi.urls[d], f6(mx)))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want[qid] = [
+            (r + 1, u, fin, bst)
+            for r, (fin, u, bst) in enumerate(scored[:10])
+        ]
+    got: dict[int, list] = {}
+    res = search_dis_max(
+        spark, built_index, make_queries(), k=10, tie_breaker=0.5
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], r["final6"], r["best6"])
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    assert diverged, "no doc matched 2+ terms — dis_max test is vacuous"
+    with pytest.raises(ValueError):
+        search_dis_max(
+            spark, built_index, make_queries(), tie_breaker=1.5
+        )
+
+
+def test_boosting_matches_python(spark, built_index, sf_unit_dir):
+    """search_boosting vs brute force: positive BM25 scores halved for
+    docs that also match the negative term, ranked over the floored
+    product with url-asc ties. Non-vacuity: at least one top-10 row must
+    be demoted and at least one not; the negative_boost guard raises."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_boosting
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+
+    def brute(neg: str):
+        neg_docs = set(oi.postings.get(neg, {}))
+        want, flags = {}, set()
+        for qid, text in make_queries():
+            scored = []
+            for d, s in oi.score_all(text).items():
+                dem = 1 if d in neg_docs else 0
+                scored.append((f6(s * (0.5 if dem else 1.0)), oi.urls[d], dem))
+            scored.sort(key=lambda t: (-t[0], t[1]))
+            want[qid] = [
+                (r + 1, u, fin, dem)
+                for r, (fin, u, dem) in enumerate(scored[:10])
+            ]
+            flags |= {dem for _r, _u, _f, dem in want[qid]}
+        return want, flags
+
+    # Data-driven negative: the head terms demote EVERYTHING (~80% df) and
+    # the planted rares demote nothing visible — walk the single-term
+    # queries until demotion splits the top-10s, so the test can't go
+    # vacuous when the synthetic Zipf shape shifts.
+    singles = [t for _q, t in make_queries() if len(t.split()) == 1]
+    neg = next(n for n in singles if brute(n)[1] == {0, 1})
+    want, _ = brute(neg)
+    triples = [(qid, text, neg) for qid, text in make_queries()]
+    got: dict[int, list] = {}
+    res = search_boosting(
+        spark, built_index, triples, k=10, negative_boost=0.5
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], r["final6"], r["demoted"])
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    flags = {dem for per in got.values() for _r, _u, _f, dem in per}
+    assert flags == {0, 1}, f"demotion vacuous: flags seen {flags}"
+    with pytest.raises(ValueError):
+        search_boosting(spark, built_index, triples, negative_boost=2.0)
+
+
+def test_phrase_prefix_matches_python(spark, built_index, sf_unit_dir):
+    """search_phrase_prefix vs brute force: full term immediately followed
+    by a token starting with the prefix, ranked by BM25 over the full term
+    only. Short prefixes must match MORE docs than the full bigram (the
+    weaker-test non-vacuity), a never-following prefix returns empty, and
+    the bare-prefix / empty-prefix guards raise."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_phrase_prefix
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    toks0 = tokenize(rows[0][1])
+    mid = len(toks0) // 2
+    triples = [
+        (1, toks0[0], toks0[1][:2]),
+        (2, toks0[mid], toks0[mid + 1][:1]),
+        (3, toks0[0], "zzq"),
+    ]
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    # oracle docIDs follow url order, not row order — key tokens by url
+    doc_toks = {u: tokenize(t) for u, t in rows}
+    want: dict[int, list] = {}
+    for qid, t1, p in triples:
+        scores = oi.score_all(t1)
+        scored = []
+        for d, s in scores.items():
+            tk = doc_toks[oi.urls[d]]
+            if any(
+                tk[i] == t1 and tk[i + 1].startswith(p)
+                for i in range(len(tk) - 1)
+            ):
+                scored.append((f6(s), oi.urls[d]))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want[qid] = [
+            (r + 1, u, s6) for r, (s6, u) in enumerate(scored[:10])
+        ]
+    got: dict[int, list] = {}
+    res = search_phrase_prefix(
+        spark, built_index, triples, k=10, fixed_point=True
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], f6(r["score"]))
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    assert want[1], "anchored real bigram prefix found nothing"
+    assert not want[3], "nonsense prefix matched"
+    with pytest.raises(ValueError):
+        search_phrase_prefix(spark, built_index, [(1, "", "pre")])
+    with pytest.raises(ValueError):
+        search_phrase_prefix(spark, built_index, [(1, toks0[0], "")])
+
+
+def test_rare_terms_matches_python(spark, built_index, sf_unit_dir):
+    """rare_terms vs brute force: exact-length facets carried by <= 3
+    matching docs. Both a dropped head bucket and a surviving tail bucket
+    must exist (the HAVING is non-vacuous both ways); the max_doc_count
+    guard raises."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import rare_terms
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    facet = {u: str(len(t)) for u, t in rows}
+    want, dropped = {}, False
+    for qid, text in make_queries():
+        per: dict[str, int] = {}
+        for d in oi.score_all(text):
+            f = facet[oi.urls[d]]
+            per[f] = per.get(f, 0) + 1
+        for f, n in per.items():
+            if n <= 3:
+                want[(qid, f)] = n
+            else:
+                dropped = True
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("string").alias("facet"))
+    got = {
+        (r["query_id"], r["facet"]): r["n_docs"]
+        for r in rare_terms(
+            spark, built_index, make_queries(), dim, max_doc_count=3
+        ).collect()
+    }
+    assert got == want
+    assert want, "no rare buckets survived — facet too coarse"
+    assert dropped, "no head bucket dropped — facet too fine"
+    with pytest.raises(ValueError):
+        rare_terms(spark, built_index, make_queries(), dim, max_doc_count=0)
+
+
+def test_span_first_matches_python(spark, built_index, sf_unit_dir):
+    """search_span_first vs brute force: the term within the first `end`
+    token positions, BM25-ranked. end=1 must be stricter than end=25
+    (non-vacuity of the boundary), and the multi-term / end guards raise."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_span_first
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    toks0 = tokenize(rows[0][1])
+    mid = len(toks0) // 2
+    spans = [
+        (1, toks0[0], 25),
+        (2, toks0[mid], 25),
+        (3, toks0[mid], 1),
+    ]
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    doc_toks = {u: tokenize(t) for u, t in rows}
+    want: dict[int, list] = {}
+    matched_n: dict[int, int] = {}
+    for qid, term, end in spans:
+        scored = []
+        for d, s in oi.score_all(term).items():
+            u = oi.urls[d]
+            if term in doc_toks[u][:end]:
+                scored.append((f6(s), u))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        matched_n[qid] = len(scored)
+        want[qid] = [(r + 1, u, s6) for r, (s6, u) in enumerate(scored[:10])]
+    got: dict[int, list] = {}
+    res = search_span_first(
+        spark, built_index, spans, k=10, fixed_point=True
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], f6(r["score"]))
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    assert matched_n[2] > 0, "common-term lede query found nothing"
+    assert matched_n[3] < matched_n[2], "end=1 not stricter than end=25"
+    with pytest.raises(ValueError):
+        search_span_first(spark, built_index, [(1, "two words", 5)])
+    with pytest.raises(ValueError):
+        search_span_first(spark, built_index, [(1, toks0[0], 0)])
+
+
+def test_multi_terms_matches_python(spark, built_index, sf_unit_dir):
+    """multi_terms vs brute force: compound (len%3, len%2) buckets over the
+    OR match set, plus the top_n collapse (tail rewritten to the sentinel
+    on BOTH key columns, remainder summed)."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import multi_terms
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    fa = {u: str(len(t) % 3) for u, t in rows}
+    fb = {u: str(len(t) % 2) for u, t in rows}
+    want: dict[tuple, int] = {}
+    for qid, text in make_queries():
+        for d in oi.score_all(text):
+            u = oi.urls[d]
+            k = (qid, fa[u], fb[u])
+            want[k] = want.get(k, 0) + 1
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        (F.length("text") % 3).cast("string").alias("facet_a"),
+        (F.length("text") % 2).cast("string").alias("facet_b"),
+    )
+    out = multi_terms(spark, built_index, make_queries(), dim)
+    got = {
+        (r["query_id"], r["facet_a"], r["facet_b"]): r["n_docs"]
+        for r in out.collect()
+    }
+    assert got == want
+    # top_n collapse: top 2 buckets keep their keys, tail sums into one
+    # (__other__, __other__) row per query.
+    want_top: dict[tuple, int] = {}
+    byq: dict[int, list] = {}
+    for (qid, a, b), n in want.items():
+        byq.setdefault(qid, []).append((n, a, b))
+    for qid, buckets in byq.items():
+        buckets.sort(key=lambda t: (-t[0], t[1], t[2]))
+        for n, a, b in buckets[:2]:
+            want_top[(qid, a, b)] = n
+        rest = sum(n for n, _a, _b in buckets[2:])
+        if rest:
+            want_top[(qid, "__other__", "__other__")] = rest
+    got_top = {
+        (r["query_id"], r["facet_a"], r["facet_b"]): r["n_docs"]
+        for r in multi_terms(
+            spark, built_index, make_queries(), dim, top_n=2
+        ).collect()
+    }
+    assert got_top == want_top
+    with pytest.raises(ValueError):
+        multi_terms(spark, built_index, make_queries(), dim, top_n=0)
+    with pytest.raises(ValueError):
+        multi_terms(spark, built_index, make_queries(), dim, keys=())
+
+
+def test_top_metrics_matches_python(spark, built_index, sf_unit_dir):
+    """top_metrics vs brute force: the metric rows of the size=3 matching
+    docs with the largest (and, flipped, smallest) sort_key, url-asc ties."""
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import top_metrics
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    sk = {u: len(t) for u, t in rows}
+    mt = {u: (len(t) * 7) % 101 for u, t in rows}
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url",
+        F.length("text").cast("long").alias("sort_key"),
+        ((F.length("text") * 7) % 101).cast("long").alias("metric"),
+    )
+    for desc in (True, False):
+        want: dict[int, list] = {}
+        for qid, text in make_queries():
+            urls = [oi.urls[d] for d in oi.score_all(text)]
+            urls.sort(key=lambda u: (-sk[u] if desc else sk[u], u))
+            want[qid] = [
+                (r + 1, u, sk[u], mt[u]) for r, u in enumerate(urls[:3])
+            ]
+        out = top_metrics(
+            spark, built_index, make_queries(), dim, size=3, descending=desc
+        )
+        got: dict[int, list] = {}
+        for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["url"], r["sort_key"], r["metric"])
+            )
+        assert got == {q: w for q, w in want.items() if w}, f"desc={desc}"
+    with pytest.raises(ValueError):
+        top_metrics(spark, built_index, make_queries(), dim, size=0)
+
+
+def test_terms_set_matches_python(spark, built_index, sf_unit_dir):
+    """search_terms_set vs brute force: docs survive when their distinct
+    matched-term count meets the per-doc threshold (len(text) % 3 + 1),
+    ranked by the OR BM25 sum. Non-vacuity: the filter must actually drop
+    docs that plain OR would rank."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_terms_set
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    req = {u: (len(t) % 3) + 1 for u, t in rows}
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    want, filtered = {}, False
+    for qid, text in make_queries():
+        terms = sorted(set(tokenize(text)))
+        scored = []
+        for d, s in oi.score_all(text).items():
+            u = oi.urls[d]
+            nm = sum(1 for t in terms if d in oi.postings.get(t, {}))
+            if nm >= req[u]:
+                scored.append((f6(s), u, nm, req[u]))
+            else:
+                filtered = True
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        want[qid] = [
+            (r + 1, u, s6, nm, rq)
+            for r, (s6, u, nm, rq) in enumerate(scored[:10])
+        ]
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select(
+        "url", ((F.length("text") % 3) + 1).alias("required")
+    )
+    got: dict[int, list] = {}
+    res = search_terms_set(
+        spark, built_index, make_queries(), dim, k=10
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], r["score6"], r["n_matched"], r["req"])
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    assert filtered, "threshold never dropped a doc — terms_set vacuous"

@@ -383,3 +383,71 @@ def test_multimodal_plumbing(spark):
     counts = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count("*").alias("n")).collect()}
     # duration 2000+500*(i%4) ms -> 2..3 frames
     assert all(2 <= v <= 3 for v in counts.values())
+
+
+def test_percolate_matches_python(spark, docs):
+    """percolate (batch plan) vs brute force over the real testdata docs:
+    conjunctive default, min_should_match relaxation, '-term' negation,
+    and the stateless plan returning identical rows. Pure-negation and
+    msm<1 guards raise."""
+    import pyarrow.parquet as pq
+
+    from pageindex_spark.functions.tokenizer import parse_query, tokenize
+    from pageindex_spark.plans.percolate import percolate
+
+    tbl = pq.read_table(
+        os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = list(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    queries = [
+        (1, "data spark"),
+        (2, "data -spark"),
+        (3, "stream batch fast slow"),
+        (4, "zzqabsent data"),
+    ]
+
+    def brute(msm):
+        want = set()
+        for qid, text in queries:
+            pos, negs = parse_query(text)
+            terms = sorted(set(tokenize(pos)))
+            nterms = {t for n in negs for t in tokenize(n)}
+            req = len(terms) if msm is None else min(msm, len(terms))
+            for did, t in rows:
+                tk = set(tokenize(t))
+                nm = sum(1 for x in terms if x in tk)
+                if nm >= req and not (nterms & tk):
+                    want.add((str(did).zfill(10), qid, nm, req))
+        return want
+
+    sdocs = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"), "text"
+    )
+    for msm in (None, 2):
+        out = percolate(spark, queries, sdocs, min_should_match=msm)
+        got = {
+            (r["url"], r["query_id"], r["n_matched"], r["n_required"])
+            for r in out.collect()
+        }
+        want = brute(msm)
+        assert got == want, f"msm={msm}"
+        sl = percolate(
+            spark, queries, sdocs, min_should_match=msm, stateless=True
+        )
+        got_sl = {
+            (r["url"], r["query_id"], r["n_matched"], r["n_required"])
+            for r in sl.collect()
+        }
+        assert got_sl == want, f"stateless msm={msm}"
+    # semantics anchors: conjunctive 'data -spark' must be disjoint from
+    # docs matching 'data spark' conjunctively; an absent term kills a
+    # conjunctive query entirely.
+    want = brute(None)
+    both_q = {u for u, q, _n, _r in want if q == 1}
+    negd = {u for u, q, _n, _r in want if q == 2}
+    assert negd and both_q and not (negd & both_q)
+    assert not {u for u, q, _n, _r in want if q == 4}
+    with pytest.raises(ValueError):
+        percolate(spark, [(1, "-data -spark")], sdocs)
+    with pytest.raises(ValueError):
+        percolate(spark, queries, sdocs, min_should_match=0)

@@ -502,3 +502,55 @@ def test_stream_sessionize_stateful(spark):
     got = {g for g in got if g[0] not in (98, 99)}
     assert got == want, (sorted(got), sorted(want))
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_percolate_matches_batch(spark):
+    """Percolation over a STREAM == the batch plan over the same docs: the
+    stateless plan must run append-mode under availableNow triggers (no
+    stateful agg, no watermark) and fire the same (url, query) alerts in
+    the same micro-batch cadence a crawler would deliver."""
+    from pageindex_spark.plans.percolate import percolate
+
+    base = f"{BASE}-perc"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(f"{base}/in", exist_ok=True)
+    corpus = make_documents(150, seed=11)
+    tbl = corpus.to_arrow().select(["url", "text"])
+    pq.write_table(tbl.slice(0, 75), f"{base}/in/part0.parquet")
+    # corpus-native terms (the synthetic CV-syllable vocab): a common
+    # conjunctive pair, a negation, and a planted rare bigram.
+    queries = [(1, "gu ce"), (2, "ha -fo"), (3, "rareterm0000 gukita")]
+
+    def run_pass():
+        docs = spark.readStream.schema("url string, text string").parquet(
+            f"{base}/in"
+        )
+        assert docs.isStreaming
+        q = (
+            percolate(spark, queries, docs)
+            .writeStream.format("parquet")
+            .option("path", f"{base}/out")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()  # first arrival file
+    n_first = spark.read.parquet(f"{base}/out").count()
+    pq.write_table(tbl.slice(75, 75), f"{base}/in/part1.parquet")
+    run_pass()  # second arrival: only NEW docs percolate (checkpointed)
+    rows = spark.read.parquet(f"{base}/out")
+    got = {
+        (r["url"], r["query_id"], r["n_matched"], r["n_required"])
+        for r in rows.collect()
+    }
+    assert rows.count() == len(got), "a doc re-percolated across batches"
+    bdocs = spark.createDataFrame(tbl.to_pandas())
+    want = {
+        (r["url"], r["query_id"], r["n_matched"], r["n_required"])
+        for r in percolate(spark, queries, bdocs).collect()
+    }
+    assert got == want
+    assert 0 < n_first < len(got), "both arrival files must contribute"
+    shutil.rmtree(base, ignore_errors=True)
