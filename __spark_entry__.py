@@ -228,6 +228,26 @@ def _engine_bm25_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_fuzzy2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy terms at max_edits=2 (the ES AUTO fuzziness tier for terms of
+    >= 6 chars): the same scoring rewrite as engine_bm25_fuzzy with a wider
+    dictionary expansion. Must reproduce the bm25_fuzzy2 SQL exactly."""
+    from pageindex_spark import search_fuzzy
+    from pageindex_spark.driverq import FUZZY_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_fuzzy(
+        spark, index_dir, FUZZY_QUERIES, k=10, max_edits=2,
+        mode="bmw", fixed_point=True,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Score explanation (round 5, plans/explain.py): per-term BM25
     contribution rows for each query's top-3 docs — Lucene explain()
@@ -828,6 +848,128 @@ def _engine_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("url").cast("bigint").alias("doc_id"),
         "sort_key",
         "metric",
+    )
+
+
+def _engine_title_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the TITLE-field index: the same url space indexed
+    over each doc's first MM_TITLE_LEN tokens — the second field of the
+    multi_match entry, with its own committed df/avgdl statistics."""
+    from pageindex_spark import build_index
+    from pageindex_spark.driverq import MM_TITLE_LEN
+    from pageindex_spark.functions.sqlglue import spark_terms
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"{_INDEX_CACHE_ROOT}_ttl_{tag}"
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        import json
+        import shutil
+
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
+                shutil.rmtree(index_dir)
+    if not os.path.exists(meta_path):
+        title = _docs_as_corpus(spark, sf_dir).select(
+            "url",
+            F.concat_ws(
+                " ",
+                F.slice(F.expr(spark_terms("text")), 1, MM_TITLE_LEN),
+            ).alias("text"),
+        )
+        build_index(
+            spark, title, index_dir,
+            num_partitions=8, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+        )
+    return index_dir
+
+
+def _engine_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-field best_fields (round 5, plans/query.py
+    search_multi_field): body^1 + title^2 over two committed per-field
+    indexes, combined best + 0.25 * (sum - best). Must reproduce the
+    multi_match SQL exactly."""
+    from pageindex_spark.driverq import MM_TIE_BREAKER, MM_TITLE_BOOST
+    from pageindex_spark.plans.query import search_multi_field
+
+    body = _engine_index(spark, sf_dir)
+    title = _engine_title_index(spark, sf_dir)
+    top = search_multi_field(
+        spark,
+        [(body, 1.0), (title, MM_TITLE_BOOST)],
+        BM25_QUERIES,
+        k=10,
+        tie_breaker=MM_TIE_BREAKER,
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "final6",
+        "best6",
+    )
+
+
+def _engine_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-index statistics (round 5, plans/hits.py index_stats):
+    the artifact-derived report must equal the SQL twin's corpus recount
+    — any drift means the index no longer represents its source."""
+    from pageindex_spark.plans.hits import index_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    return index_stats(spark, index_dir)
+
+
+def _engine_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term vectors (round 5, plans/hits.py term_vectors): tf from the
+    committed extracts of the five requested docs, df from the committed
+    term_stats relation. Must reproduce the term_vectors SQL exactly."""
+    from pageindex_spark.driverq import TV_DOC_IDS
+    from pageindex_spark.plans.hits import term_vectors
+
+    index_dir = _engine_index(spark, sf_dir)
+    urls = [str(i).zfill(10) for i in TV_DOC_IDS]
+    out = term_vectors(spark, index_dir, urls)
+    return out.select(
+        F.col("url").cast("bigint").alias("doc_id"), "term", "tf", "df"
+    )
+
+
+def _engine_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reindex (round 5, plans/build_index.py reindex): carve the even-
+    doc_id subset index FROM the committed driver index's extracts, then
+    search it — fresh grid, fresh stats. Must reproduce the bm25_reindexed
+    SQL (a direct BM25 over the filtered corpus) exactly."""
+    import json
+    import shutil
+
+    from pageindex_spark import search
+    from pageindex_spark.plans.build_index import FORMAT_VERSION, reindex
+
+    src = _engine_index(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out_dir = f"{_INDEX_CACHE_ROOT}_rdx_{tag}"
+    meta_path = os.path.join(out_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
+                shutil.rmtree(out_dir)
+    if not os.path.exists(meta_path):
+        # urls are zero-padded doc_ids: even doc_id == even url tail
+        reindex(
+            spark, src, out_dir,
+            predicate=(F.col("url").cast("bigint") % 2 == 0),
+            num_partitions=4,
+        )
+    top = search(
+        spark, out_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
     )
 
 
@@ -1581,6 +1723,22 @@ def _ann_cosine_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_batch(vecs, _batch_query_vecs(vecs), k=10)
 
 
+def _ann_cosine_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered kNN (ES knn filter): the metadata predicate composes IN
+    FRONT of the exact scorer — candidates restricted to one label before
+    any dot product; Catalyst pushes the filter into the parquet scan
+    (plan-asserted in tests/test_plans.py). Queries stay unfiltered."""
+    from pageindex_spark.driverq import ANN_FILTER_LABEL
+    from pageindex_spark.operators.similarity import cosine_topk_batch
+
+    vecs = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cand = vecs.filter(F.col("label") == ANN_FILTER_LABEL)
+    return cosine_topk_batch(cand, queries, k=10)
+
+
 def _lsh_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.operators.similarity import lsh_ann_topk_batch
 
@@ -1652,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_wildcard"] = _engine_bm25_wildcard  # '*'/'?' anywhere
     q["engine_bm25_boost"] = _engine_bm25_boost  # 'term^w' weights
     q["engine_bm25_fuzzy"] = _engine_bm25_fuzzy  # 1-edit fuzzy terms
+    q["engine_bm25_fuzzy2"] = _engine_bm25_fuzzy2  # ES AUTO 2-edit tier
     q["engine_bm25_explain"] = _engine_bm25_explain  # Lucene explain()
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_bm25_page_after"] = _engine_bm25_page_after  # cursor paging
@@ -1677,6 +1836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_span_first"] = _engine_span_first  # term in the lede
     q["engine_multi_terms"] = _engine_multi_terms  # compound-key buckets
     q["engine_top_metrics"] = _engine_top_metrics  # metrics of top-sorted
+    q["engine_multi_match"] = _engine_multi_match  # best_fields title^2+body
+    q["engine_index_stats"] = _engine_index_stats  # committed-artifact audit
+    q["engine_term_vectors"] = _engine_term_vectors  # per-doc tf + df
+    q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
@@ -1710,6 +1873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_merged"] = _engine_bm25_merged  # shard merge == full build
     q["lsh_ann_topk"] = _lsh_ann
     q["ann_cosine_batch"] = _ann_cosine_batch  # batched surface vs twin
+    q["ann_cosine_filtered"] = _ann_cosine_filtered  # kNN metadata filter
     q["lsh_ann_batch"] = _lsh_ann_batch
     q["token_count"] = _token_count  # DataFrame API vs the SQL twin
     q["ivf_ann_topk"] = _ivf_ann  # IVF scale path vs the SQL twin
@@ -1761,6 +1925,11 @@ def oracle_sql() -> dict[str, str]:
     o["engine_span_first"] = o["span_first"]
     o["engine_multi_terms"] = o["multi_terms"]
     o["engine_top_metrics"] = o["top_metrics"]
+    o["engine_bm25_fuzzy2"] = o["bm25_fuzzy2"]
+    o["engine_multi_match"] = o["multi_match"]
+    o["engine_index_stats"] = o["index_stats"]
+    o["engine_term_vectors"] = o["term_vectors"]
+    o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]
     o["engine_bm25_fnscore"] = o["fn_score"]

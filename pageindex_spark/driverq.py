@@ -1899,6 +1899,106 @@ select query_id, rank, doc_id, sort_key, metric from ranked where rank <= {size}
 """
 
 
+# multi_match (best_fields): the synthetic "title" field is the first
+# MM_TITLE_LEN tokens of each doc; title^2, tie_breaker exactly
+# representable so the combination is two IEEE ops in both engines.
+MM_TITLE_LEN = 8
+MM_TITLE_BOOST = 2.0
+MM_TIE_BREAKER = 0.25
+
+
+def _multi_match_sql(d: _Dialect, k: int = 10) -> str:
+    """Multi-match twin (plans/query.py ``search_multi_field``): BM25 over
+    the body AND over the first-MM_TITLE_LEN-token title slice — each
+    field with its OWN df/avgdl statistics (the whole point of
+    best_fields) — combined per doc as best + tie_breaker * (sum - best)
+    over the boosted per-field scores."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+body_score as (select query_id, doc_id, sum(w) as s from contrib group by query_id, doc_id),
+ttoks as (select doc_id, {d.head_slice('terms', MM_TITLE_LEN)} as terms from toks),
+t_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from ttoks),
+t_corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from t_stats),
+t_occ as (select doc_id, {d.unnest('terms')} as term from ttoks),
+t_postings as (select term, doc_id, cast(count(*) as bigint) as tf from t_occ group by term, doc_id),
+t_dfreq as (select term, cast(count(*) as bigint) as df from t_postings group by term),
+t_contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join t_postings p on p.term = q.term
+  join t_dfreq d on d.term = q.term
+  join t_stats s on s.doc_id = p.doc_id
+  cross join t_corpus c
+),
+title_score as (select query_id, doc_id, sum(w) as s from t_contrib group by query_id, doc_id),
+per_field as (
+  select query_id, doc_id, s * 1.0 as s from body_score
+  union all
+  select query_id, doc_id, s * {MM_TITLE_BOOST} as s from title_score
+),
+comb as (
+  select query_id, doc_id,
+         cast(floor((max(s) + {MM_TIE_BREAKER} * (sum(s) - max(s))) * 1000000) as bigint) as final6,
+         cast(floor(max(s) * 1000000) as bigint) as best6
+  from per_field group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, final6, best6,
+         row_number() over (partition by query_id order by final6 desc, doc_id asc) as rank
+  from comb
+)
+select query_id, rank, doc_id, final6, best6 from ranked where rank <= {k}
+"""
+
+
+def _index_stats_sql(d: _Dialect) -> str:
+    """Index-stats twin (plans/hits.py ``index_stats``): the corpus
+    RECOUNT the committed-artifact report must equal — doc count, distinct
+    vocabulary, exact token total, floor(avgdl*1e6), zero tombstones."""
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+ds as (select cast(count(*) as bigint) as n_docs,
+              cast(sum({d.size('terms')}) as bigint) as total_tokens from toks),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+vt as (select cast(count(distinct term) as bigint) as n_terms from occ)
+select ds.n_docs, vt.n_terms, ds.total_tokens,
+       cast(floor(cast(ds.total_tokens as double) / cast(ds.n_docs as double) * 1000000) as bigint) as avgdl6,
+       cast(0 as bigint) as n_deleted
+from ds cross join vt
+"""
+
+
+# _termvectors doc set: the first five docs.
+TV_DOC_IDS = (0, 1, 2, 3, 4)
+
+
+def _term_vectors_sql(d: _Dialect) -> str:
+    """Term-vectors twin (plans/hits.py ``term_vectors``): per requested
+    doc every contained term with in-doc tf and corpus-wide df."""
+    ids = ", ".join(str(i) for i in TV_DOC_IDS)
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term)
+select p.doc_id, p.term, p.tf, f.df
+from postings p join dfreq f on f.term = p.term
+where p.doc_id in ({ids})
+"""
+
+
+# _reindex subset predicate: even doc_ids (urls are zero-padded doc_ids, so
+# the engine filters on the url's parity).
+REINDEX_PRED = "doc_id % 2 = 0"
+
+
 SIG_SAMPLE_HEX = "0123456789a"
 
 
@@ -2460,6 +2560,36 @@ select query_id, rank, vec_id, cos6 from ranked where rank <= 10
 """
 
 
+# Filtered kNN (ES knn `filter`): candidates restricted to one metadata
+# label BEFORE scoring; query vectors stay unfiltered.
+ANN_FILTER_LABEL = 3
+
+
+def _ann_filtered_sql(d: _Dialect, label: int = ANN_FILTER_LABEL) -> str:
+    """Filtered-ANN twin: exact cosine top-k over ONLY the corpus rows
+    whose metadata label matches — the ES kNN pre-filter semantics (filter
+    restricts candidates; top-k ranks the survivors, never post-filters a
+    fixed candidate list down to < k)."""
+    dot = d.dot("q.qe", "c.ce")
+    nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
+    nc = f"sqrt({d.dot('c.ce', 'c.ce')})"
+    return f"""
+with q as (select vec_id as query_id, embedding as qe from embeddings where vec_id < 5),
+c as (select vec_id, embedding as ce from embeddings where label = {label}),
+scored as (
+  select q.query_id, c.vec_id,
+         cast(floor(({dot}) / (({nq}) * ({nc})) * 1000000) as bigint) as cos6
+  from q join c on q.query_id <> c.vec_id
+),
+ranked as (
+  select query_id, vec_id, cos6,
+         row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+  from scored
+)
+select query_id, rank, vec_id, cos6 from ranked where rank <= 10
+"""
+
+
 def _lsh_ann_sql(d: _Dialect, qpred: str = "vec_id < 5") -> str:
     """SQL twin of ``operators.similarity.lsh_ann_topk``: the seeded random
     hyperplanes are emitted as literal double arrays (cast-from-string so both
@@ -2684,6 +2814,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # 1-edit vocabulary corrections by (dist, df desc, term).
     pairs["spell_suggest"] = both(_suggest_spell_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
+    # fuzziness=2 (the ES AUTO tier for terms >= 6 chars): same rewrite,
+    # wider dictionary expansion — query 5's far token still matches nothing.
+    pairs["bm25_fuzzy2"] = both(lambda d: _bm25_fuzzy_sql(d, 2))
     # regexp term queries (plans/query.py search_regexp): full-term
     # anchored vocabulary expansion -> OR scoring.
     pairs["bm25_regexp"] = both(_bm25_regexp_sql)
@@ -2790,6 +2923,21 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # top_metrics (plans/hits.py top_metrics): metric values from the
     # size docs with the largest sort field — ES top_metrics aggregation.
     pairs["top_metrics"] = both(_top_metrics_sql)
+    # multi_match best_fields (plans/query.py search_multi_field): body +
+    # first-8-token title, each with its own statistics, dis_max-combined.
+    pairs["multi_match"] = both(_multi_match_sql)
+    # index stats (plans/hits.py index_stats): the corpus recount that the
+    # committed-artifact report must reproduce — ES _stats class.
+    pairs["index_stats"] = both(_index_stats_sql)
+    # term vectors (plans/hits.py term_vectors): per-doc tf + corpus df —
+    # ES _termvectors with term_statistics.
+    pairs["term_vectors"] = both(_term_vectors_sql)
+    # reindex (plans/build_index.py reindex): BM25 over the even-doc_id
+    # subset — the fresh-build-from-committed-extracts path must reproduce
+    # a direct build over the filtered corpus, which this twin models.
+    pairs["bm25_reindexed"] = both(
+        lambda d: _bm25_sql(d, corpus_pred=REINDEX_PRED)
+    )
     # bucketed stats (plans/hits.py facet_stats): match_stats per
     # (query, lang bucket) — ES terms agg + stats sub-agg.
     pairs["facet_stats"] = both(_facet_stats_sql)
@@ -2879,6 +3027,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     _BATCH_QPRED = "vec_id % 97 = 3"
     pairs["ann_cosine_batch"] = both(lambda d: _ann_sql(d, _BATCH_QPRED))
     pairs["lsh_ann_batch"] = both(lambda d: _lsh_ann_sql(d, _BATCH_QPRED))
+    # filtered kNN (ES knn filter): the metadata predicate restricts
+    # CANDIDATES before scoring — queries() composes the same filter in
+    # front of cosine_topk_batch (Catalyst pushes it to the parquet scan).
+    pairs["ann_cosine_filtered"] = both(_ann_filtered_sql)
     # IVF scale path + embedding-cosine near-dup (round 5): queries()
     # overrides the Spark side with the DataFrame operators.
     pairs["ivf_ann_topk"] = both(_ivf_ann_sql)

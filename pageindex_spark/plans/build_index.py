@@ -382,6 +382,73 @@ def build_index(
     return paths
 
 
+def reindex(
+    spark: SparkSession,
+    src_index_dir: str,
+    out_dir: str,
+    predicate=None,
+    **build_kwargs,
+) -> str:
+    """Reindex (Elasticsearch ``_reindex``): build a FRESH index from a
+    COMMITTED index's own extracts — optionally filtered — without touching
+    the original corpus files. The canonical uses: carve a subset index
+    (tenant split, time-range archive), or re-tighten an index whose grid
+    accumulated tombstones (reindex skips deleted docs, so the fresh index
+    has a clean grid, exact stats and no masked slots — the from-scratch
+    sibling of ``expunge``'s in-place rewrite).
+
+    Source of truth is ``docs_extracted`` (the committed extract — NOT the
+    original input path, which may have changed since; the committed bytes
+    are what the old index answered queries from). ``predicate`` is any
+    Spark Column over (url, text); Catalyst pushes eligible predicates to
+    the extract scan. Tombstoned docs are dropped via one broadcast-class
+    anti-join on the docID grid (deleted sets are O(percent) of docs —
+    plans/deletes.py scale note), then the standard ``build_index`` runs:
+    fresh range boundaries, fresh stats, fresh grid — rank/score identical
+    to building from the original subset because extraction is
+    byte-identical and docID order == url order in both paths (pinned by
+    tests/test_engine_e2e.py::test_reindex_equals_direct_build)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from .query import get_searcher
+
+    # open through the Searcher: recover_expunge runs at every index open
+    # (journaled-swap recovery — required of any new reader entry point),
+    # and the tombstone set arrives already loaded.
+    se = get_searcher(spark, src_index_dir, cell_parts=4)
+    meta = se.meta
+    docs = spark.read.parquet(se.paths.docs_extracted)
+    deleted = se.deleted_ids
+    if deleted is not None and len(deleted):
+        grid = np.asarray(meta["grid"], dtype=np.int64)
+        starts = {int(p): int(s) for p, s in enumerate(grid)}
+        start_col = F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in starts.items() for x in kv]
+            ),
+            F.col("part_id").cast("int"),
+        )
+        dead = spark.createDataFrame(
+            [(int(x),) for x in deleted], "docid long"
+        )
+        docs = (
+            docs.withColumn("docid", start_col + F.col("local_pos"))
+            .join(F.broadcast(dead), "docid", "left_anti")
+            .drop("docid")
+        )
+    corpus = docs.select("url", "text")
+    if predicate is not None:
+        corpus = corpus.filter(predicate)
+    defaults = dict(
+        num_partitions=int(meta["num_partitions"]),
+        n_buckets=int(meta["n_buckets"]),
+    )
+    defaults.update(build_kwargs)
+    build_index(spark, corpus, out_dir, **defaults)
+    return out_dir
+
+
 def _wipe_stale_outputs(
     spark: SparkSession, paths: IndexPaths, iceberg_table: str | None
 ) -> None:

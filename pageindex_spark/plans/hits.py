@@ -795,6 +795,112 @@ def top_metrics(
     )
 
 
+def index_stats(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Committed-index statistics report (Elasticsearch ``_stats`` /
+    ``_segments`` class) -> ONE row (n_docs, n_terms, total_tokens,
+    avgdl6, n_deleted): doc count, distinct vocabulary size, exact total
+    token count, floor(avgdl * 1e6) and live tombstone count — all from
+    the COMMITTED artifacts, never by re-tokenizing the corpus. That is
+    the point of the surface: run it against a corpus recount (the SQL
+    twin does exactly that) and any drift means the index no longer
+    represents its source.
+
+    Plan: three column-pruned parquet aggregations — count+sum(doc_len)
+    over docs_extracted (the committed extract is the doc-grid source of
+    truth), count over term_stats (filtered to the LATEST committed delta
+    for streamed indexes — each delta holds a full recompute), tombstones
+    from the Searcher's already-loaded delete set. All map-side-combined
+    single-number aggs; nothing O(index) ever reaches the driver. Counts
+    are over the committed grid (expunge never renumbers; tombstoned docs
+    stay counted in n_docs and subtracted via n_deleted — matching how
+    the scorer sees the index: avgdl stays the BUILD-time value until
+    expunge)."""
+    se = get_searcher(spark, index_dir, cell_parts=4)
+    docs = spark.read.parquet(se.paths.docs_extracted).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_len").alias("total_tokens"),
+    )
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    terms = ts.agg(F.count("*").alias("n_terms"))
+    n_del = int(len(se.deleted_ids)) if se.deleted_ids is not None else 0
+    return (
+        docs.crossJoin(terms)
+        .withColumn(
+            "avgdl6",
+            F.floor(
+                F.col("total_tokens").cast("double")
+                / F.col("n_docs").cast("double")
+                * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn("n_deleted", F.lit(n_del).cast("long"))
+        .select("n_docs", "n_terms", "total_tokens", "avgdl6", "n_deleted")
+    )
+
+
+def term_vectors(
+    spark: SparkSession,
+    index_dir: str,
+    urls: list[str],
+) -> DataFrame:
+    """Term vectors (Elasticsearch ``_termvectors`` with
+    ``term_statistics=true``) -> (url, term, tf, df): for each requested
+    LIVE doc, every term it contains with its in-doc frequency and the
+    corpus-wide document frequency — the per-document introspection
+    surface (relevance debugging, "why does this doc score like that",
+    feature extraction for rerankers). Tombstoned docs return no rows
+    (ES 404s deleted docs; same exclusion contract as every reader).
+
+    Plan: the extracts scan is filtered to the requested urls (pushed In
+    predicate — a handful of row groups at any corpus size), tf is one
+    codegen tokenize + explode + map-side-combined groupBy over ONLY
+    those docs, and df comes from the COMMITTED term_stats relation
+    (latest delta for streamed indexes) via a broadcast of the tiny tf
+    side — the vocabulary-sized side never shuffles. Every committed
+    term has a term_stats row (the builder derives both from the same
+    postings), so the inner join keeps exactly the doc's terms."""
+    if not urls:
+        raise ValueError("term_vectors needs >= 1 url")
+    from ..functions.sqlglue import spark_terms
+
+    se = get_searcher(spark, index_dir, cell_parts=4)
+    docs = spark.read.parquet(se.paths.docs_extracted).filter(
+        F.col("url").isin(list(urls))
+    )
+    if se.deleted_ids is not None and len(se.deleted_ids):
+        grid = se.grid_parts
+        starts = {int(p): int(s) for p, s in enumerate(grid)}
+        start_col = F.element_at(
+            F.create_map(*[F.lit(x) for kv in starts.items() for x in kv]),
+            F.col("part_id").cast("int"),
+        )
+        dead = spark.createDataFrame(
+            [(int(x),) for x in se.deleted_ids], "docid long"
+        )
+        docs = (
+            docs.withColumn("docid", start_col + F.col("local_pos"))
+            .join(F.broadcast(dead), "docid", "left_anti")
+            .drop("docid")
+        )
+    tf = (
+        docs.select(
+            "url", F.explode(F.expr(spark_terms("text"))).alias("term")
+        )
+        .groupBy("url", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    return (
+        ts.select("term", F.col("df").cast("long").alias("df"))
+        .join(F.broadcast(tf), "term")
+        .select("url", "term", "tf", "df")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -661,6 +661,99 @@ def search_span_first(
     )
 
 
+def search_multi_field(
+    spark: SparkSession,
+    fields: list[tuple[str, float]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Multi-field retrieval (Elasticsearch ``multi_match`` with
+    ``best_fields``, the default type): the same query scored against
+    SEVERAL per-field indexes — e.g. title^2 and body — combined per doc
+    as ``best + tie_breaker * (sum - best)`` over the per-field boosted
+    BM25 scores -> (query_id, rank, url, final6, best6). ``fields`` rows
+    are (index_dir, boost); each field is its own committed index over
+    the SAME url space (this engine's analogue of Lucene's per-field
+    inverted lists — every field keeps its OWN df/avgdl statistics, which
+    is exactly what makes best_fields beat naive field concatenation).
+    A doc matching in only one field still ranks (per-field OR semantics
+    survive the combination). tie_breaker=0 is pure dis_max across
+    fields; 1 sums the fields.
+
+    Plan: ONE exhaustive raw-score kernel per field (the standard pruned
+    scan — fields run independently, so a 100-TB body index and a 100-GB
+    title index each prune to their own touched cells), each field's
+    (query, doc) scores joined to its OWN extracts for the url key
+    (grids may differ across indexes — url is the cross-field identity,
+    the engine's standing docID==url-order invariant), boosted, then one
+    UNION + map-side-combined groupBy(query, url) for max/sum. Ranking
+    is two-phase over a url-hash bucket (per-bucket top-k, global rank
+    over survivors — never a global sort; the part grids differ across
+    fields so the hash bucket replaces part_id as the skew shield).
+    Pick boosts and tie_breaker exactly representable (0.25, 0.5, 2.0):
+    the combination is then two IEEE ops both engines round identically
+    (per-doc per-field addends are commutative at 2 fields; beyond ~3
+    fields sub-1e-6 sum-order wobble can flip floor ties).
+    Exclusion contract applies pre-heap inside each field's kernel."""
+    if not fields:
+        raise ValueError("multi_match needs >= 1 field")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    for idx, boost in fields:
+        if boost <= 0:
+            raise ValueError(f"field {idx}: boost must be > 0, got {boost}")
+    per_field: list[DataFrame] = []
+    for index_dir, boost in fields:
+        se = get_searcher(spark, index_dir, cell_parts)
+        scored, parts = _search_impl(
+            se, queries, k, "dense", fixed_point=True, raw_scored=True
+        )
+        ext = spark.read.parquet(se.paths.docs_extracted).select(
+            F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+        )
+        if parts is not None and 2 * len(parts) < len(se.grid_parts):
+            ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+        per_field.append(
+            scored.join(ext, ["part_id", "local_pos"]).select(
+                "query_id",
+                "url",
+                (F.col("score") * F.lit(float(boost))).alias("s"),
+            )
+        )
+    unioned = per_field[0]
+    for df in per_field[1:]:
+        unioned = unioned.unionByName(df)
+    agg = (
+        unioned.groupBy("query_id", "url")
+        .agg(F.max("s").alias("mx"), F.sum("s").alias("sm"))
+        .withColumn(
+            "final6",
+            F.floor(
+                (
+                    F.col("mx")
+                    + F.lit(float(tie_breaker)) * (F.col("sm") - F.col("mx"))
+                )
+                * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn("best6", F.floor(F.col("mx") * 1_000_000).cast("long"))
+    )
+    order = (F.desc("final6"), F.asc("url"))
+    w_bkt = Window.partitionBy(
+        "query_id", F.pmod(F.crc32(F.col("url")), F.lit(32))
+    ).orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        agg.withColumn("pr", F.row_number().over(w_bkt))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "final6", "best6")
+    )
+
+
 def _expand_prefixes(
     se: Searcher, stems: list[str], max_expansions: int
 ) -> dict[str, list[str]]:

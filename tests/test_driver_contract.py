@@ -75,6 +75,7 @@ def test_pair_matches(name, sviews, duck):
     "name",
     [
         "lsh_ann_topk",
+        "ann_cosine_filtered",
         "lsh_jaccard",
         "media_features",
         "frame_sample",
@@ -96,6 +97,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_wildcard",
         "engine_bm25_boost",
         "engine_bm25_fuzzy",
+        "engine_bm25_fuzzy2",
         "engine_bm25_explain",
         "engine_bm25_page",
         "engine_match_stats",
@@ -115,6 +117,10 @@ def test_pair_matches(name, sviews, duck):
         "engine_span_first",
         "engine_multi_terms",
         "engine_top_metrics",
+        "engine_multi_match",
+        "engine_index_stats",
+        "engine_term_vectors",
+        "engine_bm25_reindexed",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
         "engine_bm25_fnscore",

@@ -2342,6 +2342,205 @@ def test_top_metrics_matches_python(spark, built_index, sf_unit_dir):
         top_metrics(spark, built_index, make_queries(), dim, size=0)
 
 
+def test_multi_field_matches_python(spark, built_index, sf_unit_dir):
+    """search_multi_field vs brute force: body^1 + first-8-token title^2,
+    each field with its OWN BM25 statistics, combined best + tb*(sum-best).
+    The title boost must actually change some query's top-10 vs body-only
+    (non-vacuity), and the guards raise."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_multi_field
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    title_rows = [(u, " ".join(tokenize(t)[:8])) for u, t in rows]
+    oi_body = OracleIndex(rows)
+    oi_title = OracleIndex(title_rows)
+    tb, boost = 0.25, 2.0
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+    want: dict[int, list] = {}
+    changed = False
+    for qid, text in make_queries():
+        per: dict[str, list[float]] = {}
+        for oi, b in ((oi_body, 1.0), (oi_title, boost)):
+            for d, s in oi.score_all(text).items():
+                per.setdefault(oi.urls[d], []).append(s * b)
+        scored = []
+        for u, ss in per.items():
+            mx = max(ss)
+            scored.append((f6(mx + tb * (sum(ss) - mx)), f6(mx), u))
+        scored.sort(key=lambda t: (-t[0], t[2]))
+        want[qid] = [
+            (r + 1, u, fi, bs) for r, (fi, bs, u) in enumerate(scored[:10])
+        ]
+        body_only = sorted(
+            ((f6(s), oi_body.urls[d]) for d, s in oi_body.score_all(text).items()),
+            key=lambda t: (-t[0], t[1]),
+        )[:10]
+        if [u for _r, u, _f, _b in want[qid]] != [u for _s, u in body_only]:
+            changed = True
+    title_dir = "/root/repo/data/index-sf-unit-title"
+    shutil.rmtree(title_dir, ignore_errors=True)
+    from pageindex_spark.functions.sqlglue import spark_terms
+
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    title = docs.select(
+        "url",
+        F.concat_ws(
+            " ", F.slice(F.expr(spark_terms("text")), 1, 8)
+        ).alias("text"),
+    )
+    build_index(
+        spark, title, title_dir,
+        num_partitions=8, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+    )
+    out = search_multi_field(
+        spark,
+        [(built_index, 1.0), (title_dir, boost)],
+        make_queries(),
+        k=10,
+        tie_breaker=tb,
+    )
+    got: dict[int, list] = {}
+    for r in sorted(out.collect(), key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], r["final6"], r["best6"])
+        )
+    assert got == {q: w for q, w in want.items() if w}
+    assert changed, "title field never changed a top-10 — boost vacuous"
+    with pytest.raises(ValueError):
+        search_multi_field(spark, [], make_queries())
+    with pytest.raises(ValueError):
+        search_multi_field(spark, [(built_index, 0.0)], make_queries())
+    with pytest.raises(ValueError):
+        search_multi_field(
+            spark, [(built_index, 1.0)], make_queries(), tie_breaker=1.5
+        )
+    shutil.rmtree(title_dir, ignore_errors=True)
+
+
+def test_index_stats_matches_recount(spark, built_index, sf_unit_dir):
+    """index_stats (committed artifacts) vs a direct corpus recount: doc
+    count, vocabulary size, exact token total, floor(avgdl*1e6), zero
+    tombstones on a fresh build."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.plans.hits import index_stats
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    toks = [tokenize(t) for t in tbl["text"].to_pylist()]
+    n_docs = len(toks)
+    total = sum(len(t) for t in toks)
+    vocab = len({x for t in toks for x in t})
+    row = index_stats(spark, built_index).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert (
+        r["n_docs"], r["n_terms"], r["total_tokens"], r["avgdl6"], r["n_deleted"]
+    ) == (n_docs, vocab, total, math.floor(total / n_docs * 1_000_000), 0)
+
+
+def test_reindex_equals_direct_build(spark, built_index, sf_unit_dir):
+    """reindex (fresh build from the COMMITTED extracts) == a direct build
+    over the same filtered corpus: identical top-10 ranks and fixed-point
+    scores for every query. With tombstones in the source, reindex drops
+    the deleted docs (fresh clean grid) and matches a direct build over
+    corpus-minus-deleted."""
+    import math
+
+    from pageindex_spark import search
+    from pageindex_spark.plans.build_index import reindex
+    from pageindex_spark.plans.deletes import delete_docs
+    from pageindex_spark.plans.hits import index_stats
+
+    base = "/root/repo/data/reindex-test"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    pred = F.substring(F.col("url"), -1, 1).isin(["0", "2", "4", "6", "8"])
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+
+    def top(idx):
+        return [
+            (r["query_id"], r["rank"], r["url"], f6(r["score"]))
+            for r in search(
+                spark, idx, make_queries(), k=10, mode="bmw", fixed_point=True
+            ).collect()
+        ]
+
+    reindex(spark, built_index, f"{base}/sub", predicate=pred,
+            num_partitions=4)
+    build_index(
+        spark, docs.filter(pred).select("url", "text"), f"{base}/direct",
+        num_partitions=4, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+    )
+    assert sorted(top(f"{base}/sub")) == sorted(top(f"{base}/direct"))
+    # tombstoned source: reindex skips deleted docs and re-tightens stats
+    dead = [r["url"] for r in docs.select("url").orderBy("url").limit(2).collect()]
+    shutil.copytree(built_index, f"{base}/src2")
+    delete_docs(spark, f"{base}/src2", dead)
+    reindex(spark, f"{base}/src2", f"{base}/clean", num_partitions=4)
+    build_index(
+        spark,
+        docs.filter(~F.col("url").isin(dead)).select("url", "text"),
+        f"{base}/direct2",
+        num_partitions=4, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+    )
+    assert sorted(top(f"{base}/clean")) == sorted(top(f"{base}/direct2"))
+    st = index_stats(spark, f"{base}/clean").collect()[0]
+    n_docs = docs.count()
+    assert (st["n_docs"], st["n_deleted"]) == (n_docs - 2, 0)
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_term_vectors_matches_python(spark, built_index, sf_unit_dir):
+    """term_vectors vs brute force: per requested doc every term with its
+    in-doc tf and corpus df. A tombstoned doc returns NO rows while other
+    requested docs keep theirs; the empty-urls guard raises."""
+    from collections import Counter
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.plans.deletes import delete_docs
+    from pageindex_spark.plans.hits import term_vectors
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    df = Counter(t for _u, x in rows for t in set(tokenize(x)))
+    urls = [rows[0][0], rows[5][0], rows[17][0]]
+    want = {}
+    for u, t in rows:
+        if u in urls:
+            for term, tf in Counter(tokenize(t)).items():
+                want[(u, term)] = (tf, df[term])
+    got = {
+        (r["url"], r["term"]): (r["tf"], r["df"])
+        for r in term_vectors(spark, built_index, urls).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        term_vectors(spark, built_index, [])
+    # tombstoned doc -> no rows; others unaffected
+    cpy = "/root/repo/data/tv-del-test"
+    shutil.rmtree(cpy, ignore_errors=True)
+    shutil.copytree(built_index, cpy)
+    delete_docs(spark, cpy, [urls[0]])
+    got2 = {
+        (r["url"], r["term"]): (r["tf"], r["df"])
+        for r in term_vectors(spark, cpy, urls).collect()
+    }
+    assert got2 == {k: v for k, v in want.items() if k[0] != urls[0]}
+    shutil.rmtree(cpy, ignore_errors=True)
+
+
 def test_terms_set_matches_python(spark, built_index, sf_unit_dir):
     """search_terms_set vs brute force: docs survive when their distinct
     matched-term count meets the per-doc threshold (len(text) % 3 + 1),

@@ -339,3 +339,23 @@ def test_single_lineage_plans_no_duplicate_kernels(spark, index_dir):
     # guards against duplicated both subtrees
     assert plan.count("Scan ExistingRDD") == 1
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_filtered_ann_pushes_label_to_scan(spark):
+    """The filtered-kNN composition must reach the parquet scan: the label
+    predicate shows in PushedFilters (candidates restricted BEFORE any dot
+    product — the ES knn `filter` semantics at scan level), and the
+    broadcast of the small query side still plans."""
+    from pageindex_spark.operators.similarity import cosine_topk_batch
+
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk_batch(vecs.filter(F.col("label") == 3), queries, k=10)
+    plan = _explain(out)
+    pushed = [
+        ln for ln in plan.split("\n") if "PushedFilters" in ln and "label" in ln
+    ]
+    assert pushed, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
