@@ -614,6 +614,32 @@ def _engine_date_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-interval histogram (round 5, plans/hits.py
+    auto_date_histogram): per-query interval from the span ladder over the
+    deterministic doc date. Must reproduce the auto_date_histogram SQL
+    exactly."""
+    from pageindex_spark.driverq import (
+        AUTO_HISTO_TARGET,
+        DATE_DIM_EPOCH,
+        DATE_DIM_MOD,
+    )
+    from pageindex_spark.plans.hits import auto_date_histogram
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return auto_date_histogram(
+        spark, index_dir, BM25_QUERIES, dim, target_buckets=AUTO_HISTO_TARGET
+    )
+
+
 def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear decay scoring (round 5, plans/query.py search_function_score
     with a decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
@@ -970,6 +996,61 @@ def _engine_bm25_reindexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank",
         F.col("url").cast("bigint").alias("doc_id"),
         F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _geo_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, lat, lon) dimension from the shared deterministic derivation
+    (sqlglue GEO_LAT/GEO_LON over doc_id) — the twins compute the same."""
+    from pageindex_spark.functions.sqlglue import GEO_LAT, GEO_LON
+
+    return _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.expr(GEO_LAT.format(id="doc_id")).alias("lat"),
+        F.expr(GEO_LON.format(id="doc_id")).alias("lon"),
+    )
+
+
+def _engine_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-distance sort (round 5, plans/hits.py geo_distance_topk): the
+    10 nearest matching docs to GEO_ORIGIN by haversine km. Must reproduce
+    the geo_distance SQL exactly."""
+    from pageindex_spark.driverq import GEO_ORIGIN
+    from pageindex_spark.plans.hits import geo_distance_topk
+
+    index_dir = _engine_index(spark, sf_dir)
+    out = geo_distance_topk(
+        spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir), GEO_ORIGIN
+    )
+    return out.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "dist6",
+    )
+
+
+def _engine_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box filter count (round 5, plans/hits.py
+    geo_bounding_box_count). Must reproduce the geo_bbox SQL exactly."""
+    from pageindex_spark.driverq import GEO_BOX
+    from pageindex_spark.plans.hits import geo_bounding_box_count
+
+    index_dir = _engine_index(spark, sf_dir)
+    return geo_bounding_box_count(
+        spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir), GEO_BOX
+    )
+
+
+def _engine_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotile-grid aggregation (round 5, plans/hits.py geotile_grid) at
+    GEO_ZOOM. Must reproduce the geotile_grid SQL exactly."""
+    from pageindex_spark.driverq import GEO_ZOOM
+    from pageindex_spark.plans.hits import geotile_grid
+
+    index_dir = _engine_index(spark, sf_dir)
+    return geotile_grid(
+        spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir), zoom=GEO_ZOOM
     )
 
 
@@ -1825,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_match_missing"] = _engine_match_missing  # missing agg
     q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
     q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
+    q["engine_auto_histogram"] = _engine_auto_histogram  # span-ladder agg
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
     q["engine_dis_max"] = _engine_dis_max  # disjunction max
     q["engine_boosting"] = _engine_boosting  # negative-match demotion
@@ -1839,6 +1921,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_multi_match"] = _engine_multi_match  # best_fields title^2+body
     q["engine_index_stats"] = _engine_index_stats  # committed-artifact audit
     q["engine_term_vectors"] = _engine_term_vectors  # per-doc tf + df
+    q["engine_geo_distance"] = _engine_geo_distance  # nearest matches
+    q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
+    q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
@@ -1914,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_match_missing"] = o["match_missing"]
     o["engine_date_histogram"] = o["date_histogram"]
     o["engine_date_pipeline"] = o["date_pipeline"]
+    o["engine_auto_histogram"] = o["auto_date_histogram"]
     o["engine_fn_decay"] = o["fn_decay"]
     o["engine_dis_max"] = o["dis_max"]
     o["engine_boosting"] = o["boosting"]
@@ -1929,6 +2015,9 @@ def oracle_sql() -> dict[str, str]:
     o["engine_multi_match"] = o["multi_match"]
     o["engine_index_stats"] = o["index_stats"]
     o["engine_term_vectors"] = o["term_vectors"]
+    o["engine_geo_distance"] = o["geo_distance"]
+    o["engine_geo_bbox"] = o["geo_bbox"]
+    o["engine_geotile"] = o["geotile_grid"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]

@@ -1999,6 +1999,128 @@ where p.doc_id in ({ids})
 REINDEX_PRED = "doc_id % 2 = 0"
 
 
+# Geo family: deterministic synthetic (lat, lon) from doc_id (sqlglue
+# GEO_LAT/GEO_LON), a fixed origin, an inclusive bounding box, and the
+# slippy-map zoom for the tile-grid agg.
+GEO_ORIGIN = (37.77, -122.42)
+GEO_BOX = (-30.0, -60.0, 45.0, 90.0)
+GEO_ZOOM = 3
+
+
+def _geo_keyed_cte(d: _Dialect) -> str:
+    """Shared lat/lon derivation over the match set (after _matched_cte)."""
+    from .functions.sqlglue import GEO_LAT, GEO_LON
+
+    lat = GEO_LAT.format(id="m.doc_id")
+    lon = GEO_LON.format(id="m.doc_id")
+    return f""", keyed as (
+  select m.query_id, m.doc_id, {lat} as lat, {lon} as lon from matched m
+)"""
+
+
+def _geo_distance_sql(d: _Dialect, k: int = 10) -> str:
+    """Geo-distance twin (plans/hits.py ``geo_distance_topk``): the k
+    matching docs nearest GEO_ORIGIN by haversine km (the SAME sqlglue
+    expression text the engine evaluates), doc_id-asc ties."""
+    from .functions.sqlglue import HAVERSINE_KM
+
+    dist = HAVERSINE_KM.format(
+        lat1=repr(float(GEO_ORIGIN[0])),
+        lon1=repr(float(GEO_ORIGIN[1])),
+        lat2="lat",
+        lon2="lon",
+    )
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)},
+dists as (
+  select query_id, doc_id,
+         cast(floor(({dist}) * 1000000) as bigint) as dist6
+  from keyed
+),
+ranked as (
+  select query_id, doc_id, dist6,
+         row_number() over (partition by query_id order by dist6 asc, doc_id asc) as rank
+  from dists
+)
+select query_id, rank, doc_id, dist6 from ranked where rank <= {k}
+"""
+
+
+def _geo_bbox_sql(d: _Dialect) -> str:
+    """Bounding-box twin (plans/hits.py ``geo_bounding_box_count``):
+    matches inside the inclusive GEO_BOX rectangle, counted per query."""
+    min_lat, min_lon, max_lat, max_lon = GEO_BOX
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)}
+select query_id, cast(count(*) as bigint) as n_in_box
+from keyed
+where lat between {min_lat!r} and {max_lat!r}
+  and lon between {min_lon!r} and {max_lon!r}
+group by query_id
+"""
+
+
+def _geotile_sql(d: _Dialect, zoom: int = GEO_ZOOM) -> str:
+    """Geotile-grid twin (plans/hits.py ``geotile_grid``): slippy z/x/y
+    tile buckets over the match set at GEO_ZOOM."""
+    from .functions.sqlglue import GEOTILE_X, GEOTILE_Y
+
+    n = 1 << zoom
+    s = d.str_type()
+    tx = f"cast(({GEOTILE_X.format(lon='lon', n=n)}) as {s})"
+    ty = f"cast(({GEOTILE_Y.format(lat='lat', n=n)}) as {s})"
+    tile = d.concat(f"'{zoom}/'", tx, "'/'", ty)
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)}
+select query_id, {tile} as tile, cast(count(*) as bigint) as n_docs
+from keyed
+group by query_id, {tile}
+"""
+
+
+# auto_date_histogram bucket target (the ladder thresholds are target and
+# target*31 days; the 400-day synthetic spans land every flagship query on
+# 'month' here — the e2e pytest exercises all three ladder rungs).
+AUTO_HISTO_TARGET = 20
+
+
+def _auto_date_histo_sql(d: _Dialect, target: int = AUTO_HISTO_TARGET) -> str:
+    """Auto-interval histogram twin (plans/hits.py ``auto_date_histogram``):
+    per-query interval from the deterministic {day, month, year} ladder
+    over the matched date span, buckets formatted per the chosen rung."""
+    day = f"cast(m.doc_id % {DATE_DIM_MOD} as int)"
+    if d.duck:
+        dd = f"(date '{DATE_DIM_EPOCH}' + {day})"
+        span = "date_diff('day', min(dd), max(dd))"
+        fd, fm, fy = (
+            "strftime(dd, '%Y-%m-%d')",
+            "strftime(dd, '%Y-%m')",
+            "strftime(dd, '%Y')",
+        )
+    else:
+        dd = f"date_add(date '{DATE_DIM_EPOCH}', {day})"
+        span = "datediff(max(dd), min(dd))"
+        fd, fm, fy = (
+            "date_format(dd, 'yyyy-MM-dd')",
+            "date_format(dd, 'yyyy-MM')",
+            "date_format(dd, 'yyyy')",
+        )
+    return f"""{_matched_cte(d)}
+, dated as (select m.query_id, {dd} as dd from matched m),
+spans as (select query_id, {span} + 1 as span from dated group by query_id),
+keyed as (
+  select t.query_id,
+         case when s.span <= {target} then 'day'
+              when s.span <= {target * 31} then 'month'
+              else 'year' end as iv,
+         t.dd
+  from dated t join spans s on s.query_id = t.query_id
+)
+select query_id, iv as interval,
+       case iv when 'day' then {fd} when 'month' then {fm} else {fy} end as bucket,
+       cast(count(*) as bigint) as n_docs
+from keyed
+group by 1, 2, 3
+"""
+
+
 SIG_SAMPLE_HEX = "0123456789a"
 
 
@@ -2932,6 +3054,14 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # term vectors (plans/hits.py term_vectors): per-doc tf + corpus df —
     # ES _termvectors with term_statistics.
     pairs["term_vectors"] = both(_term_vectors_sql)
+    # geo family (plans/hits.py): distance sort, bounding-box filter count,
+    # slippy-tile grid — shared sqlglue expression text in both engines.
+    pairs["geo_distance"] = both(_geo_distance_sql)
+    pairs["geo_bbox"] = both(_geo_bbox_sql)
+    pairs["geotile_grid"] = both(_geotile_sql)
+    # auto_date_histogram (plans/hits.py): per-query interval from the
+    # deterministic span ladder — ES's estimate-based pick made exact.
+    pairs["auto_date_histogram"] = both(_auto_date_histo_sql)
     # reindex (plans/build_index.py reindex): BM25 over the even-doc_id
     # subset — the fresh-build-from-committed-extracts path must reproduce
     # a direct build over the filtered corpus, which this twin models.

@@ -89,6 +89,33 @@ DUCK_FIRST_HIT = (
 SPARK_SNIP = "array_join(slice({tk}, {s}, ({e}) - ({s}) + 1), ' ')"
 DUCK_SNIP = "array_to_string({tk}[({s}):({e})], ' ')"
 
+# -- geo expressions (ONE string, both engines) ------------------------------
+# sin/cos/asin/sqrt/radians/ln/tan/pi/floor spell identically in Spark SQL
+# and DuckDB, so the geo family shares literal expression text: the engine
+# side evaluates these via F.expr and the oracle twins inline the same
+# string — identical operation trees, identical IEEE rounding.
+#
+# Haversine great-circle distance in KM (mean earth radius 6371.0088 km).
+HAVERSINE_KM = (
+    "2.0 * 6371.0088 * asin(sqrt("
+    "sin(radians(({lat2}) - ({lat1})) / 2) * sin(radians(({lat2}) - ({lat1})) / 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * sin(radians(({lon2}) - ({lon1})) / 2) * sin(radians(({lon2}) - ({lon1})) / 2)"
+    "))"
+)
+# Slippy-map (OSM / ES geotile_grid) tile coordinates at zoom {z}.
+GEOTILE_X = "cast(floor((({lon}) + 180.0) / 360.0 * {n}) as bigint)"
+GEOTILE_Y = (
+    "cast(floor((1.0 - ln(tan(radians({lat})) + 1.0 / cos(radians({lat})))"
+    " / pi()) / 2.0 * {n}) as bigint)"
+)
+# Deterministic synthetic geo dimension over an integer id column: 0.01-deg
+# steps over lat [-80, 80) x lon [-180, 180) — inside the slippy-map valid
+# zone (|lat| <= 85.0511; GEOTILE_Y is singular at the poles). Identical
+# integer mod + divide in both engines -> identical doubles.
+GEO_LAT = "(cast(({id}) * 7919 % 16000 as double) / 100.0 - 80.0)"
+GEO_LON = "(cast(({id}) * 104729 % 36000 as double) / 100.0 - 180.0)"
+
 # -- BM25 constants ----------------------------------------------------------
 K1 = "1.2"
 B = "0.75"

@@ -585,6 +585,74 @@ def date_histogram(
     )
 
 
+def auto_date_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    target_buckets: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Auto-interval calendar histogram (Elasticsearch
+    ``auto_date_histogram``) -> (query_id, interval, bucket, n_docs): each
+    query's matched dates bucketed at the COARSEST-NECESSARY calendar
+    interval, chosen PER QUERY from the {day, month, year} ladder by the
+    matched date span: 'day' when span_days <= target_buckets, 'month'
+    when <= target_buckets * 31, else 'year'. The rule is deliberately a
+    deterministic function of (min, max) — ES's own algorithm is
+    estimate-based and documented as approximate, which an oracle-gated
+    engine cannot reproduce; this ladder keeps the contract exact and the
+    chosen interval rides along in the output (as ES returns it).
+
+    Plan: TWO actions over one kernel lineage — a per-query min/max agg
+    (O(queries) rows collect) to pick intervals driver-side, then one
+    histogram groupBy per DISTINCT chosen interval (almost always one),
+    filtered to that interval's queries, unioned. The match kernel
+    re-executes once per action — the same documented trade as
+    ``_count_matches`` (re-running the kernel beats a persist() a lazy
+    API can't release); span-only queries touch no norms and ship no
+    scores. Query sets here are human-sized; the per-interval fan-out is
+    bounded by the ladder (3)."""
+    if target_buckets < 1:
+        raise ValueError(f"target_buckets must be >= 1, got {target_buckets}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, interval string, bucket string, n_docs long"
+    )
+    if state is None:
+        return empty
+    dated = _matched_urls(spark, se, state).join(
+        dates.select("url", "d"), "url"
+    )
+    spans = {
+        r["query_id"]: (r["lo"], r["hi"])
+        for r in dated.groupBy("query_id")
+        .agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+        .collect()
+    }
+    by_iv: dict[str, list[int]] = {}
+    for qid, (lo, hi) in spans.items():
+        span = (hi - lo).days + 1
+        iv = (
+            "day"
+            if span <= target_buckets
+            else "month" if span <= target_buckets * 31 else "year"
+        )
+        by_iv.setdefault(iv, []).append(qid)
+    out = None
+    for iv, qids in sorted(by_iv.items()):
+        part = (
+            dated.filter(F.col("query_id").isin(qids))
+            .withColumn("interval", F.lit(iv))
+            .withColumn("bucket", F.date_format("d", _DATE_HISTO_FMT[iv]))
+            .groupBy("query_id", "interval", "bucket")
+            .agg(F.count("*").alias("n_docs"))
+        )
+        out = part if out is None else out.unionByName(part)
+    return out if out is not None else empty
+
+
 def date_histogram_pipeline(
     spark: SparkSession,
     index_dir: str,
@@ -898,6 +966,138 @@ def term_vectors(
         ts.select("term", F.col("df").cast("long").alias("df"))
         .join(F.broadcast(tf), "term")
         .select("url", "term", "tf", "df")
+    )
+
+
+def geo_distance_topk(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    geo: DataFrame,
+    origin: tuple[float, float],
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Geo-distance sort (Elasticsearch ``geo_distance`` sort / the
+    "nearest matching docs" query) -> (query_id, rank, url, dist6): the
+    ``k`` matching docs closest to ``origin`` by haversine great-circle
+    distance, url-asc ties, dist6 = floor(km * 1e6). ``geo`` is a (url,
+    lat, lon) dimension DataFrame.
+
+    Plan: the shared match kernel, dimension join, distance as ONE shared
+    expression string (``sqlglue.HAVERSINE_KM`` — the SQL twin inlines the
+    identical text, so both engines build the same operation tree and
+    round identically), then the standard rank window. Distance sorts are
+    a filter+sort, never a score: BM25 and geo never mix here (compose
+    ``search_function_score`` with a decay factor for distance-weighted
+    relevance). O(matches) dimension rows — the inherent cost of sorting
+    the match set by an attribute, same class as ``search_sorted_by``."""
+    from ..functions.sqlglue import HAVERSINE_KM
+
+    if not -90.0 <= origin[0] <= 90.0 or not -180.0 <= origin[1] <= 180.0:
+        raise ValueError(f"origin out of range: {origin}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, url string, dist6 long"
+    )
+    if state is None:
+        return empty
+    dist = HAVERSINE_KM.format(
+        lat1=repr(float(origin[0])),
+        lon1=repr(float(origin[1])),
+        lat2="lat",
+        lon2="lon",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist6"), F.asc("url"))
+    return (
+        _matched_urls(spark, se, state)
+        .join(geo.select("url", "lat", "lon"), "url")
+        .withColumn(
+            "dist6",
+            F.floor(F.expr(dist) * 1_000_000).cast("long"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "dist6")
+    )
+
+
+def geo_bounding_box_count(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    geo: DataFrame,
+    box: tuple[float, float, float, float],
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Geo-bounding-box filter (Elasticsearch ``geo_bounding_box``) ->
+    (query_id, n_in_box): how many matching docs fall inside the
+    (min_lat, min_lon, max_lat, max_lon) rectangle — inclusive bounds,
+    no antimeridian wrapping (min <= max enforced; split a crossing box
+    into two calls, which is also what Lucene does internally). The box
+    test is pure comparisons (no trig), so the filter composes into the
+    dimension join's codegen; only surviving (query, url) rows reach the
+    count's map-side combine."""
+    min_lat, min_lon, max_lat, max_lon = box
+    if min_lat > max_lat or min_lon > max_lon:
+        raise ValueError(f"box min > max: {box}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "query_id int, n_in_box long")
+    if state is None:
+        return empty
+    inside = (
+        F.col("lat").between(float(min_lat), float(max_lat))
+        & F.col("lon").between(float(min_lon), float(max_lon))
+    )
+    return (
+        _matched_urls(spark, se, state)
+        .join(geo.select("url", "lat", "lon"), "url")
+        .filter(inside)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_in_box"))
+    )
+
+
+def geotile_grid(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    geo: DataFrame,
+    zoom: int = 4,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Geotile-grid aggregation (Elasticsearch ``geotile_grid``) ->
+    (query_id, tile, n_docs): matching docs bucketed into slippy-map
+    (OSM z/x/y) tiles at ``zoom`` — the map-heatmap aggregation. Tile
+    math is the shared ``sqlglue.GEOTILE_X/Y`` expression text (identical
+    in the SQL twin); latitudes must stay inside the slippy valid zone
+    (|lat| <= 85.0511 — the mercator y is singular at the poles; ES
+    clamps, this engine documents the domain instead). Same
+    single-shuffle groupBy class as ``facet_counts`` — the tile key is
+    just a computed facet."""
+    from ..functions.sqlglue import GEOTILE_X, GEOTILE_Y
+
+    if not 0 <= zoom <= 29:
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    n = 1 << zoom
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame([], "query_id int, tile string, n_docs long")
+    if state is None:
+        return empty
+    tx = GEOTILE_X.format(lon="lon", n=n)
+    ty = GEOTILE_Y.format(lat="lat", n=n)
+    tile = f"concat('{zoom}/', cast(({tx}) as string), '/', cast(({ty}) as string))"
+    return (
+        _matched_urls(spark, se, state)
+        .join(geo.select("url", "lat", "lon"), "url")
+        .withColumn("tile", F.expr(tile))
+        .groupBy("query_id", "tile")
+        .agg(F.count("*").alias("n_docs"))
     )
 
 

@@ -106,6 +106,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_match_missing",
         "engine_date_histogram",
         "engine_date_pipeline",
+        "engine_auto_histogram",
         "engine_fn_decay",
         "engine_dis_max",
         "engine_boosting",
@@ -120,6 +121,9 @@ def test_pair_matches(name, sviews, duck):
         "engine_multi_match",
         "engine_index_stats",
         "engine_term_vectors",
+        "engine_geo_distance",
+        "engine_geo_bbox",
+        "engine_geotile",
         "engine_bm25_reindexed",
         "engine_sig_terms",
         "engine_sig_terms_sampled",

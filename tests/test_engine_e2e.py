@@ -2541,6 +2541,160 @@ def test_term_vectors_matches_python(spark, built_index, sf_unit_dir):
     shutil.rmtree(cpy, ignore_errors=True)
 
 
+def test_geo_family_matches_python(spark, built_index, sf_unit_dir):
+    """geo_distance_topk / geo_bounding_box_count / geotile_grid vs brute
+    force with Python's math over the same derived (lat, lon). Distance
+    comparison allows ±1 on the floored micro-km (libm ulp differences on
+    trig are real across runtimes; rank order is still pinned exactly by
+    comparing the doc sequences). Guards raise."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import (
+        geo_bounding_box_count,
+        geo_distance_topk,
+        geotile_grid,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    # derived dim: the sf-unit urls aren't integers, so key geo on a
+    # stable per-url integer (its row position) fed to the SAME formulas.
+    rid = {u: i for i, (u, _t) in enumerate(rows)}
+
+    def latlon(u):
+        i = rid[u]
+        return (i * 7919 % 16000) / 100.0 - 80.0, (i * 104729 % 36000) / 100.0 - 180.0
+
+    def hav(lat1, lon1, lat2, lon2):
+        p = math.radians
+        a = (
+            math.sin(p(lat2 - lat1) / 2) ** 2
+            + math.cos(p(lat1)) * math.cos(p(lat2)) * math.sin(p(lon2 - lon1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    origin, box, zoom = (10.5, 20.25), (-40.0, -90.0, 40.0, 90.0), 3
+    n = 1 << zoom
+    docs = spark.createDataFrame(
+        [(u, *latlon(u)) for u, _t in rows], "url string, lat double, lon double"
+    )
+    want_d, want_b, want_t = {}, {}, {}
+    for qid, text in make_queries():
+        urls = [oi.urls[d] for d in oi.score_all(text)]
+        scored = sorted(
+            (math.floor(hav(*origin, *latlon(u)) * 1e6), u) for u in urls
+        )
+        want_d[qid] = [(r + 1, u, d6) for r, (d6, u) in enumerate(scored[:10])]
+        nb = sum(
+            1 for u in urls
+            if box[0] <= latlon(u)[0] <= box[2] and box[1] <= latlon(u)[1] <= box[3]
+        )
+        if nb:
+            want_b[qid] = nb
+        for u in urls:
+            la, lo = latlon(u)
+            x = math.floor((lo + 180.0) / 360.0 * n)
+            y = math.floor(
+                (1.0 - math.log(math.tan(math.radians(la)) + 1.0 / math.cos(math.radians(la))) / math.pi) / 2.0 * n
+            )
+            key = (qid, f"{zoom}/{x}/{y}")
+            want_t[key] = want_t.get(key, 0) + 1
+    got_d: dict[int, list] = {}
+    res = geo_distance_topk(
+        spark, built_index, make_queries(), docs, origin
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got_d.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], r["dist6"])
+        )
+    assert set(got_d) == {q for q, w in want_d.items() if w}
+    for qid, wl in want_d.items():
+        gl = got_d.get(qid, [])
+        assert [(r, u) for r, u, _ in gl] == [(r, u) for r, u, _ in wl], qid
+        for (_r1, _u1, gd), (_r2, _u2, wd) in zip(gl, wl):
+            assert abs(gd - wd) <= 1, (qid, gd, wd)
+    got_b = {
+        r["query_id"]: r["n_in_box"]
+        for r in geo_bounding_box_count(
+            spark, built_index, make_queries(), docs, box
+        ).collect()
+    }
+    assert got_b == want_b
+    got_t = {
+        (r["query_id"], r["tile"]): r["n_docs"]
+        for r in geotile_grid(
+            spark, built_index, make_queries(), docs, zoom=zoom
+        ).collect()
+    }
+    assert got_t == want_t
+    with pytest.raises(ValueError):
+        geo_distance_topk(spark, built_index, make_queries(), docs, (95.0, 0.0))
+    with pytest.raises(ValueError):
+        geo_bounding_box_count(
+            spark, built_index, make_queries(), docs, (10.0, 0.0, -10.0, 5.0)
+        )
+    with pytest.raises(ValueError):
+        geotile_grid(spark, built_index, make_queries(), docs, zoom=30)
+
+
+def test_auto_date_histogram_matches_python(spark, built_index, sf_unit_dir):
+    """auto_date_histogram vs brute force: per-query interval from the
+    span ladder, buckets formatted per rung. Two dims drive ALL THREE
+    rungs: step-1 dates give 'day' (the rareterm single-doc query) and
+    'month' (common queries), step-2 dates push common queries to 'year'.
+    The target guard raises."""
+    import datetime
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import auto_date_histogram
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    rid = {u: i for i, (u, _t) in enumerate(rows)}
+    epoch = datetime.date(2024, 1, 1)
+    queries = make_queries() + [(9001, tokenize(rows[0][1])[0])]  # 1-doc query
+    target = 20
+    fmt = {"day": "%Y-%m-%d", "month": "%Y-%m", "year": "%Y"}
+    seen: set[str] = set()
+    for step in (1, 2):
+        dday = {u: epoch + datetime.timedelta(days=(rid[u] % 400) * step)
+                for u, _t in rows}
+        want: dict[tuple, int] = {}
+        for qid, text in queries:
+            urls = [oi.urls[d] for d in oi.score_all(text)]
+            if not urls:
+                continue
+            ds = [dday[u] for u in urls]
+            span = (max(ds) - min(ds)).days + 1
+            iv = ("day" if span <= target
+                  else "month" if span <= target * 31 else "year")
+            seen.add(iv)
+            for dv in ds:
+                k = (qid, iv, dv.strftime(fmt[iv]))
+                want[k] = want.get(k, 0) + 1
+        dim = spark.createDataFrame(
+            [(u, dday[u]) for u, _t in rows], "url string, d date"
+        )
+        got = {
+            (r["query_id"], r["interval"], r["bucket"]): r["n_docs"]
+            for r in auto_date_histogram(
+                spark, built_index, queries, dim, target_buckets=target
+            ).collect()
+        }
+        assert got == want, f"step={step}"
+    assert seen == {"day", "month", "year"}, seen
+    with pytest.raises(ValueError):
+        auto_date_histogram(spark, built_index, queries, dim, target_buckets=0)
+
+
 def test_terms_set_matches_python(spark, built_index, sf_unit_dir):
     """search_terms_set vs brute force: docs survive when their distinct
     matched-term count meets the per-doc threshold (len(text) % 3 + 1),
