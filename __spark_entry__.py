@@ -640,6 +640,48 @@ def _engine_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix stats (round 5, plans/hits.py match_matrix_stats): exact
+    int64 sufficient statistics over (n_chars, doc_id % 97). Must
+    reproduce the matrix_stats SQL exactly."""
+    from pageindex_spark.plans.hits import match_matrix_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    dim = _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.col("n_chars").alias("x"),
+        (F.col("doc_id") % 97).alias("y"),
+    )
+    return match_matrix_stats(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_histo_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sibling pipeline aggs (round 5, plans/hits.py
+    date_histogram_bucket_stats): avg/min/max/sum_bucket +
+    bucket_selector(n_docs >= HISTO_SEL_MIN) over the month histogram.
+    Must reproduce the histo_bucket_stats SQL exactly."""
+    from pageindex_spark.driverq import (
+        DATE_DIM_EPOCH,
+        DATE_DIM_MOD,
+        HISTO_SEL_MIN,
+    )
+    from pageindex_spark.plans.hits import date_histogram_bucket_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return date_histogram_bucket_stats(
+        spark, index_dir, BM25_QUERIES, dim, "month",
+        selector_min_docs=HISTO_SEL_MIN,
+    )
+
+
 def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear decay scoring (round 5, plans/query.py search_function_score
     with a decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
@@ -1907,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
     q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
     q["engine_auto_histogram"] = _engine_auto_histogram  # span-ladder agg
+    q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
+    q["engine_histo_bucket_stats"] = _engine_histo_bucket_stats  # siblings
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
     q["engine_dis_max"] = _engine_dis_max  # disjunction max
     q["engine_boosting"] = _engine_boosting  # negative-match demotion
@@ -2000,6 +2044,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_date_histogram"] = o["date_histogram"]
     o["engine_date_pipeline"] = o["date_pipeline"]
     o["engine_auto_histogram"] = o["auto_date_histogram"]
+    o["engine_matrix_stats"] = o["matrix_stats"]
+    o["engine_histo_bucket_stats"] = o["histo_bucket_stats"]
     o["engine_fn_decay"] = o["fn_decay"]
     o["engine_dis_max"] = o["dis_max"]
     o["engine_boosting"] = o["boosting"]

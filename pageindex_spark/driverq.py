@@ -2121,6 +2121,51 @@ group by 1, 2, 3
 """
 
 
+# bucket_selector threshold for the histogram sibling-pipeline entry.
+HISTO_SEL_MIN = 5
+
+
+def _matrix_stats_sql(d: _Dialect) -> str:
+    """Matrix-stats twin (plans/hits.py ``match_matrix_stats``): exact
+    int64 sufficient statistics over the match set (x = n_chars,
+    y = doc_id % 97), float finishing expressions IDENTICAL to the
+    engine's — population covariance + Pearson correlation."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as bigint) as x,
+         cast(doc.doc_id % 97 as bigint) as y
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+sums as (
+  select query_id, cast(count(*) as bigint) as n,
+         sum(x) as sx, sum(y) as sy,
+         sum(x * x) as sxx, sum(y * y) as syy, sum(x * y) as sxy
+  from keyed group by query_id
+)
+select query_id, n,
+       cast(floor(cast(sx as double) / n * 1000000) as bigint) as mean_x6,
+       cast(floor(cast(sy as double) / n * 1000000) as bigint) as mean_y6,
+       cast(floor(cast(n * sxy - sx * sy as double) / (cast(n as double) * n) * 1000000) as bigint) as cov6,
+       cast(floor(cast(n * sxy - sx * sy as double) / nullif(sqrt(cast(n * sxx - sx * sx as double)) * sqrt(cast(n * syy - sy * sy as double)), 0.0) * 1000000) as bigint) as corr6
+from sums
+"""
+
+
+def _histo_bucket_stats_sql(d: _Dialect, sel: int = HISTO_SEL_MIN) -> str:
+    """Sibling-pipeline twin (plans/hits.py ``date_histogram_bucket_stats``):
+    avg/min/max/sum_bucket + bucket_selector over the month histogram."""
+    return f"""{_date_histo_cte(d)}
+select query_id,
+       cast(count(*) as bigint) as n_buckets,
+       min(n_docs) as min_docs,
+       max(n_docs) as max_docs,
+       sum(n_docs) as sum_docs,
+       cast(floor(cast(sum(n_docs) as double) / count(*) * 1000000) as bigint) as avg_docs6,
+       cast(sum(case when n_docs >= {sel} then 1 else 0 end) as bigint) as n_selected
+from hist group by query_id
+"""
+
+
 SIG_SAMPLE_HEX = "0123456789a"
 
 
@@ -3062,6 +3107,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # auto_date_histogram (plans/hits.py): per-query interval from the
     # deterministic span ladder — ES's estimate-based pick made exact.
     pairs["auto_date_histogram"] = both(_auto_date_histo_sql)
+    # matrix_stats (plans/hits.py match_matrix_stats): exact-int64 joint
+    # statistics — covariance + correlation with zero merge error.
+    pairs["matrix_stats"] = both(_matrix_stats_sql)
+    # sibling pipeline aggs (plans/hits.py date_histogram_bucket_stats):
+    # avg/min/max/sum_bucket + bucket_selector over the month histogram.
+    pairs["histo_bucket_stats"] = both(_histo_bucket_stats_sql)
     # reindex (plans/build_index.py reindex): BM25 over the even-doc_id
     # subset — the fresh-build-from-committed-extracts path must reproduce
     # a direct build over the filtered corpus, which this twin models.

@@ -1101,6 +1101,115 @@ def geotile_grid(
     )
 
 
+def match_matrix_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Matrix stats (Elasticsearch ``matrix_stats``) -> (query_id, n,
+    mean_x6, mean_y6, cov6, corr6): per query the joint statistics of two
+    INTEGER-VALUED fields over the match set — population covariance and
+    Pearson correlation, the "do long docs score high ratings" agg.
+    ``values`` is a (url, x, y) dimension with integral x/y (the integer
+    domain is the exactness contract, see below).
+
+    Exactness at any scale: the five sufficient statistics (Σx, Σy, Σx²,
+    Σy², Σxy) are INT64 sums — associative, so Spark's partial aggregation
+    order cannot change them — and every float enters only in the final
+    per-query finishing expressions (single divisions / sqrts of exact
+    integers), which are the same expression text in the SQL twin: both
+    engines round identically. ES computes running float moments per shard
+    and documents merge error; this plan has none. One map-side-combined
+    groupBy over the match kernel tail — the ``match_stats`` cost class.
+    Degenerate inputs: n=1 or a constant field yields a zero variance —
+    corr6 is NULL there (0/0), matching SQL semantics in both engines."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, n long, mean_x6 long, mean_y6 long, cov6 long, corr6 long",
+    )
+    if state is None:
+        return empty
+    sums = (
+        _matched_urls(spark, se, state)
+        .join(
+            values.select(
+                "url",
+                F.col("x").cast("long").alias("x"),
+                F.col("y").cast("long").alias("y"),
+            ),
+            "url",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    # finishing floats: identical expression text in the SQL twin.
+    return sums.selectExpr(
+        "query_id",
+        "n",
+        "cast(floor(cast(sx as double) / n * 1000000) as bigint) as mean_x6",
+        "cast(floor(cast(sy as double) / n * 1000000) as bigint) as mean_y6",
+        "cast(floor(cast(n * sxy - sx * sy as double) / (cast(n as double) * n) * 1000000) as bigint) as cov6",
+        # nullif: a zero variance must yield NULL, not ANSI divide-by-zero
+        "cast(floor(cast(n * sxy - sx * sy as double) / nullif(sqrt(cast(n * sxx - sx * sx as double)) * sqrt(cast(n * syy - sy * sy as double)), 0.0) * 1000000) as bigint) as corr6",
+    )
+
+
+def date_histogram_bucket_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    selector_min_docs: int | None = None,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Sibling pipeline aggregations over the calendar histogram
+    (Elasticsearch ``avg_bucket`` / ``min_bucket`` / ``max_bucket`` /
+    ``sum_bucket`` / ``bucket_selector`` in ONE pass) -> (query_id,
+    n_buckets, min_docs, max_docs, sum_docs, avg_docs6, n_selected):
+    per query the bucket-level summary of its ``date_histogram`` — plus,
+    when ``selector_min_docs`` is given, how many buckets a
+    bucket_selector keeping ``n_docs >= selector_min_docs`` would retain
+    (NULL column otherwise). Counts are ints, so min/max/sum are exact
+    and avg_docs6 is one division both engines round identically.
+
+    Plan: the single-shuffle histogram, then one map-side-combined
+    groupBy over its O(buckets)-sized output — sibling pipelines never
+    touch the match set again (exactly the ES execution model: pipeline
+    aggs run on the parent agg's output)."""
+    base = date_histogram(spark, index_dir, queries, dates, interval, cell_parts)
+    sel = (
+        F.sum(
+            F.when(F.col("n_docs") >= selector_min_docs, 1).otherwise(0)
+        ).cast("long")
+        if selector_min_docs is not None
+        else F.lit(None).cast("long")
+    )
+    return base.groupBy("query_id").agg(
+        F.count("*").alias("n_buckets"),
+        F.min("n_docs").alias("min_docs"),
+        F.max("n_docs").alias("max_docs"),
+        F.sum("n_docs").alias("sum_docs"),
+        F.floor(
+            F.sum("n_docs").cast("double") / F.count("*") * 1_000_000
+        )
+        .cast("long")
+        .alias("avg_docs6"),
+        sel.alias("n_selected"),
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

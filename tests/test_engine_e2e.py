@@ -2695,6 +2695,122 @@ def test_auto_date_histogram_matches_python(spark, built_index, sf_unit_dir):
         auto_date_histogram(spark, built_index, queries, dim, target_buckets=0)
 
 
+def test_matrix_stats_matches_python(spark, built_index, sf_unit_dir):
+    """match_matrix_stats vs brute force over exact integer sufficient
+    statistics; a constant field yields NULL correlation (0/0) while the
+    covariance column stays defined (zero)."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_matrix_stats
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    xv = {u: len(t) for u, t in rows}
+    yv = {u: (len(t) * 13) % 101 for u, t in rows}
+    docs = spark.createDataFrame(
+        [(u, xv[u], yv[u]) for u, _t in rows], "url string, x long, y long"
+    )
+    want = {}
+    for qid, text in make_queries():
+        urls = [oi.urls[d] for d in oi.score_all(text)]
+        n = len(urls)
+        if not n:
+            continue
+        sx = sum(xv[u] for u in urls); sy = sum(yv[u] for u in urls)
+        sxx = sum(xv[u] ** 2 for u in urls); syy = sum(yv[u] ** 2 for u in urls)
+        sxy = sum(xv[u] * yv[u] for u in urls)
+        num = n * sxy - sx * sy
+        vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+        corr6 = (
+            math.floor(num / (math.sqrt(vx) * math.sqrt(vy)) * 1e6)
+            if vx and vy
+            else None
+        )
+        want[qid] = (
+            n,
+            math.floor(sx / n * 1e6),
+            math.floor(sy / n * 1e6),
+            math.floor(num / (float(n) * n) * 1e6),
+            corr6,
+        )
+    got = {
+        r["query_id"]: (r["n"], r["mean_x6"], r["mean_y6"], r["cov6"], r["corr6"])
+        for r in match_matrix_stats(
+            spark, built_index, make_queries(), docs
+        ).collect()
+    }
+    assert got == want
+    # degenerate: constant y -> zero variance -> NULL corr, zero cov
+    const = spark.createDataFrame(
+        [(u, xv[u], 7) for u, _t in rows], "url string, x long, y long"
+    )
+    row = match_matrix_stats(
+        spark, built_index, [(1, "rareterm0000")], const
+    ).collect()
+    if row:  # the rare term matches >= 1 doc in this corpus
+        assert row[0]["corr6"] is None and row[0]["cov6"] == 0
+
+
+def test_histo_bucket_stats_matches_python(spark, built_index, sf_unit_dir):
+    """date_histogram_bucket_stats vs brute force: the sibling pipeline
+    summary (count/min/max/sum/avg6) plus the bucket_selector count; the
+    selector column is NULL when no threshold is given."""
+    import datetime
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import date_histogram_bucket_stats
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    rid = {u: i for i, (u, _t) in enumerate(rows)}
+    epoch = datetime.date(2024, 1, 1)
+    mon = {
+        u: (epoch + datetime.timedelta(days=rid[u] % 400)).strftime("%Y-%m")
+        for u, _t in rows
+    }
+    dim = spark.createDataFrame(
+        [(u, epoch + datetime.timedelta(days=rid[u] % 400)) for u, _t in rows],
+        "url string, d date",
+    )
+    want = {}
+    for qid, text in make_queries():
+        per: dict[str, int] = {}
+        for d in oi.score_all(text):
+            b = mon[oi.urls[d]]
+            per[b] = per.get(b, 0) + 1
+        if not per:
+            continue
+        vals = list(per.values())
+        want[qid] = (
+            len(vals), min(vals), max(vals), sum(vals),
+            math.floor(sum(vals) / len(vals) * 1e6),
+            sum(1 for v in vals if v >= 3),
+        )
+    out = date_histogram_bucket_stats(
+        spark, built_index, make_queries(), dim, "month", selector_min_docs=3
+    )
+    got = {
+        r["query_id"]: (
+            r["n_buckets"], r["min_docs"], r["max_docs"], r["sum_docs"],
+            r["avg_docs6"], r["n_selected"],
+        )
+        for r in out.collect()
+    }
+    assert got == want
+    nosel = date_histogram_bucket_stats(
+        spark, built_index, make_queries()[:3], dim, "month"
+    ).collect()
+    assert nosel and all(r["n_selected"] is None for r in nosel)
+
+
 def test_terms_set_matches_python(spark, built_index, sf_unit_dir):
     """search_terms_set vs brute force: docs survive when their distinct
     matched-term count meets the per-doc threshold (len(text) % 3 + 1),
