@@ -682,6 +682,17 @@ def _engine_histo_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String stats (round 5, plans/hits.py match_string_stats) over the
+    lang field: lengths + the order-pinned character-entropy fold. Must
+    reproduce the string_stats SQL exactly."""
+    from pageindex_spark.plans.hits import match_string_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    dim = _docs_with_url(spark, sf_dir).select("url", F.col("lang").alias("s"))
+    return match_string_stats(spark, index_dir, BM25_QUERIES, dim)
+
+
 def _engine_fn_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear decay scoring (round 5, plans/query.py search_function_score
     with a decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
@@ -1950,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
     q["engine_auto_histogram"] = _engine_auto_histogram  # span-ladder agg
     q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
+    q["engine_string_stats"] = _engine_string_stats  # lengths + entropy
     q["engine_histo_bucket_stats"] = _engine_histo_bucket_stats  # siblings
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
     q["engine_dis_max"] = _engine_dis_max  # disjunction max
@@ -2045,6 +2057,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_date_pipeline"] = o["date_pipeline"]
     o["engine_auto_histogram"] = o["auto_date_histogram"]
     o["engine_matrix_stats"] = o["matrix_stats"]
+    o["engine_string_stats"] = o["string_stats"]
     o["engine_histo_bucket_stats"] = o["histo_bucket_stats"]
     o["engine_fn_decay"] = o["fn_decay"]
     o["engine_dis_max"] = o["dis_max"]

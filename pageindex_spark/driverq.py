@@ -2166,6 +2166,54 @@ from hist group by query_id
 """
 
 
+def _string_stats_sql(d: _Dialect) -> str:
+    """String-stats twin (plans/hits.py ``match_string_stats``) over the
+    lang field: lengths are exact ints; entropy folds the char-sorted
+    addends SEQUENTIALLY in both engines (Spark `aggregate` with init 0.0
+    vs DuckDB `list_reduce` seeded by the first element — bitwise equal
+    because 0.0 + x == x), so the float additions happen in the identical
+    order."""
+    if d.duck:
+        split = "select k.query_id, unnest(string_split(k.s, '')) as c from keyed k"
+        ent = (
+            "cast(floor((log2(cast(sum(nc) as double)) - "
+            "list_reduce(list(cast(nc as double) * log2(cast(nc as double)) order by c), "
+            "(a, b) -> a + b) / cast(sum(nc) as double)) * 1000000) as bigint)"
+        )
+    else:
+        split = "select k.query_id, explode(split(k.s, '')) as c from keyed k"
+        ent = (
+            "cast(floor((log2(cast(sum(nc) as double)) - "
+            "aggregate(array_sort(collect_list(struct(c, nc))), cast(0.0 as double), "
+            "(acc, e) -> acc + cast(e.nc as double) * log2(cast(e.nc as double))) "
+            "/ cast(sum(nc) as double)) * 1000000) as bigint)"
+        )
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, doc.lang as s
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+lens as (
+  select query_id, cast(count(*) as bigint) as n,
+         cast(min(length(s)) as bigint) as min_len,
+         cast(max(length(s)) as bigint) as max_len,
+         cast(floor(cast(sum(length(s)) as double) / count(*) * 1000000) as bigint) as avg_len6
+  from keyed group by query_id
+),
+occ_c as ({split}),
+charcounts as (
+  select query_id, c, cast(count(*) as bigint) as nc
+  from occ_c where c <> '' group by query_id, c
+),
+ent as (
+  select query_id, {ent} as entropy6
+  from charcounts group by query_id
+)
+select l.query_id, l.n, l.min_len, l.max_len, l.avg_len6, e.entropy6
+from lens l join ent e on e.query_id = l.query_id
+"""
+
+
 SIG_SAMPLE_HEX = "0123456789a"
 
 
@@ -3113,6 +3161,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # sibling pipeline aggs (plans/hits.py date_histogram_bucket_stats):
     # avg/min/max/sum_bucket + bucket_selector over the month histogram.
     pairs["histo_bucket_stats"] = both(_histo_bucket_stats_sql)
+    # string_stats (plans/hits.py match_string_stats): lengths + the
+    # order-pinned character-entropy fold.
+    pairs["string_stats"] = both(_string_stats_sql)
     # reindex (plans/build_index.py reindex): BM25 over the even-doc_id
     # subset — the fresh-build-from-committed-extracts path must reproduce
     # a direct build over the filtered corpus, which this twin models.

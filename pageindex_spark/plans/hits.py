@@ -1210,6 +1210,82 @@ def date_histogram_bucket_stats(
     )
 
 
+def match_string_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """String stats (Elasticsearch ``string_stats`` with
+    ``show_distribution``'s entropy) -> (query_id, n, min_len, max_len,
+    avg_len6, entropy6): per query over the matched docs' string field —
+    value count, min/max/avg length, and the Shannon entropy (bits) of
+    the CHARACTER distribution across all matched values. ``values`` is
+    a (url, s) dimension.
+
+    Exactness discipline: lengths are ints (min/max/sum exact, one
+    division for avg). Entropy is the float case — a naive
+    -Σ p·log2(p) sums doubles in whatever order the aggregation visits
+    characters, which two engines (or two Spark runs) need not share.
+    This plan makes the ORDER part of the algorithm: per (query, char)
+    counts (exact ints) collect into a CHAR-SORTED array (distinct chars
+    per field are alphabet-sized — tiny), and H = log2(T) - (Σ n_c ·
+    log2(n_c)) / T evaluates as a SEQUENTIAL fold over that sorted array
+    — the same expression tree in the SQL twin, so both engines perform
+    the identical float additions in the identical order. Two
+    map-side-combined groupBys ((query, char) then query), both over
+    alphabet-bounded rows after the first combine."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, n long, min_len long, max_len long, "
+        "avg_len6 long, entropy6 long",
+    )
+    if state is None:
+        return empty
+    matched = _matched_urls(spark, se, state).join(
+        values.select("url", "s"), "url"
+    )
+    lens = matched.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.min(F.length("s")).cast("long").alias("min_len"),
+        F.max(F.length("s")).cast("long").alias("max_len"),
+        F.floor(
+            F.sum(F.length("s")).cast("double") / F.count("*") * 1_000_000
+        )
+        .cast("long")
+        .alias("avg_len6"),
+    )
+    chars = (
+        matched.select(
+            "query_id", F.explode(F.split(F.col("s"), "")).alias("c")
+        )
+        .filter(F.col("c") != "")
+        .groupBy("query_id", "c")
+        .agg(F.count("*").alias("nc"))
+    )
+    ent = (
+        chars.groupBy("query_id")
+        .agg(
+            F.sum("nc").alias("t"),
+            F.array_sort(F.collect_list(F.struct("c", "nc"))).alias("arr"),
+        )
+        .selectExpr(
+            "query_id",
+            # sequential fold in char order — identical text in the twin
+            "cast(floor((log2(cast(t as double)) - aggregate(arr, "
+            "cast(0.0 as double), (acc, e) -> acc + cast(e.nc as double) "
+            "* log2(cast(e.nc as double))) / cast(t as double)) * 1000000) "
+            "as bigint) as entropy6",
+        )
+    )
+    return lens.join(ent, "query_id").select(
+        "query_id", "n", "min_len", "max_len", "avg_len6", "entropy6"
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

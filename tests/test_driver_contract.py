@@ -108,6 +108,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_date_pipeline",
         "engine_auto_histogram",
         "engine_matrix_stats",
+        "engine_string_stats",
         "engine_histo_bucket_stats",
         "engine_fn_decay",
         "engine_dis_max",
