@@ -1116,14 +1116,63 @@ def _engine_match_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pageindex_spark.plans.hits import match_percentiles
 
     index_dir = _engine_index(spark, sf_dir)
+    return match_percentiles(
+        spark,
+        index_dir,
+        BM25_QUERIES,
+        _n_chars_dim(spark, sf_dir),
+        percents=list(PCT_LIST),
+    )
+
+
+def _n_chars_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, val) dimension for the rank-selection aggs: documents.n_chars
+    keyed by the engine's zero-padded url."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("double").alias("val"),
+    )
+
+
+def _engine_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boxplot aggregation (round 5, plans/hits.py match_boxplot): exact
+    quartiles + Tukey whiskers over the match set's n_chars. Must
+    reproduce the boxplot SQL exactly."""
+    from pageindex_spark.plans.hits import match_boxplot
+
+    index_dir = _engine_index(spark, sf_dir)
+    return match_boxplot(
+        spark, index_dir, BM25_QUERIES, _n_chars_dim(spark, sf_dir)
+    )
+
+
+def _engine_match_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation (round 5, plans/hits.py match_mad): exact
+    disc-median of |n_chars - median| over the match set. Must reproduce
+    the match_mad SQL exactly."""
+    from pageindex_spark.plans.hits import match_mad
+
+    index_dir = _engine_index(spark, sf_dir)
+    return match_mad(
+        spark, index_dir, BM25_QUERIES, _n_chars_dim(spark, sf_dir)
+    )
+
+
+def _engine_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch t-test (round 5, plans/hits.py match_t_test): heteroscedastic
+    two-sample t between the matched docs' doc_id-parity populations over
+    n_chars. Must reproduce the t_test SQL exactly."""
+    from pageindex_spark.plans.hits import match_t_test
+
+    index_dir = _engine_index(spark, sf_dir)
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     dim = docs.select(
         F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
         F.col("n_chars").cast("double").alias("val"),
+        (F.col("doc_id") % 2).cast("int").alias("grp"),
     )
-    return match_percentiles(
-        spark, index_dir, BM25_QUERIES, dim, percents=list(PCT_LIST)
-    )
+    return match_t_test(spark, index_dir, BM25_QUERIES, dim)
 
 
 def _engine_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1986,6 +2035,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
     q["engine_facet_stats"] = _engine_facet_stats  # stats per bucket
     q["engine_match_pcts"] = _engine_match_pcts  # exact percentiles
+    q["engine_boxplot"] = _engine_boxplot  # quartiles + Tukey whiskers
+    q["engine_match_mad"] = _engine_match_mad  # median absolute deviation
+    q["engine_t_test"] = _engine_t_test  # Welch two-sample t
     q["engine_top_hits"] = _engine_top_hits  # top-n docs per bucket
     q["engine_hits_count"] = _engine_hits_count  # track_total_hits
     q["engine_facet_counts"] = _engine_facet_counts  # terms aggregation
@@ -2083,6 +2135,9 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_fnscore"] = o["fn_score"]
     o["engine_facet_stats"] = o["facet_stats"]
     o["engine_match_pcts"] = o["match_pcts"]
+    o["engine_boxplot"] = o["boxplot"]
+    o["engine_match_mad"] = o["match_mad"]
+    o["engine_t_test"] = o["t_test"]
     o["engine_top_hits"] = o["top_hits"]
     o["engine_hits_count"] = o["hits_count"]
     o["engine_facet_counts"] = o["facet_counts"]

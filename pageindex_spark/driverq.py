@@ -1583,6 +1583,152 @@ group by t.query_id, t.pct, t.n_docs
 """
 
 
+def _rank_hist_cte(d: _Dialect) -> str:
+    """Shared head for the selection-by-rank twins (boxplot / MAD): the
+    match set keyed by n_chars, collapsed to a value histogram with the
+    cumulative count and per-query total attached by windows — the same
+    #distinct-values-not-#matches construction as ``match_pcts``."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as v
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+hist as (
+  select query_id, v, cast(count(*) as bigint) as c
+  from keyed group by query_id, v
+),
+cum as (
+  select query_id, v, c,
+         sum(c) over (partition by query_id order by v
+                      rows between unbounded preceding and current row) as cum,
+         sum(c) over (partition by query_id) as n
+  from hist
+)"""
+
+
+def _boxplot_sql(d: _Dialect) -> str:
+    """Boxplot twin (plans/hits.py ``match_boxplot``): quartiles as
+    percentile_disc window expressions over the cumulated value histogram
+    (pure-int64 rank targets), Tukey whiskers as the extreme in-fence
+    values. 1.5*IQR is dyadic over integer-valued quartiles, so the fence
+    comparisons round identically across engines."""
+    idiv = "//" if d.duck else "div"
+
+    def disc(pct: int) -> str:
+        return (
+            f"min(case when cum >= (cast({pct} as bigint) * n + 99) "
+            f"{idiv} 100 then v end) over (partition by query_id)"
+        )
+
+    return f"""{_rank_hist_cte(d)},
+q as (
+  select query_id, v, cum, n,
+         {disc(25)} as q1,
+         {disc(50)} as q2,
+         {disc(75)} as q3
+  from cum
+)
+select query_id,
+       cast(max(n) as bigint) as n_docs,
+       cast(floor(min(v) * 1000000) as bigint) as min6,
+       cast(floor(max(v) * 1000000) as bigint) as max6,
+       cast(floor(max(q1) * 1000000) as bigint) as q16,
+       cast(floor(max(q2) * 1000000) as bigint) as q26,
+       cast(floor(max(q3) * 1000000) as bigint) as q36,
+       cast(floor(min(case when v >= q1 - 1.5 * (q3 - q1) then v end) * 1000000) as bigint) as lo6,
+       cast(floor(max(case when v <= q3 + 1.5 * (q3 - q1) then v end) * 1000000) as bigint) as hi6
+from q group by query_id
+"""
+
+
+def _mad_sql(d: _Dialect) -> str:
+    """Median-absolute-deviation twin (plans/hits.py ``match_mad``): the
+    disc-median attaches to the value histogram as a window expression,
+    deviations re-group THAT histogram (summing counts), and the second
+    disc selection cumulates the deviation histogram — both selections
+    pure int64 rank arithmetic over exact integer-valued doubles."""
+    idiv = "//" if d.duck else "div"
+    return f"""{_rank_hist_cte(d)},
+med as (
+  select query_id, v, c, n,
+         min(case when cum >= (cast(50 as bigint) * n + 99) {idiv} 100
+             then v end) over (partition by query_id) as med
+  from cum
+),
+devs as (
+  select query_id, abs(v - med) as dv, cast(sum(c) as bigint) as c,
+         cast(max(n) as bigint) as n, max(med) as med
+  from med group by query_id, abs(v - med)
+),
+cum2 as (
+  select query_id, dv, c, n, med,
+         sum(c) over (partition by query_id order by dv
+                      rows between unbounded preceding and current row) as cum
+  from devs
+)
+select query_id,
+       cast(max(n) as bigint) as n_docs,
+       cast(floor(max(med) * 1000000) as bigint) as med6,
+       cast(floor(min(dv) * 1000000) as bigint) as mad6
+from cum2 where cum >= (cast(50 as bigint) * n + 99) {idiv} 100
+group by query_id
+"""
+
+
+def _t_test_sql(d: _Dialect) -> str:
+    """Welch t-test twin (plans/hits.py ``match_t_test``): populations are
+    the matched docs split by doc_id parity, value n_chars. Six exact
+    conditional sufficient statistics, then the identical finishing chain
+    (clamped population variance scaled by n/(n-1), pooled SE, t, the
+    Welch-Satterthwaite df) — one CTE per select layer, expression text
+    shared verbatim with the engine's selectExpr chain; degenerate groups
+    yield NULL t/df via nullif in both engines."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, cast(doc.n_chars as double) as v,
+         cast(doc.doc_id % 2 as int) as grp
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+agg as (
+  select query_id,
+         cast(sum(case when grp = 0 then 1 else 0 end) as bigint) as na,
+         cast(sum(case when grp = 1 then 1 else 0 end) as bigint) as nb,
+         sum(case when grp = 0 then v else 0.0 end) as sa,
+         sum(case when grp = 1 then v else 0.0 end) as sb,
+         sum(case when grp = 0 then v * v else 0.0 end) as ssa,
+         sum(case when grp = 1 then v * v else 0.0 end) as ssb
+  from keyed group by query_id
+),
+fin1 as (
+  select query_id, na, nb,
+         cast(na as double) as dna, cast(nb as double) as dnb,
+         case when na > 0 then sa / cast(na as double) end as ma,
+         case when nb > 0 then sb / cast(nb as double) end as mb,
+         case when na > 1 then greatest(ssa / cast(na as double) - (sa / cast(na as double)) * (sa / cast(na as double)), 0.0) * cast(na as double) / (cast(na as double) - 1.0) end as va,
+         case when nb > 1 then greatest(ssb / cast(nb as double) - (sb / cast(nb as double)) * (sb / cast(nb as double)), 0.0) * cast(nb as double) / (cast(nb as double) - 1.0) end as vb
+  from agg
+),
+fin2 as (
+  select query_id, na, nb, ma, mb, dna, dnb,
+         va / dna as sea, vb / dnb as seb
+  from fin1
+),
+fin3 as (
+  select query_id, na, nb, ma, mb, sea, seb, dna, dnb,
+         sea + seb as se2
+  from fin2
+)
+select query_id,
+       na as n_a,
+       nb as n_b,
+       cast(floor(ma * 1000000) as bigint) as mean_a6,
+       cast(floor(mb * 1000000) as bigint) as mean_b6,
+       cast(floor((ma - mb) / nullif(sqrt(se2), 0.0) * 1000000) as bigint) as t6,
+       cast(floor(se2 * se2 / nullif(sea * sea / (dna - 1.0) + seb * seb / (dnb - 1.0), 0.0) * 1000000) as bigint) as df6
+from fin3
+"""
+
+
 def _top_hits_sql(d: _Dialect, n: int = 3) -> str:
     """Bucketed-top-hits twin (plans/hits.py ``top_hits``): the full BM25
     scored set joined to documents.lang, per-(query, lang) row_number
@@ -3176,6 +3322,15 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # exact percentiles (plans/hits.py match_percentiles): percentile_disc
     # via value histogram + cumsum + int64 rank target.
     pairs["match_pcts"] = both(_match_pcts_sql)
+    # boxplot (plans/hits.py match_boxplot): quartiles + Tukey whiskers,
+    # exact where ES runs t-digest.
+    pairs["boxplot"] = both(_boxplot_sql)
+    # median absolute deviation (plans/hits.py match_mad): two disc
+    # selections, one match-kernel lineage.
+    pairs["match_mad"] = both(_mad_sql)
+    # Welch t-test (plans/hits.py match_t_test): heteroscedastic two-sample
+    # t + Welch-Satterthwaite df between doc_id-parity populations.
+    pairs["t_test"] = both(_t_test_sql)
     # bucketed top hits (plans/hits.py top_hits): per-(query, lang) top-n
     # docs by BM25 — ES terms agg + top_hits sub-agg.
     pairs["top_hits"] = both(_top_hits_sql)

@@ -1286,6 +1286,241 @@ def match_string_stats(
     )
 
 
+def _value_histogram(spark, se, state, values) -> DataFrame:
+    """Shared head for the selection-by-rank aggs (percentiles / boxplot /
+    MAD): the match set joined to a (url, val) dimension and collapsed to
+    a per-query VALUE HISTOGRAM (query_id, v, c) with a cumulative count
+    and the per-query total attached by two windows over ONE per-query
+    exchange. All rank selection downstream runs over #distinct-values
+    rows, never #matches — the ``match_percentiles`` cost argument."""
+    from pyspark.sql import Window
+
+    val = F.col("val").cast("double")
+    hist = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .groupBy("query_id", val.alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("query_id")
+    return hist.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(wall)
+    )
+
+
+def _disc_over(col_v: str, pct: int):
+    """percentile_disc as a whole-partition window expression over a
+    cumulated value histogram: the smallest ``col_v`` whose cumulative
+    count reaches ceil(pct * n / 100). The rank target is PURE INT64
+    arithmetic (``(pct*n + 99) div 100``) — no float division anywhere an
+    engine could round differently (the ``match_percentiles`` contract)."""
+    from pyspark.sql import Window
+
+    tgt = F.expr(f"(cast({pct} as bigint) * n + 99) div 100")
+    return F.min(F.when(F.col("cum") >= tgt, F.col(col_v))).over(
+        Window.partitionBy("query_id")
+    )
+
+
+def match_boxplot(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Boxplot aggregation (Elasticsearch ``boxplot``, but EXACT where ES
+    runs t-digest) -> (query_id, n_docs, min6, max6, q16, q26, q36, lo6,
+    hi6): per query over the matched docs' value — count, min/max, the
+    three quartiles as percentile_disc, and the Tukey whiskers ES returns
+    as lower/upper: the smallest value >= q1 - 1.5*IQR and the largest
+    value <= q3 + 1.5*IQR.
+
+    Single lineage: the value histogram cumulates once, the quartiles
+    attach as whole-partition window expressions over the SAME per-query
+    exchange (a branched quartile subquery would re-run the match kernel
+    — the lineage-fork trap), and one final map-side-combined groupBy
+    reads min/max/whiskers off histogram rows with the quartile columns
+    in scope. Exactness: integer-valued dims make every histogram value
+    and quartile exact in a double; 1.5*IQR is dyadic, so the whisker
+    comparisons and the floor(x*1e6) departures round identically across
+    engines."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, n_docs long, min6 long, max6 long, q16 long, "
+        "q26 long, q36 long, lo6 long, hi6 long"
+    )
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    cum = _value_histogram(spark, se, state, values)
+    q = (
+        cum.withColumn("q1", _disc_over("v", 25))
+        .withColumn("q2", _disc_over("v", 50))
+        .withColumn("q3", _disc_over("v", 75))
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo_b = F.col("q1") - F.lit(1.5) * iqr
+    hi_b = F.col("q3") + F.lit(1.5) * iqr
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return q.groupBy("query_id").agg(
+        F.max("n").alias("n_docs"),
+        f6(F.min("v")).alias("min6"),
+        f6(F.max("v")).alias("max6"),
+        f6(F.max("q1")).alias("q16"),
+        f6(F.max("q2")).alias("q26"),
+        f6(F.max("q3")).alias("q36"),
+        f6(F.min(F.when(F.col("v") >= lo_b, F.col("v")))).alias("lo6"),
+        f6(F.max(F.when(F.col("v") <= hi_b, F.col("v")))).alias("hi6"),
+    )
+
+
+def match_mad(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Median absolute deviation (Elasticsearch
+    ``median_absolute_deviation``, but EXACT where ES runs t-digest) ->
+    (query_id, n_docs, med6, mad6): per query the percentile_disc median
+    of the matched values and the disc-median of |val - median|.
+
+    Two selection passes, ONE match-kernel lineage: the median attaches
+    to the value histogram as a window expression, the deviations
+    re-group THAT histogram (summing counts — still #distinct-values
+    rows, never #matches), and the second disc selection cumulates the
+    deviation histogram. With integer-valued dims the median is an exact
+    integer, |v - med| is exact, and both selections are pure int64 rank
+    arithmetic — bit-identical to the SQL twin."""
+    from pyspark.sql import Window
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, n_docs long, med6 long, mad6 long"
+    )
+    if state is None:
+        return empty
+    cum = _value_histogram(spark, se, state, values)
+    devs = (
+        cum.withColumn("med", _disc_over("v", 50))
+        .groupBy("query_id", F.abs(F.col("v") - F.col("med")).alias("dv"))
+        .agg(F.sum("c").alias("c"), F.max("n").alias("n"), F.max("med").alias("med"))
+    )
+    wcum = (
+        Window.partitionBy("query_id")
+        .orderBy("dv")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum2 = devs.withColumn("cum", F.sum("c").over(wcum))
+    tgt = F.expr("(cast(50 as bigint) * n + 99) div 100")
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    return (
+        cum2.filter(F.col("cum") >= tgt)
+        .groupBy("query_id")
+        .agg(
+            F.max("n").alias("n_docs"),
+            f6(F.max("med")).alias("med6"),
+            f6(F.min("dv")).alias("mad6"),
+        )
+    )
+
+
+def match_t_test(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Welch's t-test (Elasticsearch ``t_test`` with ``type:
+    heteroscedastic``) -> (query_id, n_a, n_b, mean_a6, mean_b6, t6,
+    df6): per query the two-sample unequal-variance t statistic and the
+    Welch–Satterthwaite degrees of freedom between the matched docs'
+    ``grp = 0`` and ``grp = 1`` populations. ``values`` is a (url, val,
+    grp) dimension.
+
+    One map-side-combined groupBy computes six conditional sufficient
+    statistics (n/sum/sum-of-squares per group — exact int64 partial
+    sums, so Spark's partial-agg order cannot change them); the float
+    finishing chain (sample variance via the extended_stats clamped
+    population form scaled by n/(n-1), the pooled standard error, t, and
+    the df ratio) is single-rounded IEEE ops in pinned expression order,
+    shared verbatim with the twin. Degenerate groups (n <= 1, zero
+    pooled variance) yield NULL t/df via nullif — ANSI-safe in Spark 4,
+    same semantics in DuckDB."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, n_a long, n_b long, mean_a6 long, mean_b6 long, "
+        "t6 long, df6 long"
+    )
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    v = F.col("val").cast("double")
+    in_a = F.col("grp") == 0
+    agg = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val", "grp"), "url")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(in_a, 1).otherwise(0)).cast("long").alias("na"),
+            F.sum(F.when(~in_a, 1).otherwise(0)).cast("long").alias("nb"),
+            F.sum(F.when(in_a, v).otherwise(0.0)).alias("sa"),
+            F.sum(F.when(~in_a, v).otherwise(0.0)).alias("sb"),
+            F.sum(F.when(in_a, v * v).otherwise(0.0)).alias("ssa"),
+            F.sum(F.when(~in_a, v * v).otherwise(0.0)).alias("ssb"),
+        )
+    )
+    # finishing chain — identical expression layering in the twin (one
+    # CTE per select here), one rounding per op
+    fin = agg.selectExpr(
+        "query_id",
+        "na",
+        "nb",
+        "cast(na as double) as dna",
+        "cast(nb as double) as dnb",
+        "case when na > 0 then sa / cast(na as double) end as ma",
+        "case when nb > 0 then sb / cast(nb as double) end as mb",
+        "case when na > 1 then greatest(ssa / cast(na as double) "
+        "- (sa / cast(na as double)) * (sa / cast(na as double)), 0.0) "
+        "* cast(na as double) / (cast(na as double) - 1.0) end as va",
+        "case when nb > 1 then greatest(ssb / cast(nb as double) "
+        "- (sb / cast(nb as double)) * (sb / cast(nb as double)), 0.0) "
+        "* cast(nb as double) / (cast(nb as double) - 1.0) end as vb",
+    )
+    fin = fin.selectExpr(
+        "query_id", "na", "nb", "ma", "mb", "dna", "dnb",
+        "va / dna as sea", "vb / dnb as seb",
+    ).selectExpr(
+        "query_id", "na", "nb", "ma", "mb", "sea", "seb", "dna", "dnb",
+        "sea + seb as se2",
+    )
+    f6 = "cast(floor({x} * 1000000) as bigint)"
+    return fin.selectExpr(
+        "query_id",
+        "na as n_a",
+        "nb as n_b",
+        f6.format(x="ma") + " as mean_a6",
+        f6.format(x="mb") + " as mean_b6",
+        f6.format(x="(ma - mb) / nullif(sqrt(se2), 0.0)") + " as t6",
+        f6.format(
+            x="se2 * se2 / nullif(sea * sea / (dna - 1.0) "
+            "+ seb * seb / (dnb - 1.0), 0.0)"
+        )
+        + " as df6",
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

@@ -133,6 +133,9 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_fnscore",
         "engine_facet_stats",
         "engine_match_pcts",
+        "engine_boxplot",
+        "engine_match_mad",
+        "engine_t_test",
         "engine_top_hits",
         "engine_hits_count",
         "engine_facet_counts",

@@ -1180,6 +1180,91 @@ def test_match_percentiles_matches_python(spark, built_index, sf_unit_dir):
         )
 
 
+def test_boxplot_mad_ttest_match_python(spark, built_index, sf_unit_dir):
+    """The three sibling metric aggs vs an independent pure-Python oracle
+    (sorted-multiset disc selection / direct Welch arithmetic) — guards
+    against a formula error shared by the engine and its SQL twins.
+    Boxplot: quartiles + Tukey whiskers as the extreme in-fence values.
+    MAD: disc-median of |v - median|. t-test: Welch t + df between the
+    text-length-parity populations, degenerate groups -> NULL."""
+    import math
+
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.hits import match_boxplot, match_mad, match_t_test
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    vals = {u: float(len(t)) for u, t in rows}
+    f6 = lambda x: None if x is None else math.floor(x * 1_000_000)  # noqa: E731
+
+    def disc(vs, pct):
+        return vs[max(1, -(-pct * len(vs) // 100)) - 1]
+
+    want_box, want_mad, want_t = {}, {}, {}
+    for qid, text in make_queries():
+        vs = sorted(vals[oi.urls[did]] for did in oi.score_all(text))
+        if not vs:
+            continue
+        n = len(vs)
+        q1, q2, q3 = disc(vs, 25), disc(vs, 50), disc(vs, 75)
+        lo_f, hi_f = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        want_box[qid] = (
+            n, f6(vs[0]), f6(vs[-1]), f6(q1), f6(q2), f6(q3),
+            f6(min(v for v in vs if v >= lo_f)),
+            f6(max(v for v in vs if v <= hi_f)),
+        )
+        med = disc(vs, 50)
+        want_mad[qid] = (n, f6(med), f6(disc(sorted(abs(v - med) for v in vs), 50)))
+        a = [v for v in vs if v % 2 == 0.0]
+        b = [v for v in vs if v % 2 != 0.0]
+        na, nb = len(a), len(b)
+        ma = sum(a) / na if na else None
+        mb = sum(b) / nb if nb else None
+        t6 = df6 = None
+        if na > 1 and nb > 1:
+            va = max(sum(v * v for v in a) / na - (sum(a) / na) * (sum(a) / na), 0.0) * na / (na - 1.0)
+            vb = max(sum(v * v for v in b) / nb - (sum(b) / nb) * (sum(b) / nb), 0.0) * nb / (nb - 1.0)
+            sea, seb = va / na, vb / nb
+            se2 = sea + seb
+            if math.sqrt(se2) != 0.0:
+                t6 = f6((ma - mb) / math.sqrt(se2))
+                df6 = f6(se2 * se2 / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)))
+        want_t[qid] = (na, nb, f6(ma), f6(mb), t6, df6)
+
+    docs = spark.read.parquet(os.path.join(sf_unit_dir, "documents.parquet"))
+    dim = docs.select("url", F.length("text").cast("double").alias("val"))
+    got = {
+        r["query_id"]: (
+            r["n_docs"], r["min6"], r["max6"], r["q16"], r["q26"], r["q36"],
+            r["lo6"], r["hi6"],
+        )
+        for r in match_boxplot(spark, built_index, make_queries(), dim).collect()
+    }
+    assert got == want_box and len(want_box) >= 10
+    got = {
+        r["query_id"]: (r["n_docs"], r["med6"], r["mad6"])
+        for r in match_mad(spark, built_index, make_queries(), dim).collect()
+    }
+    assert got == want_mad
+    dim3 = docs.select(
+        "url",
+        F.length("text").cast("double").alias("val"),
+        (F.length("text") % 2).cast("int").alias("grp"),
+    )
+    got = {
+        r["query_id"]: (
+            r["n_a"], r["n_b"], r["mean_a6"], r["mean_b6"], r["t6"], r["df6"]
+        )
+        for r in match_t_test(spark, built_index, make_queries(), dim3).collect()
+    }
+    assert got == want_t
+    # the fixture must actually exercise the non-degenerate branch
+    assert any(t is not None for *_rest, t, _df in want_t.values())
+
+
 def test_top_hits_matches_python(spark, built_index, sf_unit_dir):
     """Bucketed top hits: per (query, site-facet) the top-n docs by
     floored BM25 with docID-asc ties must equal a Python re-rank of the

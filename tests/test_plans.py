@@ -308,6 +308,25 @@ def test_single_lineage_plans_no_duplicate_kernels(spark, index_dir):
     plan = tree(match_percentiles(spark, index_dir, qs, dim))
     assert plan.count("FlatMapGroupsInPandas") == 1
 
+    # the sibling rank-selection aggs share the value-histogram head and
+    # must stay single-kernel too: quartiles/median attach as WINDOW
+    # expressions (boxplot), the MAD's second selection re-groups the
+    # histogram (never the match set), and the t-test is one groupBy of
+    # conditional sufficient statistics plus a driver-free select chain
+    from pageindex_spark.plans.hits import match_boxplot, match_mad, match_t_test
+
+    plan = tree(match_boxplot(spark, index_dir, qs, dim))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    plan = tree(match_mad(spark, index_dir, qs, dim))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    dim3 = ext.select(
+        "url",
+        F.length("text").cast("double").alias("val"),
+        (F.length("text") % 2).cast("int").alias("grp"),
+    )
+    plan = tree(match_t_test(spark, index_dir, qs, dim3))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
     full = _explain(significant_terms(spark, index_dir, qs))
     assert full.split("\n\n(1)")[0].count("FlatMapGroupsInPandas") == 2
     # exactly ONE scan reads the extracts TEXT (the count branch ships no
