@@ -1414,6 +1414,27 @@ def _engine_bm25_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene query_string mini-language (plans/query.py
+    search_query_string): boosts, +musts, -NOTs, "required"/-"negated"
+    phrases and prefix* expansion composed in one call over the committed
+    index; fixed_point=True shares the SQL twin's (score6, doc_id) rank
+    key. Must reproduce the bm25_query_string SQL exactly."""
+    from pageindex_spark import search_query_string
+    from pageindex_spark.driverq import QS_QUERIES
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = search_query_string(
+        spark, index_dir, QS_QUERIES, k=10, fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference retrieval parity: winners come back WITH their text
     (/root/reference/README.md:179-188 returns node text). text_fp = md5 of
@@ -1998,6 +2019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_page"] = _engine_bm25_page  # deep paging (offset)
     q["engine_bm25_page_after"] = _engine_bm25_page_after  # cursor paging
     q["engine_bm25_collapse"] = _engine_bm25_collapse  # one doc per key
+    q["engine_query_string"] = _engine_query_string  # Lucene query_string
     q["engine_bm25_syn"] = _engine_bm25_syn  # query-time synonyms
     q["engine_range_facets"] = _engine_range_facets  # range aggregation
     q["engine_range_dense"] = _engine_range_dense  # histogram min_doc_count=0
@@ -2097,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_page"] = o["bm25_page2"]
     o["engine_bm25_page_after"] = o["bm25_page_after"]
     o["engine_bm25_collapse"] = o["bm25_collapse"]
+    o["engine_query_string"] = o["bm25_query_string"]
     o["engine_bm25_syn"] = o["bm25_syn"]
     o["engine_range_facets"] = o["range_facets"]
     o["engine_range_dense"] = o["range_dense"]

@@ -17,6 +17,7 @@ from .plans.query import (  # noqa: F401
     search_function_score,
     search_fuzzy,
     search_prefix,
+    search_query_string,
     search_regexp,
     search_snippets,
     search_synonyms,

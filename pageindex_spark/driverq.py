@@ -125,6 +125,19 @@ BOOST_QUERIES = [
     (5, "dup^10 vector^0.2"),
 ]
 
+# query_string mini-language set (plans/query.py search_query_string; shared
+# grammar functions/tokenizer.parse_query_string). One query per clause
+# family: boost+NOT, must+shoulds, required phrase + boosted should, prefix
+# expansion + negated phrase, double must. Phrases stay 2-token so the twin
+# can reuse the bigram adjacency fragment; engine pytest covers longer ones.
+QS_QUERIES = [
+    (1, "data^2 spark -table"),
+    (2, "+dup line small"),
+    (3, '"merge sort" window^1.5'),
+    (4, 's* -"fast slow" join'),
+    (5, "+customer +query vector"),
+]
+
 STOPWORDS_SQL = "'the','of','and','to','a','in','is','it','data','for'"
 LANGS = {
     "de": "'der','die','und','das','ist'",
@@ -2595,6 +2608,115 @@ select query_id, rank, doc_id, score6 from ranked where rank <= 10
 """
 
 
+def _adj_literal(d: _Dialect, terms: list[str]) -> str:
+    """Contiguous in-order adjacency predicate over ``t.terms`` with
+    LITERAL terms (the ``_phrase_sql`` fragment generalized to n tokens and
+    inlined per query — ``_query_string_sql`` emits one per phrase clause).
+    DuckDB lists are 1-based, Spark arrays 0-based; Spark needs the
+    size-guard (``sequence(lo, hi)`` descends when lo > hi)."""
+    n = len(terms)
+    if d.duck:
+        conds = " and ".join(
+            f"t.terms[i + {j}] = '{t}'" for j, t in enumerate(terms)
+        )
+        return (
+            f"len(list_filter(generate_series(1, len(t.terms) - {n - 1}), "
+            f"i -> {conds})) > 0"
+        )
+    conds = " and ".join(
+        f"t.terms[i + {j}] = '{t}'" for j, t in enumerate(terms)
+    )
+    return (
+        f"case when size(t.terms) >= {n} then "
+        f"exists(sequence(0, size(t.terms) - {n}), i -> {conds}) "
+        f"else false end"
+    )
+
+
+def _query_string_sql(d: _Dialect, k: int = 10) -> str:
+    """``query_string`` twin (plans/query.py ``search_query_string``): the
+    QS_QUERIES set parsed by the SAME lockstep grammar
+    (``functions/tokenizer.parse_query_string``) the engine uses, then
+    lowered to relational SQL — weighted OR scoring over explicit clauses
+    plus prefix expansions against the corpus vocabulary (dfreq, the
+    relation the engine's term dictionary mirrors; an expansion colliding
+    with an explicit clause is dropped so the explicit weight rules), and
+    a per-query admission predicate inlined as a CASE arm: every must term
+    contained, every required phrase contiguous in order, no negated term
+    or phrase. Scores floor to score6 and rank with doc_id tie-break —
+    the engine entry runs fixed_point=True to share that rank key."""
+    from .functions.tokenizer import parse_query_string
+
+    parsed = {qid: parse_query_string(t) for qid, t in QS_QUERIES}
+    qx_rows = [
+        (qid, t, w)
+        for qid, p in sorted(parsed.items())
+        for t, w in sorted(p["weights"].items())
+    ]
+    pat_rows = [
+        (qid, s + "%")
+        for qid, p in sorted(parsed.items())
+        for s in p["prefixes"]
+    ]
+    qx = ", ".join(f"({q}, '{t}', {w!r})" for q, t, w in qx_rows)
+    qpats = ", ".join(f"({q}, '{p}')" for q, p in pat_rows) or "(0, '')"
+    arms = []
+    for qid, p in sorted(parsed.items()):
+        cs = (
+            [d.arr_contains("t.terms", f"'{m}'") for m in p["must"]]
+            + [_adj_literal(d, ph) for ph in p["phrases"]]
+            + [
+                "not " + d.arr_contains("t.terms", f"'{t}'")
+                for t in p["neg"]
+            ]
+            + [f"not ({_adj_literal(d, ph)})" for ph in p["neg_phrases"]]
+        )
+        arms.append(f"when {qid} then {' and '.join(cs) or 'true'}")
+    case = "case s.query_id " + " ".join(arms) + " else false end"
+    return f"""
+with qx(query_id, term, wt) as (values {qx}),
+qpat(query_id, pat) as (values {qpats}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
+dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
+qterms as (
+  select query_id, term, wt from qx
+  union
+  select distinct p.query_id, v.term, cast(1.0 as double) as wt
+  from qpat p join dfreq v on v.term like p.pat
+  where not exists (select 1 from qx where qx.query_id = p.query_id and qx.term = v.term)
+),
+contrib as (
+  select q.query_id, p.doc_id,
+         ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0) * q.wt
+           * p.tf * 2.2 / (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * s.doc_len / c.avgdl)) as w
+  from qterms q
+  join postings p on p.term = q.term
+  join dfreq d on d.term = q.term
+  join doc_stats s on s.doc_id = p.doc_id
+  cross join corpus c
+),
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+admitted as (
+  select s.query_id, s.doc_id, s.score6
+  from scored s join toks t on t.doc_id = s.doc_id
+  where {case}
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from admitted
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
 def _explain_sql(d: _Dialect, k: int = 3) -> str:
     """Score-explanation twin (plans/explain.py): per-term BM25 contribution
     rows for each query's floored top-k docs. The per-term w is the SAME
@@ -3150,6 +3272,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_msm"] = both(_bm25_msm_sql)
     pairs["bm25_prefix"] = both(_bm25_prefix_sql)
     pairs["bm25_wildcard"] = both(_bm25_wildcard_sql)
+    # query_string mini-language (plans/query.py search_query_string): the
+    # one-call composition — boosts, musts, NOTs, required/negated phrases,
+    # prefix expansion — parsed by the shared lockstep grammar.
+    pairs["bm25_query_string"] = both(_query_string_sql)
     # sort-by-field (plans/hits.py search_sorted_by): match set ranked by
     # an external attribute (documents.n_chars), relevance never computed.
     pairs["search_sorted"] = both(_search_sorted_sql)

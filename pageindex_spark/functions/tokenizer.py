@@ -220,3 +220,133 @@ def parse_query(text: str) -> tuple[str, list[str]]:
         elif w != "-":
             pos_words.append(w)
     return " ".join(pos_words), sorted(set(neg_terms))
+
+
+def parse_query_string(text: str) -> dict:
+    """Parse the Lucene ``query_string`` mini-language into its clause
+    structure — the single shared grammar for the engine
+    (``plans/query.py search_query_string``), the pure-Python pytest
+    oracle, and the SQL-twin generator (``driverq._query_string_sql``),
+    same lockstep rule as ``tokenize``. Supported syntax, composing the
+    surfaces that already exist individually:
+
+    * ``term``        — SHOULD clause (scored, optional; OR semantics)
+    * ``term^2.5``    — boost (weight multiplies the term's idf)
+    * ``+term``       — MUST clause (scored AND required)
+    * ``-term``       — MUST_NOT clause (excluded; never scored)
+    * ``"a b c"``     — required phrase: contiguous in-order match. Its
+                        terms are promoted to MUST clauses (scored at
+                        weight 1.0 unless explicitly boosted elsewhere) —
+                        the same BM25-over-phrase-terms scoring as
+                        ``search_phrase``, NOT Lucene's phrase-frequency
+                        scoring (the index is bag-of-words; phrase tf only
+                        exists at the verify stage).
+    * ``-"a b"``      — negated phrase: docs containing it contiguously
+                        are excluded; its terms neither score nor filter.
+    * ``term*``       — prefix clause: expands against the term dictionary
+                        to SHOULD clauses at weight 1.0 (Lucene's scoring
+                        BooleanQuery rewrite; an expansion colliding with
+                        an explicit clause keeps the explicit weight).
+
+    Returns ``{"weights": {term: w} (explicit should+must clauses),
+    "must": sorted terms, "neg": sorted terms, "phrases": [[t1,..],..],
+    "neg_phrases": [[..],..], "prefixes": sorted stems}``. A word may
+    tokenize to several terms ("well-known"); each inherits the clause's
+    role and weight. Raises on: a term given two DIFFERENT weights, a
+    negated or boosted prefix (``-te*``/``te*^2`` — the expansion set
+    would be dictionary-dependent in a way neither twin can mirror
+    cheaply), boost <= 0 (same BMW-vs-dense tie divergence as
+    ``parse_boost_query``), an unterminated quote, and a query with no
+    scorable clause (nothing to rank by)."""
+    weights: dict[str, float] = {}
+    must: set[str] = set()
+    neg: set[str] = set()
+    phrases: list[list[str]] = []
+    neg_phrases: list[list[str]] = []
+    prefixes: set[str] = set()
+
+    def _weigh(term: str, w: float) -> None:
+        if term in weights and weights[term] != w:
+            raise ValueError(
+                f"term {term!r} assigned two weights "
+                f"({weights[term]!r} and {w!r})"
+            )
+        weights[term] = w
+
+    # clause scan: quoted runs are single clauses (with optional +/- sign);
+    # everything else splits on whitespace.
+    i, n = 0, len(text)
+    clauses: list[tuple[str, str]] = []  # (sign, body) / ("Q"+sign, phrase)
+    while i < n:
+        if text[i].isspace():
+            i += 1
+            continue
+        sign = ""
+        if text[i] in "+-" and i + 1 < n and not text[i + 1].isspace():
+            sign = text[i]
+            i += 1
+        if i < n and text[i] == '"':
+            j = text.find('"', i + 1)
+            if j < 0:
+                raise ValueError(f"unterminated quote in query: {text!r}")
+            clauses.append(("Q" + sign, text[i + 1:j]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not text[j].isspace():
+                j += 1
+            clauses.append((sign, text[i:j]))
+            i = j
+
+    for sign, body in clauses:
+        if sign.startswith("Q"):
+            toks = tokenize(body)
+            if not toks:
+                continue  # empty/noise phrase
+            if sign == "Q-":
+                neg_phrases.append(toks)
+            else:
+                phrases.append(toks)
+            continue
+        if sign == "-":
+            neg.update(tokenize(body))
+            continue
+        m = _BOOST_RE.match(body)
+        w = 1.0
+        if m:
+            body, w = m.group(1), float(m.group(2))
+            if w <= 0.0:
+                raise ValueError(f"boost must be > 0: {body!r}^{w!r}")
+        if body.endswith("*") and len(body) > 1:
+            if sign == "+" or m:
+                raise ValueError(
+                    f"prefix clause {body!r} cannot be required or boosted"
+                )
+            toks = tokenize(body[:-1])
+            if len(toks) != 1:
+                raise ValueError(
+                    f"prefix stem {body[:-1]!r} must be a single token, "
+                    f"got {toks}"
+                )
+            prefixes.add(toks[0])
+            continue
+        for t in tokenize(body):
+            _weigh(t, w)
+            if sign == "+":
+                must.add(t)
+
+    for p in phrases:  # phrase terms: scored + required (see docstring)
+        for t in p:
+            if t not in weights:
+                weights[t] = 1.0
+            must.add(t)
+    if not weights and not prefixes:
+        raise ValueError(f"query has no scorable clause: {text!r}")
+    return {
+        "weights": weights,
+        "must": sorted(must),
+        "neg": sorted(neg),
+        "phrases": phrases,
+        "neg_phrases": neg_phrases,
+        "prefixes": sorted(prefixes),
+    }

@@ -1,1 +1,6 @@
-from .bm25 import OracleIndex, bm25_topk, phrase_topk  # noqa: F401
+from .bm25 import (  # noqa: F401
+    OracleIndex,
+    bm25_topk,
+    phrase_topk,
+    query_string_topk,
+)

@@ -179,3 +179,64 @@ def phrase_topk(
         for rank, (d, s) in enumerate(ranked, start=1):
             out.append((qid, rank, idx.urls[d], s))
     return out
+
+
+def query_string_topk(
+    rows: list[tuple[str, object]],
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    from_html: bool = False,
+) -> list[tuple[int, int, str, float]]:
+    """Golden ``query_string`` top-k (plans/query.py search_query_string):
+    parse each query with the shared lockstep grammar
+    (``functions/tokenizer.parse_query_string``), score the union of
+    should/must/phrase/prefix-expansion terms as weighted BM25 (weights
+    multiply idf; accumulation in sorted unique term order, matching the
+    engine's bit-comparable sum contract), then admit a doc iff it contains
+    every must term, matches every required phrase contiguously in order,
+    and matches no negated term or phrase. Prefix stems expand against the
+    corpus vocabulary — the same dictionary the engine's term_stats scan
+    mirrors; an expansion colliding with an explicit clause keeps the
+    explicit weight."""
+    from ..functions.tokenizer import parse_query_string
+
+    idx = OracleIndex(rows, from_html=from_html)
+    toks: list[list[str]] = []
+    for url, payload in sorted(rows, key=lambda r: r[0]):
+        text = extract_text(payload) if from_html else payload
+        toks.append(tokenize(text))
+    vocab = sorted(idx.postings)
+    out: list[tuple[int, int, str, float]] = []
+    for qid, qtext in queries:
+        p = parse_query_string(qtext)
+        weights = dict(p["weights"])
+        for stem in p["prefixes"]:
+            for term in vocab:
+                if term.startswith(stem):
+                    weights.setdefault(term, 1.0)
+        scores: dict[int, float] = {}
+        for term in sorted(weights):
+            plist = idx.postings.get(term)
+            if not plist:
+                continue
+            widf = idx.idf(term) * weights[term]
+            for did, tf in plist.items():
+                dl = idx.doc_len[did]
+                denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / idx.avgdl)
+                scores[did] = scores.get(did, 0.0) + widf * tf * (
+                    BM25_K1 + 1.0
+                ) / denom
+        for did in list(scores):
+            tk = toks[did]
+            ok = (
+                all(did in idx.postings.get(m, {}) for m in p["must"])
+                and all(_near_match(tk, ph, 0) for ph in p["phrases"])
+                and not any(did in idx.postings.get(t, {}) for t in p["neg"])
+                and not any(_near_match(tk, ph, 0) for ph in p["neg_phrases"])
+            )
+            if not ok:
+                scores.pop(did)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], idx.urls[kv[0]]))[:k]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            out.append((qid, rank, idx.urls[d], s))
+    return out

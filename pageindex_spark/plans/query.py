@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from collections.abc import Iterator
 
 import numpy as np
@@ -2514,3 +2515,229 @@ def _rank_and_lookup(
         out.append(rec + (wrow["text"],) if with_text else rec)
     out.sort(key=lambda x: (x[0], x[1]))
     return spark.createDataFrame(out, out_schema)
+
+
+def search_query_string(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+    with_text: bool = False,
+    max_expansions: int = 64,
+) -> DataFrame:
+    """Lucene ``query_string`` mini-language over the committed index —
+    the one-call composition of the surfaces that exist individually:
+    SHOULD terms (OR, BM25-scored), ``term^w`` boosts, ``+term`` musts,
+    ``-term`` boolean NOT, ``"quoted"`` required phrases (contiguous,
+    in-order; terms promoted to scored musts — ``search_phrase``'s
+    BM25-over-terms scoring, NOT Lucene phrase-frequency), ``-"quoted"``
+    negated phrases, and ``term*`` prefix expansion. Grammar and clause
+    semantics live in the shared lockstep parser
+    (``functions/tokenizer.parse_query_string``) so the engine, the pytest
+    oracle and the SQL twin (``driverq._query_string_sql``) parse queries
+    identically. -> (query_id, rank, url, score[, text]).
+
+    Admission is the engine-wide PRE-RANK exclusion contract: a doc ranks
+    iff it matches >= 1 scored clause (inherent), contains every must term,
+    matches every required phrase, and matches no negated term or phrase —
+    all applied before the global rank, so survivor scores equal the plain
+    OR query's scores and ranks compact. score = sum over matched scored
+    terms of BM25 * weight (weights fold into idf pre-payload, the standing
+    boost contract).
+
+    Plan (three kernel calls + the shared rank/lookup tail, each exact):
+
+    1. ONE exhaustive dense kernel over every query's scored terms
+       (boosts + '-term' negations ride the existing per-kernel channels)
+       via ``raw_scored`` — O(matches) scored rows, the inherent cost of
+       composite admission (same class as ``search_collapse``/dis_max; a
+       pure term query should use ``search`` and keep BMW pruning).
+    2. ONE conjunctive kernel over the must terms of queries that have
+       them -> semi-join on (query_id, doc_id). A must term the index has
+       never seen admits nothing — correct, the index covers the corpus.
+    3. ONE conjunctive kernel with every phrase (required AND negated) as
+       its own ``qid*64+i`` sub-query -> candidates = docs containing all
+       the phrase's terms (a superset of its matches, and the ONLY docs
+       that can match it) -> adjacency verification on their text,
+       distributed and codegen'd (``_adjacency_expr``, the
+       ``search_phrase`` verify stage) with the extracts scan pruned to
+       the candidates' build partitions -> required phrases semi-join
+       (docs matching ALL of the query's phrases), negated phrases
+       anti-join. No candidate cap and no truncation: candidates flow
+       distributed through joins (AQE broadcasts small sides), never
+       through the driver — exact at any corpus size, at the
+       O(docs containing all phrase terms) cost search_phrase's positions
+       path also pays.
+
+    Reference parity: the reference has no query language at all (its
+    retrieval is an LLM prompt over the PDF tree,
+    /root/reference/pageindex/page_index.py); this surface is the Lucene/
+    Elasticsearch ``query_string`` shape the north rule's engine class
+    requires, lowered onto the committed-index kernels.
+    """
+    from ..functions.sqlglue import spark_terms
+    from ..functions.tokenizer import parse_query_string
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    parsed = {qid: parse_query_string(text) for qid, text in queries}
+    if len(parsed) != len(queries):
+        raise ValueError("duplicate query_id in batch")
+
+    # prefix expansion: one term-dictionary scan for every stem in the batch
+    stems = sorted({s for p in parsed.values() for s in p["prefixes"]})
+    exp = _expand_prefixes(se, stems, max_expansions) if stems else {}
+    full_w: dict[int, dict[str, float]] = {}
+    for qid, p in parsed.items():
+        w = dict(p["weights"])
+        for s in p["prefixes"]:
+            for t in exp.get(s, []):
+                w.setdefault(t, 1.0)  # explicit clause keeps its weight
+        full_w[qid] = w
+
+    out_schema = "query_id int, rank int, url string, score double" + (
+        ", text string" if with_text else ""
+    )
+    empty = spark.createDataFrame([], out_schema)
+
+    def _boost_word(t: str, w: float) -> str:
+        if w == 1.0:
+            return t
+        s = repr(w)
+        if not _QS_WEIGHT_RE.match(s):
+            raise ValueError(f"weight {w!r} not representable as 'term^w'")
+        return f"{t}^{s}"
+
+    main_q = [
+        (
+            qid,
+            " ".join(
+                [_boost_word(t, w) for t, w in sorted(full_w[qid].items())]
+                + [f"-{t}" for t in parsed[qid]["neg"]]
+            ),
+        )
+        for qid in sorted(parsed)
+        if full_w[qid]  # a query whose prefixes all expanded to nothing
+    ]
+    if not main_q:
+        return empty
+    scored, _parts = _search_impl(
+        se, main_q, k, "dense", fixed_point=fixed_point, raw_scored=True
+    )
+
+    # must admission (step 2)
+    must_q = [
+        (qid, " ".join(parsed[qid]["must"]))
+        for qid, _t in main_q
+        if parsed[qid]["must"]
+    ]
+    if must_q:
+        conj, _ = _search_impl(
+            se, must_q, k, "conjunctive", fixed_point=fixed_point,
+            raw_scored=True,
+        )
+        # single-lineage admission (no filter/union fork re-executing the
+        # kernel subtree): conjunctive rows are unique per (query, doc) —
+        # cells partition docID space — so a left join never duplicates.
+        mq = [qid for qid, _t in must_q]
+        scored = (
+            scored.join(
+                conj.select("query_id", "doc_id").withColumn(
+                    "__m", F.lit(1)
+                ),
+                ["query_id", "doc_id"],
+                "left",
+            )
+            .filter(
+                F.col("__m").isNotNull() | ~F.col("query_id").isin(mq)
+            )
+            .drop("__m")
+        )
+
+    # phrase admission (step 3)
+    phr_sub: list[tuple[int, str]] = []
+    sub_meta: list[tuple[int, int, bool, list[str]]] = []  # sub, qid, is_req
+    req_counts: dict[int, int] = {}
+    for qid, _t in main_q:
+        p = parsed[qid]
+        ph, nph = p["phrases"], p["neg_phrases"]
+        if len(ph) + len(nph) > 63:
+            raise ValueError(f"query {qid}: more than 63 phrase clauses")
+        for i, terms in enumerate(ph + nph):
+            phr_sub.append((qid * 64 + i, " ".join(terms)))
+            sub_meta.append((qid * 64 + i, qid, i < len(ph), terms))
+        if ph:
+            req_counts[qid] = len(ph)
+    if phr_sub:
+        cand, cparts = _search_impl(
+            se, phr_sub, k, "conjunctive", fixed_point=fixed_point,
+            raw_scored=True,
+        )
+        ext = spark.read.parquet(se.paths.docs_extracted).select(
+            F.col("part_id").cast("int").alias("part_id"), "local_pos", "text"
+        )
+        if cparts is not None and 2 * len(cparts) < len(se.grid_parts):
+            ext = ext.filter(F.col("part_id").isin(sorted(cparts)))
+        cond = F.lit(False)
+        for sub, _qid, _is_req, terms in sub_meta:
+            cond = F.when(
+                F.col("query_id") == sub,
+                _adjacency_expr("tk", terms, 0, True),
+            ).otherwise(cond)
+        meta = spark.createDataFrame(
+            [(s, q, r) for s, q, r, _t in sub_meta],
+            "sub int, qid int, is_req boolean",
+        )
+        # ONE aggregation over the verify output (single lineage — the
+        # conjunctive kernel + text verify run once, not once per clause
+        # kind): per (query, doc), how many distinct required phrases
+        # matched and whether any negated phrase did. verified rows are
+        # unique per (sub, doc) — cand is (cells partition docID space)
+        # and (part_id, local_pos) is the extract's primary key.
+        ver_agg = (
+            cand.join(ext, ["part_id", "local_pos"])
+            .withColumn("tk", F.expr(spark_terms("text")))
+            .filter(cond)
+            .join(F.broadcast(meta), F.col("query_id") == F.col("sub"))
+            .groupBy(F.col("qid").alias("query_id"), "doc_id")
+            .agg(
+                F.sum(F.when(F.col("is_req"), 1).otherwise(0)).alias(
+                    "__n_ok"
+                ),
+                F.max(F.when(~F.col("is_req"), 1).otherwise(0)).alias(
+                    "__n_neg"
+                ),
+            )
+        )
+        need = spark.createDataFrame(
+            list(req_counts.items()) or [(-1, 0)],
+            "query_id int, __n_req int",
+        )
+        scored = (
+            scored.join(ver_agg, ["query_id", "doc_id"], "left")
+            .join(F.broadcast(need), "query_id", "left")
+            .filter(
+                (
+                    F.col("__n_req").isNull()
+                    | (
+                        F.coalesce(F.col("__n_ok"), F.lit(0))
+                        == F.col("__n_req")
+                    )
+                )
+                & (F.coalesce(F.col("__n_neg"), F.lit(0)) == 0)
+            )
+            .drop("__n_ok", "__n_neg", "__n_req")
+        )
+
+    return _rank_and_lookup(
+        se,
+        scored.select("query_id", "doc_id", "score"),
+        k,
+        fixed_point,
+        with_text,
+        empty,
+    )
+
+
+_QS_WEIGHT_RE = re.compile(r"^\d+(?:\.\d+)?$")

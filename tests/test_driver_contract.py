@@ -153,6 +153,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_snippets",
         "engine_bm25_merged",
         "engine_phrase_pos",
+        "engine_query_string",
     ],
 )
 def test_custom_entries_match_their_oracles(name, spark, duck):

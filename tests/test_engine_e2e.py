@@ -2944,3 +2944,100 @@ def test_terms_set_matches_python(spark, built_index, sf_unit_dir):
         )
     assert got == {q: w for q, w in want.items() if w}
     assert filtered, "threshold never dropped a doc — terms_set vacuous"
+
+
+def test_query_string_matches_python(spark, built_index, sf_unit_dir):
+    """Lucene query_string mini-language (round 5): the one-call
+    composition — boosts, +musts, -negations, "required phrases",
+    -"negated phrases", prefix* expansion — must reproduce the pure-Python
+    oracle rank- and score-exactly, and each clause class must visibly
+    change results vs the plain OR of the same scored terms."""
+    from pageindex_spark.functions.tokenizer import parse_query_string
+    from pageindex_spark.oracle import query_string_topk
+    from pageindex_spark.plans.query import search_query_string
+    from pageindex_spark.sources.corpus import build_vocab
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = sorted(
+        zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()),
+        key=lambda r: r[0],
+    )
+    t0 = rows[0][1].split()  # real doc tokens: planted matches guaranteed
+    v = build_vocab()
+    queries = [
+        (1, f"{v[0]}^2 {v[1]} -{v[2]}"),  # boost + negated term
+        (2, f"+{t0[0]} {v[3]} {v[4]}"),  # must + optional shoulds
+        (3, f'"{t0[0]} {t0[1]} {t0[2]}" {v[5]}^1.5'),  # 3-token phrase
+        (4, f'-"{t0[3]} {t0[4]}" {v[0]} {v[1]}'),  # negated phrase
+        (5, f"+{v[0]} +{v[1]} {v[2]}"),  # two musts + should
+        (6, f"{t0[0][:1]}zzzqx* {v[6]}"),  # dead prefix + live should
+    ]
+    want = query_string_topk(rows, queries, k=10)
+    got = search_query_string(spark, built_index, queries, k=10).collect()
+    got = sorted(got, key=lambda r: (r["query_id"], r["rank"]))
+    assert len(got) == len(want)
+    for g, (qid, rank, url, score) in zip(got, want):
+        assert (g["query_id"], g["rank"], g["url"]) == (qid, rank, url)
+        assert abs(g["score"] - score) < 1e-9
+    # each admission clause holds on every returned winner (checked on the
+    # raw text, independent of both implementations)
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import _near_match
+
+    text_of = dict(rows)
+    for qid, qtext in queries:
+        p = parse_query_string(qtext)
+        for w in [w for w in want if w[0] == qid]:
+            tk = tokenize(text_of[w[2]])
+            assert all(m in tk for m in p["must"]), (qtext, w)
+            assert not any(t in tk for t in p["neg"]), (qtext, w)
+            assert all(_near_match(tk, ph, 0) for ph in p["phrases"])
+            assert not any(_near_match(tk, ph, 0) for ph in p["neg_phrases"])
+    # and at least one query's admission visibly changed the plain-OR top-10
+    changed = 0
+    for qid, qtext in queries[:5]:
+        p = parse_query_string(qtext)
+        plain = bm25_topk(rows, [(qid, " ".join(sorted(p["weights"])))], k=10)
+        qs = [w for w in want if w[0] == qid]
+        if [w[2] for w in qs] != [w[2] for w in plain]:
+            changed += 1
+    assert changed >= 1
+    # dead prefix leaves the live should term ranking alone
+    q6 = [w for w in want if w[0] == 6]
+    assert q6 and [w[2] for w in q6] == [
+        w[2] for w in bm25_topk(rows, [(6, v[6])], k=10)
+    ]
+
+
+def test_query_string_parser_contract():
+    """Grammar error paths and clause-promotion rules pinned (shared
+    lockstep parser functions/tokenizer.parse_query_string)."""
+    from pageindex_spark.functions.tokenizer import parse_query_string
+
+    p = parse_query_string('alpha^2 +beta "gamma delta" -eps -"zeta eta" th*')
+    assert p["weights"] == {
+        "alpha": 2.0, "beta": 1.0, "gamma": 1.0, "delta": 1.0
+    }
+    assert p["must"] == ["beta", "delta", "gamma"]  # phrase terms promoted
+    assert p["neg"] == ["eps"]
+    assert p["phrases"] == [["gamma", "delta"]]
+    assert p["neg_phrases"] == [["zeta", "eta"]]
+    assert p["prefixes"] == ["th"]
+    # explicit boost wins over the phrase default
+    p2 = parse_query_string('alpha^3 "alpha beta"')
+    assert p2["weights"]["alpha"] == 3.0 and p2["must"] == ["alpha", "beta"]
+    # multi-token words inherit the clause role
+    p3 = parse_query_string("+well-known")
+    assert p3["must"] == ["known", "well"]
+    for bad in [
+        "a^2 a^3",  # conflicting weights
+        "-only",  # no scorable clause
+        '"unterminated',
+        "+pre*",  # required prefix
+        "pre*^2",  # boosted prefix
+        "zero^0 x",  # non-positive boost
+    ]:
+        with pytest.raises(ValueError):
+            parse_query_string(bad)
