@@ -451,6 +451,41 @@ def _engine_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_stats(spark, index_dir, BM25_QUERIES, dim)
 
 
+def _engine_match_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality sketch (round 5, plans/hits.py
+    match_cardinality_hll): the ES cardinality agg as the real sketch —
+    md5-hash registers reduced by max (a queries x 256-row shuffle no
+    matter how many docs matched), exact-int64 state, fixed-point
+    estimate, exact distinct kept for audit. Lockstep spec
+    functions/sketches.py. Must reproduce the match_hll SQL exactly."""
+    from pageindex_spark.plans.hits import match_cardinality_hll
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("bigint").cast("string").alias("v"),
+    )
+    return match_cardinality_hll(spark, index_dir, BM25_QUERIES, dim)
+
+
+def _engine_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """function_score random_score (round 5, plans/hits.py
+    match_random_score): seeded reproducible uniform scores over the match
+    set — hash60(seed|url) mod 1e6, ranked by the field-sort two-phase
+    top-k. Must reproduce the bm25_random SQL exactly."""
+    from pageindex_spark.driverq import RANDOM_SCORE_SEED
+    from pageindex_spark.plans.hits import match_random_score
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = match_random_score(
+        spark, index_dir, BM25_QUERIES, RANDOM_SCORE_SEED, k=10
+    )
+    return top.select(
+        "query_id", "rank", F.col("url").cast("bigint").alias("doc_id"), "r6"
+    )
+
+
 def _engine_sig_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Significant terms (round 5, plans/hits.py significant_terms): the
     terms most over-represented in each query's match set vs corpus df
@@ -2025,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_range_dense"] = _engine_range_dense  # histogram min_doc_count=0
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
+    q["engine_match_hll"] = _engine_match_hll  # HLL cardinality sketch
+    q["engine_random_score"] = _engine_random_score  # seeded random_score
     q["engine_ext_stats"] = _engine_ext_stats  # extended_stats (variance)
     q["engine_weighted_avg"] = _engine_weighted_avg  # weighted_avg
     q["engine_match_missing"] = _engine_match_missing  # missing agg
@@ -2125,6 +2162,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_range_dense"] = o["range_dense"]
     o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_match_stats"] = o["match_stats"]
+    o["engine_match_hll"] = o["match_hll"]
+    o["engine_random_score"] = o["bm25_random"]
     o["engine_ext_stats"] = o["ext_stats"]
     o["engine_weighted_avg"] = o["weighted_avg"]
     o["engine_match_missing"] = o["match_missing"]

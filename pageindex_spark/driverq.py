@@ -211,6 +211,17 @@ class _Dialect:
             return f"cast(('0x' || substr(md5({s}), {hexoff}, 8))::ubigint as bigint)"
         return f"cast(conv(substr(md5({s}), {hexoff}, 8), 16, 10) as bigint)"
 
+    def shiftl(self, x: str, b: str) -> str:
+        """int64 left shift by an expression (callers keep b <= 62: DuckDB
+        range-checks bit 63 where Java silently wraps negative)."""
+        if self.duck:
+            return f"(cast({x} as bigint) << ({b}))"
+        return f"shiftleft(cast({x} as bigint), {b})"
+
+    def idiv(self, a: str, b: int) -> str:
+        """Integer division (non-negative operands)."""
+        return f"({a} // {b})" if self.duck else f"({a} div {b})"
+
     def xor(self, a: str, b: str) -> str:
         return f"xor({a}, {b})" if self.duck else f"({a} ^ {b})"
 
@@ -3221,6 +3232,272 @@ def _fingerprint_expr(d: _Dialect) -> str:
     return f"md5({(DUCK_FP_NORM if d.duck else SPARK_FP_NORM).format(col='text')})"
 
 
+# --- HLL cardinality sketch (ES `cardinality` agg's actual algorithm) ------
+# Lockstep spec lives in functions/sketches.py, shared with the engine plan
+# (plans/hits.py match_cardinality_hll) and the pure-Python pytest oracle.
+# bit_length is computed as length(bin(w)), which is minimal-width in BOTH
+# engines (bin(0) = '0' -> the w > 0 guard below).
+from .functions.sketches import (  # noqa: E402
+    HLL_ALPHA_M2,
+    HLL_LC_BAR,
+    HLL_M,
+    HLL_RHO_MAX,
+    HLL_W_BITS,
+    HLL_W_MASK,
+)
+
+
+def _hll_regs(d: _Dialect, src: str, keys: str, val: str) -> str:
+    """Register CTE fragment: ``src`` rows -> per-(keys, bucket) max rho.
+    Duplicate values are absorbed by the max -- HLL needs no DISTINCT."""
+    w = f"(h & {HLL_W_MASK})"
+    return f"""
+hashed as (select {keys}, {d.hash60(val)} as h from {src}),
+regs as (
+  select {keys}, {d.shiftr('h', HLL_W_BITS)} as bucket,
+         max(case when {w} = 0 then {HLL_RHO_MAX}
+                  else {HLL_RHO_MAX} - length(bin({w})) end) as reg
+  from hashed group by {keys}, bucket
+)"""
+
+
+def _hll_finish(d: _Dialect, keys: str) -> str:
+    """Estimate-tail CTEs over ``regs`` (continues the caller's WITH list;
+    read the result from ``fin``). The 2^(53-reg) addends are integer
+    shifts summed as int64 -- exact and partition-order-independent (a
+    double sum would round past 2^53)."""
+    return f"""sk as (
+  select {keys}, cast({HLL_M} - count(*) as bigint) as zeros,
+         cast(sum({d.shiftl('1', '53 - reg')})
+              + ({HLL_M} - count(*)) * {1 << 53} as bigint) as s53
+  from regs group by {keys}
+),
+est as (
+  select {keys}, zeros, s53,
+         cast({HLL_ALPHA_M2!r} as double) / cast(s53 as double) as raw
+  from sk
+),
+fin as (
+  select {keys}, zeros, s53,
+         cast(floor(1000000.0 * (case when raw <= {HLL_LC_BAR} and zeros > 0
+              then {float(HLL_M)!r} * ln({float(HLL_M)!r} / cast(zeros as double))
+              else raw end)) as bigint) as est6
+  from est
+)"""
+
+
+def _match_hll_sql(d: _Dialect) -> str:
+    """HLL cardinality twin (plans/hits.py ``match_cardinality_hll``): the
+    ES `cardinality` agg as the real sketch (not countDistinct) over the
+    match set's n_chars values, next to the exact answer for auditability.
+    The sketch state (zeros, s53) is exact int64; est6 is fixed-point."""
+    # power(2, 53-reg): DuckDB's power returns double -- exact for 2^k,
+    # k <= 53 -- and Spark's power matches; the sum is cast back through
+    # bigint AFTER the exact additions (every addend and the total are
+    # integers < 2^61, all exactly representable).
+    val = f"cast(v as {d.str_type()})"
+    return f"""{_matched_cte(d)}
+, vals as (
+  select m.query_id, cast(doc.n_chars as bigint) as v
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+counts as (
+  select query_id, cast(count(*) as bigint) as n_docs,
+         cast(count(distinct v) as bigint) as n_exact
+  from vals group by query_id
+),
+{_hll_regs(d, "vals", "query_id", val).lstrip()},
+{_hll_finish(d, "query_id")}
+select c.query_id, c.n_docs, c.n_exact, f.zeros, f.s53, f.est6
+from counts c join fin f on f.query_id = c.query_id
+"""
+
+
+def _vocab_hll_sql(d: _Dialect) -> str:
+    """Corpus-level HLL: estimated vocabulary size (distinct tokens) next to
+    the exact count -- the sketch a 100 TB corpus profiler would keep
+    per-shard and merge by register max."""
+    return f"""
+with occ as (select {d.unnest(d.terms('text'))} as v from documents),
+grp as (select 1 as g, v from occ),
+counts as (select 1 as g, cast(count(distinct v) as bigint) as n_exact from occ),
+{_hll_regs(d, "grp", "g", "v").lstrip()},
+{_hll_finish(d, "g")}
+select c.n_exact, f.zeros, f.s53, f.est6
+from counts c join fin f on f.g = c.g
+"""
+
+
+# --- Bloom filter membership ------------------------------------------------
+# k = 3 md5-derived hash probes into a 4032-bit filter stored as 64 int64
+# words of 63 usable bits each (bit 63 stays clear: DuckDB range-checks
+# `1 << 63` where Java wraps negative -- mod-63 sidesteps the disagreement).
+BLOOM_BITS = 4032  # 64 words x 63 bits
+BLOOM_HEXOFFS = (1, 9, 17)
+# Probe set: 8 vocabulary terms + 8 strings absent from the synthetic vocab.
+BLOOM_PROBES = [
+    "data", "spark", "window", "merge", "sort", "customer", "dup", "query",
+    "qzx", "blorp", "xyzzy", "fnord", "zzzz", "quux", "snark", "wibble",
+]
+
+
+def _bloom_pos(d: _Dialect, s: str, off: int) -> str:
+    return f"({d.hash32(s, off)} % {BLOOM_BITS})"
+
+
+def _bloom_sql(d: _Dialect) -> str:
+    """Bloom-filter twin: build a 4032-bit / 3-hash filter over the corpus
+    vocabulary (distinct tokens -> bit_or of single-bit words), then probe a
+    fixed candidate list. No false negatives by construction; the absent
+    probes demonstrate the (rare) false-positive case deterministically.
+    The 100 TB use: ship the 64-word filter broadcast-side to prune a join
+    against a term list before any shuffle."""
+    probes = ", ".join(f"('{c}')" for c in BLOOM_PROBES)
+    ins = " union all ".join(
+        f"select {_bloom_pos(d, 'term', off)} as pos from vocab"
+        for off in BLOOM_HEXOFFS
+    )
+    outs = " union all ".join(
+        f"select candidate, {_bloom_pos(d, 'candidate', off)} as pos from cands"
+        for off in BLOOM_HEXOFFS
+    )
+    return f"""
+with cands(candidate) as (values {probes}),
+vocab as (select distinct {d.unnest(d.terms('text'))} as term from documents),
+setbits as ({ins}),
+words as (
+  select {d.idiv('pos', 63)} as w, bit_or({d.shiftl('1', 'pos % 63')}) as bits
+  from setbits group by {d.idiv('pos', 63)}
+),
+probes as ({outs}),
+hits as (
+  select p.candidate,
+         case when b.bits is not null
+              and (b.bits & {d.shiftl('1', 'p.pos % 63')}) != 0
+              then 1 else 0 end as hit
+  from probes p left join words b on b.w = {d.idiv('p.pos', 63)}
+)
+select candidate, cast(sum(hit) as bigint) as n_hits,
+       sum(hit) = {len(BLOOM_HEXOFFS)} as maybe_present
+from hits group by candidate
+"""
+
+
+# --- Completion suggester (next-word over corpus bigrams) -------------------
+NEXT_WORD_SEEDS = ["data", "merge", "fast", "join", "stream"]
+NEXT_WORD_K = 3
+
+
+def _next_word_sql(d: _Dialect) -> str:
+    """Search-as-you-type completion twin: for each seed term, the top-3
+    tokens that FOLLOW it in the corpus by bigram frequency (count desc,
+    term asc ties). At index scale this table is precomputed once beside
+    the postings (one extra groupBy on the tokenize pass) -- the twin
+    derives it inline from the same lockstep tokenizer."""
+    seeds = ", ".join(f"('{s}')" for s in NEXT_WORD_SEEDS)
+    if d.duck:
+        bg = """select a[i] as w1, a[i + 1] as w2
+  from toks, unnest(generate_series(1, len(a) - 1)) as u(i)
+  where len(a) >= 2"""
+    else:
+        bg = """select a[i] as w1, a[i + 1] as w2
+  from (select a, explode(sequence(0, size(a) - 2)) as i from toks
+        where size(a) >= 2)"""
+    return f"""
+with seeds(seed) as (values {seeds}),
+toks as (select {d.terms('text')} as a from documents),
+bg as ({bg}),
+cnt as (
+  select s.seed, b.w2 as next_term, cast(count(*) as bigint) as cnt
+  from bg b join seeds s on s.seed = b.w1
+  group by s.seed, b.w2
+),
+ranked as (
+  select seed, next_term, cnt,
+         row_number() over (partition by seed order by cnt desc, next_term asc) as rank
+  from cnt
+)
+select seed, rank, next_term, cnt from ranked where rank <= {NEXT_WORD_K}
+"""
+
+
+# --- Parent-child queries (ES has_child / has_parent via the join type) -----
+HAS_CHILD_MIN_QTY = 45
+HAS_PARENT_PRIORITY = "1-URGENT"
+PARENT_CHILD_K = 20
+
+
+def _has_child_sql(d: _Dialect) -> str:
+    """ES ``has_child`` twin over the orders(parent)/lineitem(child) shape:
+    parents with >= 1 child matching the predicate, scored by the children
+    (score_mode sum AND max exposed), top-20 by (sum desc, key asc). Child
+    scores floor to cents-exact int64 BEFORE aggregation, so the sum is
+    order-independent across partitions/engines."""
+    return f"""
+with kids as (
+  select l_orderkey, cast(floor(l_extendedprice * 100) as bigint) as cscore
+  from lineitem where l_quantity >= {HAS_CHILD_MIN_QTY}
+),
+agg as (
+  select l_orderkey as parent_id, cast(count(*) as bigint) as n_children,
+         sum(cscore) as score6, max(cscore) as max6
+  from kids group by l_orderkey
+),
+ranked as (
+  select o.o_orderkey as parent_id, a.n_children, a.score6, a.max6,
+         row_number() over (order by a.score6 desc, o.o_orderkey asc) as rank
+  from agg a join orders o on o.o_orderkey = a.parent_id
+)
+select rank, parent_id, n_children, score6, max6
+from ranked where rank <= {PARENT_CHILD_K}
+"""
+
+
+def _has_parent_sql(d: _Dialect) -> str:
+    """ES ``has_parent`` twin: children whose parent matches the predicate,
+    each child inheriting the PARENT's score (the has_parent contract),
+    top-20 by (score desc, child key asc)."""
+    return f"""
+with par as (
+  select o_orderkey, cast(floor(o_totalprice * 100) as bigint) as score6
+  from orders where o_orderpriority = '{HAS_PARENT_PRIORITY}'
+),
+ranked as (
+  select l.l_orderkey, l.l_linenumber, p.score6,
+         row_number() over (
+           order by p.score6 desc, l.l_orderkey asc, l.l_linenumber asc) as rank
+  from lineitem l join par p on p.o_orderkey = l.l_orderkey
+)
+select rank, l_orderkey, l_linenumber, score6
+from ranked where rank <= {PARENT_CHILD_K}
+"""
+
+
+# --- function_score random_score (seeded, reproducible) ----------------------
+RANDOM_SCORE_SEED = "r5"
+
+
+def _random_score_sql(d: _Dialect) -> str:
+    """ES ``random_score`` twin (plans/hits.py ``match_random_score``):
+    uniform seeded scores over the OR match set -- r6 = hash60(seed|url)
+    mod 1e6, pure integers end to end (no float anywhere). The hash input
+    is the zero-padded url string, the same bytes the engine hashes."""
+    url = f"lpad(cast(m.doc_id as {d.str_type()}), 10, '0')"
+    h = d.hash60(f"'{RANDOM_SCORE_SEED}|' || {url}" if d.duck
+                 else f"concat('{RANDOM_SCORE_SEED}|', {url})")
+    return f"""{_matched_cte(d)}
+, scored as (
+  select m.query_id, m.doc_id, ({h}) % 1000000 as r6 from matched m
+),
+ranked as (
+  select query_id, doc_id, cast(r6 as bigint) as r6,
+         row_number() over (partition by query_id order by r6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, r6 from ranked where rank <= 10
+"""
+
+
 def paired_sql() -> dict[str, tuple[str, str]]:
     """name -> (spark_sql, duck_sql); identical aliases, hash-stable types."""
     S, D = _Dialect("spark"), _Dialect("duck")
@@ -3311,6 +3588,22 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # of matched docs under each AT_VALUES threshold, pure int64.
     pairs["pct_ranks"] = both(_pct_ranks_sql)
     pairs["bm25_explain"] = both(_explain_sql)
+    # HLL cardinality sketch (plans/hits.py match_cardinality_hll): the ES
+    # cardinality agg's real algorithm, exact-int64 registers + fixed-point
+    # estimate, next to the exact distinct count for audit.
+    pairs["match_hll"] = both(_match_hll_sql)
+    # corpus-profiler variant: estimated vocabulary size via the same sketch.
+    pairs["vocab_hll"] = both(_vocab_hll_sql)
+    # Bloom-filter membership: 4032-bit/3-hash filter over the vocabulary,
+    # probed with present + absent candidates (broadcast join-pruning shape).
+    pairs["bloom_membership"] = both(_bloom_sql)
+    # completion suggester: top next-words by corpus bigram frequency.
+    pairs["next_word_suggest"] = both(_next_word_sql)
+    # ES has_child / has_parent over the orders/lineitem parent-child shape.
+    pairs["has_child"] = both(_has_child_sql)
+    pairs["has_parent"] = both(_has_parent_sql)
+    # function_score random_score: seeded uniform hash scores, pure int64.
+    pairs["bm25_random"] = both(_random_score_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

@@ -2133,3 +2133,121 @@ def range_facets_dense(
         .filter(F.col("tot") > 0)
         .select("query_id", "bucket", "n_docs")
     )
+
+def match_cardinality_hll(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``cardinality`` agg as the REAL sketch (HyperLogLog), not a
+    countDistinct -> (query_id, n_docs, n_exact, zeros, s53, est6): per
+    query the matched-value row count, the exact distinct count (kept for
+    audit; at 10^12-distinct scale drop this column and ship only the
+    sketch), the HLL register state as exact int64s, and the fixed-point
+    estimate. Lockstep spec: functions/sketches.py — the identical md5
+    hash, register math, and single-division estimate run in the SQL
+    twins (driverq ``_match_hll_sql``) and the pure-Python pytest oracle.
+
+    Scale shape: the register reduction is a (query, bucket) groupBy with
+    map-side combine — the shuffle carries at most queries x m = O(256 q)
+    rows no matter how many docs matched, which is the entire point of the
+    sketch: per-shard registers merge by max, never by re-scanning. The
+    exact column is the only O(distinct) shuffle; production at trillion
+    scale keeps the sketch and drops the audit column. ``values`` is a
+    (url, v) dimension with v ALREADY RENDERED to string — hashing bytes,
+    not floats, keeps every engine's input identical."""
+    from ..functions.sketches import (
+        HLL_ALPHA_M2,
+        HLL_LC_BAR,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_W_BITS,
+        HLL_W_MASK,
+    )
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, n_docs long, n_exact long, zeros long, s53 long, "
+        "est6 long"
+    )
+    empty = spark.createDataFrame([], ddl)
+    if state is None:
+        return empty
+    vals = _matched_urls(spark, se, state).join(
+        values.select("url", "v"), "url"
+    )
+    counts = vals.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("v").alias("n_exact"),
+    )
+    h = F.expr("cast(conv(substr(md5(v), 1, 15), 16, 10) as bigint)")
+    w = F.expr(f"cast(conv(substr(md5(v), 1, 15), 16, 10) as bigint) & {HLL_W_MASK}")
+    regs = (
+        vals.select(
+            "query_id",
+            F.shiftright(h, HLL_W_BITS).alias("bucket"),
+            F.when(w == 0, F.lit(HLL_RHO_MAX))
+            .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(w)))
+            .alias("rho"),
+        )
+        .groupBy("query_id", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    sk = regs.groupBy("query_id").agg(
+        (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - reg)"))
+            + (F.lit(HLL_M) - F.count("*")) * F.lit(1 << 53)
+        ).cast("long").alias("s53"),
+    )
+    # Identical float-op order to the twins: one division for raw, then the
+    # linear-counting CASE, then ONE multiply + floor.
+    raw = F.lit(HLL_ALPHA_M2) / F.col("s53").cast("double")
+    lc = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / F.col("zeros").cast("double")
+    )
+    est6 = (
+        F.floor(
+            F.lit(1000000.0)
+            * F.when((raw <= F.lit(HLL_LC_BAR)) & (F.col("zeros") > 0), lc)
+            .otherwise(raw)
+        )
+    ).cast("long")
+    fin = sk.select("query_id", "zeros", "s53", est6.alias("est6"))
+    return counts.join(fin, "query_id").select(
+        "query_id", "n_docs", "n_exact", "zeros", "s53", "est6"
+    )
+
+
+def match_random_score(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    seed: str,
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """ES ``function_score`` / ``random_score`` -> (query_id, rank, url,
+    r6): the match set ranked by a SEEDED reproducible uniform score —
+    r6 = hash60(seed | url) mod 1e6, pure integers end to end. Built as a
+    field sort over a hash dimension: the score depends only on (seed,
+    url), so it IS a sort key, and ``search_sorted_by`` contributes the
+    two-phase per-partition top-k + the full exclusion contract for free.
+    The dimension derives from the index's OWN extracts (url column only,
+    column-pruned scan) — no external table needed."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    urls = spark.read.parquet(se.paths.docs_extracted).select("url")
+    dim = urls.select(
+        "url",
+        F.expr(
+            "cast(conv(substr(md5(concat('"
+            + seed
+            + "|', url)), 1, 15), 16, 10) as bigint) % 1000000"
+        ).alias("sort_key"),
+    )
+    top = search_sorted_by(spark, index_dir, queries, dim, k=k,
+                           cell_parts=cell_parts)
+    return top.withColumnRenamed("sort_key", "r6")

@@ -101,6 +101,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_bm25_explain",
         "engine_bm25_page",
         "engine_match_stats",
+        "engine_match_hll",
+        "engine_random_score",
         "engine_ext_stats",
         "engine_weighted_avg",
         "engine_match_missing",
