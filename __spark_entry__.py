@@ -469,6 +469,19 @@ def _engine_match_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_cardinality_hll(spark, index_dir, BM25_QUERIES, dim)
 
 
+def _engine_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary HLL from COMMITTED artifacts (round 5, plans/hits.py
+    index_vocab_hll): registers built over the index's term_stats relation,
+    never a corpus re-tokenize — the twin sketches the corpus tokens
+    directly, so the hash-match certifies index<->source vocabulary
+    consistency through the sketch. Must reproduce the vocab_hll SQL
+    exactly."""
+    from pageindex_spark.plans.hits import index_vocab_hll
+
+    index_dir = _engine_index(spark, sf_dir)
+    return index_vocab_hll(spark, index_dir)
+
+
 def _engine_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """function_score random_score (round 5, plans/hits.py
     match_random_score): seeded reproducible uniform scores over the match
@@ -2061,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_rescore"] = _engine_bm25_rescore  # rescore window
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
     q["engine_match_hll"] = _engine_match_hll  # HLL cardinality sketch
+    q["engine_vocab_hll"] = _engine_vocab_hll  # sketch over committed terms
     q["engine_random_score"] = _engine_random_score  # seeded random_score
     q["engine_ext_stats"] = _engine_ext_stats  # extended_stats (variance)
     q["engine_weighted_avg"] = _engine_weighted_avg  # weighted_avg
@@ -2163,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_rescore"] = o["bm25_rescore"]
     o["engine_match_stats"] = o["match_stats"]
     o["engine_match_hll"] = o["match_hll"]
+    o["engine_vocab_hll"] = o["vocab_hll"]
     o["engine_random_score"] = o["bm25_random"]
     o["engine_ext_stats"] = o["ext_stats"]
     o["engine_weighted_avg"] = o["weighted_avg"]

@@ -3473,6 +3473,43 @@ from ranked where rank <= {PARENT_CHILD_K}
 """
 
 
+# --- cumulative_cardinality pipeline agg -------------------------------------
+def _cumulative_cardinality_sql(d: _Dialect) -> str:
+    """ES ``cumulative_cardinality`` twin over events: distinct users seen
+    up to and including each DAY bucket. Both sides use the FIRST-SEEN
+    formulation — min(day) per user, count new arrivals per day, one
+    running-sum window over O(buckets) rows — the O(N)-with-two-small-
+    shuffles plan, instead of re-counting distinct per prefix (O(N x
+    buckets), the naive reading of the agg). n_new is the bucket's ES
+    `value` delta; cum_users the cumulative cardinality. Exact (the ES agg
+    runs on HLL sketches and inherits their error; at trillion-user scale
+    swap the per-user min for the register-merge sketch — documented, not
+    taken: first-seen is exact AND cheaper here). Days render as
+    'yyyy-MM-dd' strings under the session's pinned UTC timezone."""
+    day = (
+        "strftime(ts, '%Y-%m-%d')" if d.duck
+        else "date_format(ts, 'yyyy-MM-dd')"
+    )
+    return f"""
+with ev as (select user_id, {day} as day from events),
+fs as (select user_id, min(day) as first_d from ev group by user_id),
+per as (
+  select first_d as day, cast(count(*) as bigint) as n_new
+  from fs group by first_d
+),
+days as (select distinct day from ev),
+cum as (
+  select dd.day, coalesce(p.n_new, 0) as n_new
+  from days dd left join per p on p.day = dd.day
+)
+select day, cast(n_new as bigint) as n_new,
+       cast(sum(n_new) over (
+         order by day rows between unbounded preceding and current row)
+         as bigint) as cum_users
+from cum
+"""
+
+
 # --- function_score random_score (seeded, reproducible) ----------------------
 RANDOM_SCORE_SEED = "r5"
 
@@ -3604,6 +3641,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["has_parent"] = both(_has_parent_sql)
     # function_score random_score: seeded uniform hash scores, pure int64.
     pairs["bm25_random"] = both(_random_score_sql)
+    # cumulative_cardinality pipeline agg: first-seen formulation, exact.
+    pairs["cumulative_cardinality"] = both(_cumulative_cardinality_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

@@ -2158,15 +2158,6 @@ def match_cardinality_hll(
     scale keeps the sketch and drops the audit column. ``values`` is a
     (url, v) dimension with v ALREADY RENDERED to string — hashing bytes,
     not floats, keeps every engine's input identical."""
-    from ..functions.sketches import (
-        HLL_ALPHA_M2,
-        HLL_LC_BAR,
-        HLL_M,
-        HLL_RHO_MAX,
-        HLL_W_BITS,
-        HLL_W_MASK,
-    )
-
     se = get_searcher(spark, index_dir, cell_parts)
     state = _match_state(se, queries)
     ddl = (
@@ -2183,20 +2174,39 @@ def match_cardinality_hll(
         F.count("*").alias("n_docs"),
         F.countDistinct("v").alias("n_exact"),
     )
+    fin = _hll_agg(vals, ["query_id"])
+    return counts.join(fin, "query_id").select(
+        "query_id", "n_docs", "n_exact", "zeros", "s53", "est6"
+    )
+
+
+def _hll_agg(vals: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared HLL reduction: (keys..., v string) rows -> (keys..., zeros,
+    s53, est6) per the lockstep spec (functions/sketches.py). Two map-side-
+    combined groupBys; the second shuffles <= groups x m rows."""
+    from ..functions.sketches import (
+        HLL_ALPHA_M2,
+        HLL_LC_BAR,
+        HLL_M,
+        HLL_RHO_MAX,
+        HLL_W_BITS,
+        HLL_W_MASK,
+    )
+
     h = F.expr("cast(conv(substr(md5(v), 1, 15), 16, 10) as bigint)")
     w = F.expr(f"cast(conv(substr(md5(v), 1, 15), 16, 10) as bigint) & {HLL_W_MASK}")
     regs = (
         vals.select(
-            "query_id",
+            *keys,
             F.shiftright(h, HLL_W_BITS).alias("bucket"),
             F.when(w == 0, F.lit(HLL_RHO_MAX))
             .otherwise(F.lit(HLL_RHO_MAX) - F.length(F.bin(w)))
             .alias("rho"),
         )
-        .groupBy("query_id", "bucket")
+        .groupBy(*keys, "bucket")
         .agg(F.max("rho").alias("reg"))
     )
-    sk = regs.groupBy("query_id").agg(
+    sk = regs.groupBy(*keys).agg(
         (F.lit(HLL_M) - F.count("*")).cast("long").alias("zeros"),
         (
             F.sum(F.expr("shiftleft(cast(1 as bigint), 53 - reg)"))
@@ -2216,10 +2226,28 @@ def match_cardinality_hll(
             .otherwise(raw)
         )
     ).cast("long")
-    fin = sk.select("query_id", "zeros", "s53", est6.alias("est6"))
-    return counts.join(fin, "query_id").select(
-        "query_id", "n_docs", "n_exact", "zeros", "s53", "est6"
-    )
+    return sk.select(*keys, "zeros", "s53", est6.alias("est6"))
+
+
+def index_vocab_hll(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Vocabulary-cardinality sketch from the COMMITTED index -> ONE row
+    (n_exact, zeros, s53, est6): the HLL registers built over the
+    term_stats relation's term column (latest committed delta for streamed
+    indexes — each delta holds a full recompute), never by re-tokenizing
+    the corpus. The twin (driverq ``_vocab_hll_sql``) sketches the corpus
+    tokens directly, so a hash-match certifies index<->source vocabulary
+    consistency THROUGH the sketch — same audit idea as ``index_stats``,
+    demonstrating the register math is source-agnostic: any relation with
+    a string column sketches identically. Column-pruned term scan; the
+    register reduction shuffles <= m rows."""
+    se = get_searcher(spark, index_dir, cell_parts=4)
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    vals = ts.select(F.col("term").alias("v")).withColumn("g", F.lit(1))
+    counts = vals.groupBy("g").agg(F.count("*").alias("n_exact"))
+    fin = _hll_agg(vals, ["g"])
+    return counts.join(fin, "g").select("n_exact", "zeros", "s53", "est6")
 
 
 def match_random_score(

@@ -378,3 +378,37 @@ def test_filtered_ann_pushes_label_to_scan(spark):
     ]
     assert pushed, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_random_score_dim_scan_column_pruned(spark, index_dir):
+    """match_random_score derives its hash dimension from the committed
+    extracts — the scan must read ONLY the url column (the score is a hash
+    of the url; dragging text/doc_len through the join would ship the
+    corpus)."""
+    from pageindex_spark.plans.hits import match_random_score
+
+    df = match_random_score(spark, index_dir, [(1, "ba")], "seed", k=5)
+    plan = _explain(df)
+    ext_schemas = [
+        part.split("\n")[0]
+        for part in plan.split("ReadSchema:")[1:]
+        if "url" in part.split("\n")[0]
+    ]
+    assert ext_schemas, plan
+    assert any(
+        "text" not in rs and "doc_len" not in rs for rs in ext_schemas
+    ), ext_schemas
+
+
+def test_hll_register_reduction_partial_aggregated(spark, index_dir):
+    """The HLL register groupBys must run with map-side partial aggregation
+    (two-phase HashAggregate) — the property that makes the shuffle
+    <= groups x m rows regardless of match-set size."""
+    from pageindex_spark.plans.hits import index_vocab_hll
+
+    df = index_vocab_hll(spark, index_dir)
+    plan = _explain(df, mode="simple")
+    # partial_max(rho) for the register max, partial count/sum for the
+    # state fold: both phases of both aggs must appear.
+    assert "partial_max" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan
