@@ -469,6 +469,33 @@ def _engine_match_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_cardinality_hll(spark, index_dir, BM25_QUERIES, dim)
 
 
+def _engine_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank_feature query (round 5, plans/query.py search_rank_feature):
+    BM25 + weight * f/(f + pivot) saturation boost as a bool SHOULD
+    clause, missing features contributing 0. Must reproduce the
+    rank_feature SQL exactly."""
+    from pageindex_spark.driverq import (
+        RANK_FEATURE_PIVOT,
+        RANK_FEATURE_WEIGHT,
+    )
+    from pageindex_spark.plans.query import search_rank_feature
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("n_chars").cast("bigint").alias("f"),
+    )
+    top = search_rank_feature(
+        spark, index_dir, BM25_QUERIES, dim,
+        RANK_FEATURE_PIVOT, RANK_FEATURE_WEIGHT, k=10,
+    )
+    return top.select(
+        "query_id", "rank", F.col("url").cast("bigint").alias("doc_id"),
+        "final6", "score6",
+    )
+
+
 def _engine_vocab_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary HLL from COMMITTED artifacts (round 5, plans/hits.py
     index_vocab_hll): registers built over the index's term_stats relation,
@@ -2075,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_match_stats"] = _engine_match_stats  # stats + cardinality
     q["engine_match_hll"] = _engine_match_hll  # HLL cardinality sketch
     q["engine_vocab_hll"] = _engine_vocab_hll  # sketch over committed terms
+    q["engine_rank_feature"] = _engine_rank_feature  # saturation boost
     q["engine_random_score"] = _engine_random_score  # seeded random_score
     q["engine_ext_stats"] = _engine_ext_stats  # extended_stats (variance)
     q["engine_weighted_avg"] = _engine_weighted_avg  # weighted_avg
@@ -2178,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_match_stats"] = o["match_stats"]
     o["engine_match_hll"] = o["match_hll"]
     o["engine_vocab_hll"] = o["vocab_hll"]
+    o["engine_rank_feature"] = o["rank_feature"]
     o["engine_random_score"] = o["bm25_random"]
     o["engine_ext_stats"] = o["ext_stats"]
     o["engine_weighted_avg"] = o["weighted_avg"]

@@ -2503,6 +2503,50 @@ select query_id, rank, doc_id, final6, score6 from ranked where rank <= {k}
 """
 
 
+# rank_feature saturation parameters: pivot near the corpus median doc
+# length so the saturation actually spreads, weight large enough to reorder.
+RANK_FEATURE_PIVOT = 800.0
+RANK_FEATURE_WEIGHT = 2.0
+
+
+def _rank_feature_sql(d: _Dialect, k: int = 10) -> str:
+    """rank_feature twin (plans/query.py ``search_rank_feature``): the ES
+    ``rank_feature`` query with the default saturation function as a bool
+    SHOULD clause — final = BM25 + weight * f / (f + pivot), docs missing
+    the feature contributing 0 (LEFT join + coalesce, the ES contract).
+    Float ops in pinned order: one division for the saturation, one
+    multiply by the weight literal, one add, one floor — each a single
+    correctly-rounded IEEE op on identical operands in both engines."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    sat = (
+        f"coalesce(cast(doc.n_chars as double) / "
+        f"(cast(doc.n_chars as double) + {RANK_FEATURE_PIVOT!r}), 0.0)"
+    )
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select query_id, doc_id, sum(w) as raw_score
+  from contrib group by query_id, doc_id
+),
+boosted as (
+  select s.query_id, s.doc_id,
+         cast(floor((s.raw_score + {RANK_FEATURE_WEIGHT!r} * ({sat})) * 1000000) as bigint) as final6,
+         cast(floor(s.raw_score * 1000000) as bigint) as score6
+  from scored s left join documents doc on doc.doc_id = s.doc_id
+),
+ranked as (
+  select query_id, doc_id, final6, score6,
+         row_number() over (partition by query_id order by final6 desc, doc_id asc) as rank
+  from boosted
+)
+select query_id, rank, doc_id, final6, score6 from ranked where rank <= {k}
+"""
+
+
 def _bm25_fuzzy_sql(d: _Dialect, max_edits: int = 1) -> str:
     """Fuzzy BM25 twin (plans/query.py ``search_fuzzy``): each query token
     expands to every CORPUS term within ``max_edits`` Levenshtein edits
@@ -3694,6 +3738,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # function score (plans/query.py search_function_score): BM25 x
     # field_value_factor, boost_mode=multiply — exhaustive re-rank.
     pairs["fn_score"] = both(_function_score_sql)
+    # rank_feature: additive saturation boost, missing features contribute 0.
+    pairs["rank_feature"] = both(_rank_feature_sql)
     # linear decay scoring (plans/query.py search_function_score with the
     # decay-shaped factor): BM25 x max(0, 1 - n_chars/8192) — the ES
     # function_score linear decay on a numeric field.

@@ -1480,6 +1480,65 @@ def search_function_score(
     )
 
 
+def search_rank_feature(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    features: DataFrame,
+    pivot: float,
+    weight: float,
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``rank_feature`` query (default saturation function) as a
+    bool SHOULD clause: top-k matching docs per query ranked by
+    ``BM25 + weight * f / (f + pivot)`` -> (query_id, rank, url, final6,
+    score6). ``features`` is a (url, f) dimension; docs MISSING the
+    feature still rank, contributing 0 (LEFT join + coalesce — the ES
+    contract, unlike ``search_function_score``'s multiplicative drop).
+    The saturation is bounded in [0, 1), so the additive boost is bounded
+    by ``weight`` — the documented exact-BMW upgrade (inflate bounds by
+    ``+weight``) applies when this query dominates a workload; here the
+    exhaustive dense kernel keeps the generic case exact (an additive
+    bounded boost can still promote a doc from below any per-cell top-k).
+    Float ops in pinned order (one division, one multiply, one add, one
+    floor) — identical to the ``rank_feature`` SQL twin."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    scored, parts = _search_impl(
+        se, queries, k, "dense", fixed_point=True, raw_scored=True
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    fd = F.col("f").cast("double")
+    sat = F.coalesce(fd / (fd + F.lit(pivot)), F.lit(0.0))
+    keyed = (
+        scored.join(ext, ["part_id", "local_pos"])
+        .join(features.select("url", "f"), "url", "left")
+        .withColumn(
+            "final6",
+            F.floor(
+                (F.col("score") + F.lit(weight) * sat) * 1_000_000
+            ).cast("long"),
+        )
+        .withColumn(
+            "score6", F.floor(F.col("score") * 1_000_000).cast("long")
+        )
+    )
+    order = (F.desc("final6"), F.asc("url"))
+    w_part = Window.partitionBy("query_id", "part_id").orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        keyed.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "final6", "score6")
+    )
+
+
 _DIS_MAX_WIDTH = 64  # max distinct terms per dis_max query (id encoding)
 
 

@@ -103,6 +103,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_match_stats",
         "engine_match_hll",
         "engine_vocab_hll",
+        "engine_rank_feature",
         "engine_random_score",
         "engine_ext_stats",
         "engine_weighted_avg",
