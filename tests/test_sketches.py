@@ -152,3 +152,47 @@ select count(*) from (select candidate from hits group by candidate
 """
     assert BLOOM_BITS == 4032  # the twin's layout: 64 words x 63 bits
     assert duck.execute(sql).fetchone()[0] == 0
+
+
+def test_hll_lockstep_on_arbitrary_strings():
+    """Property: the pure-Python sketch and the DuckDB register fragment
+    agree on ARBITRARY string multisets (not just the corpus's numeric
+    renderings) — pins that both hash the same utf-8 bytes and fold
+    registers identically. Hypothesis drives the value sets; DuckDB
+    re-derives (zeros, s53, est6) from a VALUES relation via the same
+    fragment driverq composes into the twins."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pageindex_spark.driverq import _Dialect, _hll_finish, _hll_regs
+
+    d = _Dialect("duck")
+    con = duckdb.connect()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=591),
+                min_size=0,
+                max_size=24,
+            ),
+            min_size=1,
+            max_size=200,
+        )
+    )
+    def check(vals):
+        zeros, s53 = hll_sketch(vals)
+        est6 = math.floor(1000000.0 * hll_estimate(zeros, s53))
+        lits = ", ".join("(?)" for _ in vals)
+        sql = f"""
+with grp(v) as (values {lits}),
+src as (select 1 as g, v from grp),
+{_hll_regs(d, "src", "g", "v").lstrip()},
+{_hll_finish(d, "g")}
+select zeros, s53, est6 from fin
+"""
+        got = con.execute(sql, vals).fetchone()
+        assert got == (zeros, s53, est6), (vals[:3], got, (zeros, s53, est6))
+
+    check()
