@@ -1182,6 +1182,22 @@ def _engine_geotile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash-grid aggregation (round 5, plans/hits.py geohash_grid):
+    base32 cell buckets at GEOHASH_PRECISION — geotile's sibling with the
+    interleaved-bit cell id (generated floor-div/mod arithmetic, verified
+    against the bisection reference). Must reproduce the geohash_grid SQL
+    exactly."""
+    from pageindex_spark.driverq import GEOHASH_PRECISION
+    from pageindex_spark.plans.hits import geohash_grid
+
+    index_dir = _engine_index(spark, sf_dir)
+    return geohash_grid(
+        spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir),
+        precision=GEOHASH_PRECISION,
+    )
+
+
 def _engine_match_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (round 5, plans/hits.py match_percentiles):
     percentile_disc over the match set's n_chars at PCT_LIST, computed on
@@ -2130,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_geo_distance"] = _engine_geo_distance  # nearest matches
     q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
     q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
+    q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
@@ -2235,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_geo_distance"] = o["geo_distance"]
     o["engine_geo_bbox"] = o["geo_bbox"]
     o["engine_geotile"] = o["geotile_grid"]
+    o["engine_geohash"] = o["geohash_grid"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]

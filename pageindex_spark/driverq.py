@@ -2245,6 +2245,29 @@ group by query_id, {tile}
 """
 
 
+GEOHASH_PRECISION = 5
+
+
+def _geohash_sql(d: _Dialect, precision: int = GEOHASH_PRECISION) -> str:
+    """Geohash-grid twin (plans/hits.py ``geohash_grid``): classic base32
+    cell buckets over the match set — the sibling of ``_geotile_sql`` with
+    the interleaved-bit cell id. The bit interleave is ONE generated
+    arithmetic expression (sqlglue.geohash_cell_exprs — floor-div/mod
+    only, verified against the bisection reference implementation), so
+    the identical string runs in both engines."""
+    from .functions.sqlglue import geohash_cell_exprs, geohash_char_expr
+
+    lon_i, lat_i, code = geohash_cell_exprs("lon", "lat", precision)
+    gh = d.concat(*(geohash_char_expr(i, precision) for i in range(precision)))
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)},
+gi as (select query_id, {lon_i} as lon_i, {lat_i} as lat_i from keyed),
+gc as (select query_id, cast(({code}) as bigint) as code from gi),
+gh as (select query_id, {gh} as geohash from gc)
+select query_id, geohash, cast(count(*) as bigint) as n_docs
+from gh group by query_id, geohash
+"""
+
+
 # auto_date_histogram bucket target (the ladder thresholds are target and
 # target*31 days; the 400-day synthetic spans land every flagship query on
 # 'month' here — the e2e pytest exercises all three ladder rungs).
@@ -3687,6 +3710,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["bm25_random"] = both(_random_score_sql)
     # cumulative_cardinality pipeline agg: first-seen formulation, exact.
     pairs["cumulative_cardinality"] = both(_cumulative_cardinality_sql)
+    # geohash_grid: base32 cell buckets, the geotile sibling.
+    pairs["geohash_grid"] = both(_geohash_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

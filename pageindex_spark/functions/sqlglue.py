@@ -116,6 +116,44 @@ GEOTILE_Y = (
 GEO_LAT = "(cast(({id}) * 7919 % 16000 as double) / 100.0 - 80.0)"
 GEO_LON = "(cast(({id}) * 104729 % 36000 as double) / 100.0 - 180.0)"
 
+# Geohash (ES geohash_grid): classic base32 cell ids. The bit interleave is
+# generated as PLAIN floor-divide/mod arithmetic (no shift operators — those
+# spell differently across engines), so ONE expression string evaluates
+# identically in Spark SQL and DuckDB; every quotient is a small-integer /
+# power-of-two division, exact in a double.
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell_exprs(lon: str, lat: str, precision: int) -> tuple[str, str, str]:
+    """-> (lon_i_expr, lat_i_expr, code_expr) for a ``precision``-char
+    geohash. ``code_expr`` references columns named lon_i / lat_i and
+    yields the 5*precision-bit interleaved integer (lon takes the even
+    bit positions from the MSB — the geohash convention). Callers split
+    the code into 5-bit groups with :func:`geohash_char_expr`. Domain:
+    lon in [-180, 180), lat in [-90, 90)."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    lon_i = f"cast(floor((({lon}) + 180.0) / 360.0 * {1 << lon_bits}.0) as bigint)"
+    lat_i = f"cast(floor((({lat}) + 90.0) / 180.0 * {1 << lat_bits}.0) as bigint)"
+    terms = []
+    for k in range(lon_bits):  # lon bit k (MSB-first) -> code bit total-1-2k
+        bit = f"(cast(floor(lon_i / {1 << (lon_bits - 1 - k)}.0) as bigint) % 2)"
+        terms.append(f"{bit} * {1 << (total - 1 - 2 * k)}")
+    for k in range(lat_bits):  # lat bit k (MSB-first) -> code bit total-2-2k
+        bit = f"(cast(floor(lat_i / {1 << (lat_bits - 1 - k)}.0) as bigint) % 2)"
+        terms.append(f"{bit} * {1 << (total - 2 - 2 * k)}")
+    return lon_i, lat_i, " + ".join(terms)
+
+
+def geohash_char_expr(i: int, precision: int) -> str:
+    """The i-th (0-based) base32 character of a geohash ``code`` column."""
+    shift = 5 * (precision - 1 - i)
+    return (
+        f"substr('{GEOHASH_B32}', "
+        f"cast(cast(floor(code / {1 << shift}.0) as bigint) % 32 + 1 as int), 1)"
+    )
+
 # -- BM25 constants ----------------------------------------------------------
 K1 = "1.2"
 B = "0.75"

@@ -131,6 +131,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_geo_distance",
         "engine_geo_bbox",
         "engine_geotile",
+        "engine_geohash",
         "engine_bm25_reindexed",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
