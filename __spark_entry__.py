@@ -1198,6 +1198,21 @@ def _engine_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completion suggester from committed artifacts (round 5,
+    plans/hits.py suggest_next_word): top next-words per seed by bigram
+    frequency over the committed extracts (locked tokenizer, codegen),
+    tombstones excluded. Must reproduce the next_word_suggest SQL
+    exactly."""
+    from pageindex_spark.driverq import NEXT_WORD_K, NEXT_WORD_SEEDS
+    from pageindex_spark.plans.hits import suggest_next_word
+
+    index_dir = _engine_index(spark, sf_dir)
+    return suggest_next_word(
+        spark, index_dir, NEXT_WORD_SEEDS, k=NEXT_WORD_K
+    )
+
+
 def _engine_match_pcts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (round 5, plans/hits.py match_percentiles):
     percentile_disc over the match set's n_chars at PCT_LIST, computed on
@@ -2147,6 +2162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
     q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
+    q["engine_next_word"] = _engine_next_word  # completion from extracts
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
@@ -2253,6 +2269,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_geo_bbox"] = o["geo_bbox"]
     o["engine_geotile"] = o["geotile_grid"]
     o["engine_geohash"] = o["geohash_grid"]
+    o["engine_next_word"] = o["next_word_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]

@@ -2324,3 +2324,72 @@ def match_random_score(
     top = search_sorted_by(spark, index_dir, queries, dim, k=k,
                            cell_parts=cell_parts)
     return top.withColumnRenamed("sort_key", "r6")
+
+def suggest_next_word(
+    spark: SparkSession,
+    index_dir: str,
+    seeds: list[str],
+    k: int = 3,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Search-as-you-type completion from COMMITTED artifacts ->
+    (seed, rank, next_term, cnt): the top-``k`` tokens that follow each
+    seed in the indexed corpus by bigram frequency (count desc, term asc)
+    — served from the committed extracts with the LOCKED tokenizer
+    expression (sqlglue.SPARK_TERMS, whole-stage codegen), never from the
+    original corpus path. Tombstoned docs are excluded (the engine-wide
+    exclusion contract: a deleted doc must stop feeding suggestions) via
+    a broadcast anti-join on reconstructed docIDs — grid-start + local_pos,
+    the committed coordinate convention.
+
+    Scale shape: one codegen tokenize + explode over the extracts (the
+    same scan class the percolate batch plan pays), a broadcast seed
+    filter BEFORE the count groupBy (non-seed bigrams never shuffle), one
+    map-side-combined count, and the rank window runs over distinct
+    (seed, next_term) pairs — vocabulary-class, not corpus-class. The
+    documented index-time upgrade precomputes the full bigram table as a
+    sidecar during the build's tokenize pass (one extra groupBy) when
+    completion queries dominate."""
+    from ..functions.sqlglue import SPARK_TERMS
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "text"
+    )
+    if se.deleted_ids is not None and len(se.deleted_ids):
+        starts = spark.createDataFrame(
+            [(int(p), int(s)) for p, s in enumerate(se.grid_parts)],
+            "part_id int, start long",
+        )
+        dels = spark.createDataFrame(
+            [(int(x),) for x in se.deleted_ids], "doc_id long"
+        )
+        ext = (
+            ext.join(F.broadcast(starts), "part_id")
+            .withColumn("doc_id", F.col("start") + F.col("local_pos"))
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+        )
+    toks = ext.select(
+        F.expr(SPARK_TERMS.format(col="text")).alias("a")
+    ).filter(F.size("a") >= 2)
+    bg = toks.select(
+        F.expr("explode(sequence(0, size(a) - 2))").alias("i"), "a"
+    ).select(
+        F.expr("a[i]").alias("w1"), F.expr("a[i + 1]").alias("w2")
+    )
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "seed string")
+    cnt = (
+        bg.join(F.broadcast(seed_df), bg.w1 == F.col("seed"))
+        .groupBy("seed", F.col("w2").alias("next_term"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seed").orderBy(
+        F.desc("cnt"), F.asc("next_term")
+    )
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("seed", "rank", "next_term", "cnt")
+    )

@@ -351,3 +351,60 @@ def test_delete_matching_by_content(spark, tmp_path):
     assert delete_matching(spark, idx, "alpha beta") == info  # idempotent
     assert delete_matching(spark, idx, "zzzabsent") == info  # no-op
     assert delete_matching(spark, idx, "") == info  # empty query no-op
+
+
+def test_next_word_suggestions_exclude_tombstones(spark):
+    """Completion (plans/hits.py suggest_next_word) must stop counting
+    bigrams from deleted docs immediately — brute-force identity against a
+    Python bigram count over the SURVIVING rows only, before and after the
+    delete."""
+    from collections import Counter
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.plans.hits import suggest_next_word
+
+    base = "/root/repo/data/nextword-del-test"
+    shutil.rmtree(base, ignore_errors=True)
+    corpus = make_documents(120, seed=7)
+    rows = list(zip(corpus.url, corpus.text))
+    idx = _mk_index(spark, base, rows)
+    seeds = ["ba", "ce", "di"]  # the synthetic Zipf head (sources/corpus.py)
+
+    def oracle(live_rows):
+        cnt: Counter = Counter()
+        for _u, text in live_rows:
+            toks = tokenize(text)
+            for a, b in zip(toks, toks[1:]):
+                if a in seeds:
+                    cnt[(a, b)] += 1
+        out = []
+        for s in seeds:
+            pairs = sorted(
+                ((c, t) for (a, t), c in cnt.items() if a == s),
+                key=lambda x: (-x[0], x[1]),
+            )[:3]
+            out.extend((s, r + 1, t, c) for r, (c, t) in enumerate(pairs))
+        return sorted(out)
+
+    got = sorted(
+        tuple(r) for r in suggest_next_word(spark, idx, seeds, k=3).collect()
+    )
+    assert got == oracle(rows)
+    assert got, "no seed produced any bigram — corpus/seed mismatch"
+    # delete every doc containing some seed's TOP bigram at least once —
+    # the suggestion table must re-rank from the survivors only
+    top_seed, _r, top_next, _c = next(r for r in got if r[1] == 1)
+    dead = [
+        u for u, text in rows
+        if any(a == top_seed and b == top_next
+               for a, b in zip(tokenize(text), tokenize(text)[1:]))
+    ]
+    assert dead, "corpus never produced the top bigram?"
+    delete_docs(spark, idx, dead)
+    live = [(u, t) for u, t in rows if u not in set(dead)]
+    got2 = sorted(
+        tuple(r) for r in suggest_next_word(spark, idx, seeds, k=3).collect()
+    )
+    assert got2 == oracle(live)
+    assert (top_seed, 1, top_next) not in {(s, r, t) for s, r, t, _ in got2}
+    shutil.rmtree(base, ignore_errors=True)

@@ -132,6 +132,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_geo_bbox",
         "engine_geotile",
         "engine_geohash",
+        "engine_next_word",
         "engine_bm25_reindexed",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
