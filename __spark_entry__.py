@@ -667,6 +667,26 @@ def _engine_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return date_histogram(spark, index_dir, BM25_QUERIES, dim, "month")
 
 
+def _engine_histo_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize pipeline agg (round 5, plans/hits.py
+    date_histogram_normalize): percent_of_sum + cumulative share per month
+    bucket, one window pass over the histogram output. Must reproduce the
+    histo_normalize SQL exactly."""
+    from pageindex_spark.driverq import DATE_DIM_EPOCH, DATE_DIM_MOD
+    from pageindex_spark.plans.hits import date_histogram_normalize
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return date_histogram_normalize(spark, index_dir, BM25_QUERIES, dim)
+
+
 def _engine_date_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pipeline aggs (round 5, plans/hits.py date_histogram_pipeline): ES
     cumulative_sum / derivative / moving_fn over the month buckets of the
@@ -2140,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_match_missing"] = _engine_match_missing  # missing agg
     q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
     q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
+    q["engine_histo_normalize"] = _engine_histo_normalize  # percent_of_sum
     q["engine_auto_histogram"] = _engine_auto_histogram  # span-ladder agg
     q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
     q["engine_string_stats"] = _engine_string_stats  # lengths + entropy
@@ -2246,6 +2267,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_match_missing"] = o["match_missing"]
     o["engine_date_histogram"] = o["date_histogram"]
     o["engine_date_pipeline"] = o["date_pipeline"]
+    o["engine_histo_normalize"] = o["histo_normalize"]
     o["engine_auto_histogram"] = o["auto_date_histogram"]
     o["engine_matrix_stats"] = o["matrix_stats"]
     o["engine_string_stats"] = o["string_stats"]

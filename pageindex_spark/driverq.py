@@ -1546,6 +1546,29 @@ select query_id, bucket, n_docs from hist
 """
 
 
+def _histo_normalize_sql(d: _Dialect) -> str:
+    """Normalize-pipeline twin (plans/hits.py ``date_histogram_normalize``):
+    the ES ``normalize`` agg with method percent_of_sum over the month
+    histogram — per bucket, its share of the query's total matches, plus
+    the cumulative share (ES's other common method pair). Both are a
+    single count/int division floored at 1e6 — one window pass over
+    O(buckets) rows, the pipeline-agg execution model."""
+    return f"""{_date_histo_cte(d)}
+, tot as (
+  select query_id, bucket, n_docs,
+         sum(n_docs) over (partition by query_id) as total,
+         sum(n_docs) over (
+           partition by query_id order by bucket
+           rows between unbounded preceding and current row) as running
+  from hist
+)
+select query_id, bucket, n_docs,
+       cast(floor(cast(n_docs as double) / total * 1000000) as bigint) as pct6,
+       cast(floor(cast(running as double) / total * 1000000) as bigint) as cum_pct6
+from tot
+"""
+
+
 def _date_histo_pipeline_sql(d: _Dialect, window: int = 3) -> str:
     """Pipeline-agg twin (plans/hits.py ``date_histogram_pipeline``):
     the month histogram annotated with the running total, the
@@ -3712,6 +3735,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["cumulative_cardinality"] = both(_cumulative_cardinality_sql)
     # geohash_grid: base32 cell buckets, the geotile sibling.
     pairs["geohash_grid"] = both(_geohash_sql)
+    # normalize pipeline agg: percent_of_sum + cumulative share per bucket.
+    pairs["histo_normalize"] = both(_histo_normalize_sql)
 
     def _bm25_boost_sql(d: _Dialect) -> str:
         # derive (clean queries, per-(qid, term) weights) from the ONE

@@ -2393,3 +2393,40 @@ def suggest_next_word(
         .filter(F.col("rank") <= k)
         .select("seed", "rank", "next_term", "cnt")
     )
+
+def date_histogram_normalize(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``normalize`` pipeline agg (method percent_of_sum, plus the
+    cumulative share) over the calendar histogram -> (query_id, bucket,
+    n_docs, pct6, cum_pct6): each bucket's share of its query's total
+    matches, floored at 1e6. Pipeline execution model: rides the
+    single-shuffle ``date_histogram`` output with ONE window pass over
+    O(buckets) rows — the match set is never touched again. Counts are
+    ints, so each share is a single identically-rounded division."""
+    from pyspark.sql import Window
+
+    hist = date_histogram(
+        spark, index_dir, queries, dates, interval, cell_parts
+    )
+    wq = Window.partitionBy("query_id")
+    wrun = (
+        Window.partitionBy("query_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
+    total = F.sum("n_docs").over(wq)
+    running = F.sum("n_docs").over(wrun)
+    return hist.select(
+        "query_id",
+        "bucket",
+        "n_docs",
+        f6(F.col("n_docs").cast("double") / total).alias("pct6"),
+        f6(running.cast("double") / total).alias("cum_pct6"),
+    )
