@@ -1218,6 +1218,30 @@ def _engine_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-centroid aggregation (round 5, plans/hits.py geo_centroid):
+    integer-exact mean coordinate of each query's match set. Must
+    reproduce the geo_centroid SQL exactly."""
+    from pageindex_spark.plans.hits import geo_centroid
+
+    index_dir = _engine_index(spark, sf_dir)
+    return geo_centroid(spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir))
+
+
+def _engine_bm25_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned query (round 5, plans/hits.py search_pinned): PINNED_DOC_IDS
+    promoted to ranks 1..3 in list order, organic BMW BM25 at ranks 4..13
+    with the pinned ids excluded. Must reproduce the bm25_pinned SQL
+    exactly."""
+    from pageindex_spark.driverq import PINNED_DOC_IDS
+    from pageindex_spark.plans.hits import search_pinned
+
+    index_dir = _engine_index(spark, sf_dir)
+    return search_pinned(
+        spark, index_dir, BM25_QUERIES, list(PINNED_DOC_IDS), k=10
+    )
+
+
 def _engine_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion suggester from committed artifacts (round 5,
     plans/hits.py suggest_next_word): top next-words per seed by bigram
@@ -2182,6 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_geo_distance"] = _engine_geo_distance  # nearest matches
     q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
     q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
+    q["engine_geo_centroid"] = _engine_geo_centroid  # integer-exact centroid
+    q["engine_bm25_pinned"] = _engine_bm25_pinned  # ES pinned query
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_next_word"] = _engine_next_word  # completion from extracts
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
@@ -2291,6 +2317,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_geo_bbox"] = o["geo_bbox"]
     o["engine_geotile"] = o["geotile_grid"]
     o["engine_geohash"] = o["geohash_grid"]
+    o["engine_geo_centroid"] = o["geo_centroid"]
+    o["engine_bm25_pinned"] = o["bm25_pinned"]
     o["engine_next_word"] = o["next_word_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]

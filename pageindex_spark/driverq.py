@@ -2291,6 +2291,74 @@ from gh group by query_id, geohash
 """
 
 
+def _geo_centroid_sql(d: _Dialect) -> str:
+    """Geo-centroid twin (plans/hits.py ``geo_centroid``): the ES
+    ``geo_centroid`` aggregation — per-query arithmetic-mean centroid of
+    the matched docs' coordinates. Per-doc coordinates integerize FIRST
+    (floor(x*1e6) bigints), so the mean is an exact int64 sum plus ONE
+    double division of two exactly-representable integers (|sum| < 2^53)
+    — no float-accumulation order can flip the floored digit between
+    engines."""
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)},
+pts as (
+  select query_id,
+         cast(floor(lat * 1000000) as bigint) as lat6,
+         cast(floor(lon * 1000000) as bigint) as lon6
+  from keyed
+)
+select query_id,
+       cast(count(*) as bigint) as n_docs,
+       cast(floor(cast(sum(lat6) as double) / cast(count(*) as double)) as bigint) as lat6c,
+       cast(floor(cast(sum(lon6) as double) / cast(count(*) as double)) as bigint) as lon6c
+from pts group by query_id
+"""
+
+
+# pinned query (ES `pinned`): these ids are promoted to the top in list
+# order for EVERY query; organic BM25 results follow with the pinned ids
+# removed. All three exist at every SF (documents is a fixed 500-doc table).
+PINNED_DOC_IDS = (7, 3, 11)
+
+
+def _bm25_pinned_sql(d: _Dialect, k: int = 10) -> str:
+    """Pinned-query twin (plans/hits.py ``search_pinned``): the ES
+    ``pinned`` query — PINNED_DOC_IDS rank 1..P in the given order for
+    every query regardless of relevance; organic BM25 (same chain as
+    bm25_topk) follows at ranks P+1..P+k with pinned ids excluded, ordered
+    by (floor(score*1e6) desc, doc_id asc) exactly like the engine."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    pins = ", ".join(f"({i + 1}, {doc})" for i, doc in enumerate(PINNED_DOC_IDS))
+    notin = ", ".join(str(x) for x in PINNED_DOC_IDS)
+    P = len(PINNED_DOC_IDS)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+scored as (select query_id, doc_id, sum(w) as s from contrib group by query_id, doc_id),
+organic as (
+  select query_id, doc_id,
+         row_number() over (
+           partition by query_id
+           order by cast(floor(s * 1000000) as bigint) desc, doc_id asc) as orank
+  from scored where doc_id not in ({notin})
+),
+pins(pin_rank, doc_id) as (values {pins}),
+pinned_rows as (
+  select q.query_id, p.pin_rank as rank, p.doc_id, 1 as pinned
+  from queries q cross join pins p
+),
+organic_rows as (
+  select query_id, {P} + orank as rank, doc_id, 0 as pinned
+  from organic where orank <= {k}
+)
+select query_id, cast(rank as bigint) as rank, doc_id,
+       cast(pinned as bigint) as pinned
+from (select * from pinned_rows union all select * from organic_rows) u
+"""
+
+
 # auto_date_histogram bucket target (the ladder thresholds are target and
 # target*31 days; the 400-day synthetic spans land every flagship query on
 # 'month' here — the e2e pytest exercises all three ladder rungs).
@@ -3852,6 +3920,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["geo_distance"] = both(_geo_distance_sql)
     pairs["geo_bbox"] = both(_geo_bbox_sql)
     pairs["geotile_grid"] = both(_geotile_sql)
+    # geo_centroid (plans/hits.py geo_centroid): integer-exact mean
+    # coordinates of the match set — the map-pin aggregation.
+    pairs["geo_centroid"] = both(_geo_centroid_sql)
+    # pinned query (plans/hits.py search_pinned): curated ids promoted
+    # ahead of organic relevance, ES `pinned` semantics.
+    pairs["bm25_pinned"] = both(_bm25_pinned_sql)
     # auto_date_histogram (plans/hits.py): per-query interval from the
     # deterministic span ladder — ES's estimate-based pick made exact.
     pairs["auto_date_histogram"] = both(_auto_date_histo_sql)

@@ -1146,6 +1146,108 @@ def geohash_grid(
     )
 
 
+def geo_centroid(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    geo: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Geo-centroid aggregation (Elasticsearch ``geo_centroid``) ->
+    (query_id, n_docs, lat6c, lon6c): the arithmetic-mean coordinate of
+    each query's match set, the map-pin summary next to the tile grids.
+    Determinism contract (shared with the SQL twin): per-doc coordinates
+    integerize FIRST (floor(x*1e6) int64), the mean is then an exact int64
+    sum plus one double division of two exactly-representable integers —
+    no float-accumulation order dependence, so the engine and both SQL
+    twins agree bit-for-bit. Same single-shuffle class as
+    ``facet_counts``: the only O(matches) rows are the kernel's
+    coordinates, the agg is one partial-aggregated groupBy."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, n_docs long, lat6c long, lon6c long"
+    )
+    if state is None:
+        return empty
+    pts = (
+        _matched_urls(spark, se, state)
+        .join(geo.select("url", "lat", "lon"), "url")
+        .select(
+            "query_id",
+            F.floor(F.col("lat") * 1000000).cast("long").alias("lat6"),
+            F.floor(F.col("lon") * 1000000).cast("long").alias("lon6"),
+        )
+    )
+    n = F.count("*")
+    return pts.groupBy("query_id").agg(
+        n.alias("n_docs"),
+        F.floor(F.sum("lat6").cast("double") / n.cast("double"))
+        .cast("long")
+        .alias("lat6c"),
+        F.floor(F.sum("lon6").cast("double") / n.cast("double"))
+        .cast("long")
+        .alias("lon6c"),
+    )
+
+
+def search_pinned(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    pinned_ids: list[int],
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Pinned query (Elasticsearch ``pinned``) -> (query_id, rank, doc_id,
+    pinned): curated doc ids promoted to ranks 1..P in list order for
+    EVERY query regardless of relevance; organic BM25 follows at ranks
+    P+1..P+k with the pinned ids excluded. Organic exactness: delegate to
+    the BMW ``search`` at depth k+P (fixed-point ranking — the same
+    (floor(score*1e6) desc, url asc) order as the twin), then drop pinned
+    urls — dropping rows preserves relative order, and the extra P of heap
+    depth guarantees >= k survivors whenever the corpus has them. The
+    pre-heap exclusion contract rides along untouched (tombstones mask
+    inside ``search``); pinned ids that are tombstoned are dropped here
+    too — a pinned doc must still exist. Everything outside the delegated
+    search is O(P + k) driver-size."""
+    from pyspark.sql import Window
+
+    from .query import search
+
+    P = len(pinned_ids)
+    if not P:
+        raise ValueError("pinned_ids must be non-empty; use search() instead")
+    alive = pinned_ids
+    se = get_searcher(spark, index_dir, cell_parts)
+    if se.deleted_ids is not None and len(se.deleted_ids):
+        dead = set(int(x) for x in se.deleted_ids)
+        alive = [i for i in pinned_ids if i not in dead]
+    pin_urls = [str(i).zfill(10) for i in alive]
+    top = search(
+        spark, index_dir, queries, k=k + P, mode="bmw",
+        cell_parts=cell_parts, fixed_point=True,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("rank"))
+    organic = (
+        top.filter(~F.col("url").isin(pin_urls))
+        .withColumn("orank", F.row_number().over(w))
+        .filter(F.col("orank") <= k)
+        .select(
+            "query_id",
+            (F.lit(len(alive)) + F.col("orank")).cast("long").alias("rank"),
+            F.col("url").cast("long").alias("doc_id"),
+            F.lit(0).cast("long").alias("pinned"),
+        )
+    )
+    pin_rows = spark.createDataFrame(
+        [(qid, r + 1, doc, 1) for qid, _ in queries
+         for r, doc in enumerate(alive)],
+        "query_id int, rank long, doc_id long, pinned long",
+    )
+    return pin_rows.unionByName(organic)
+
+
 def match_matrix_stats(
     spark: SparkSession,
     index_dir: str,

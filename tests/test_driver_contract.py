@@ -133,6 +133,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_geo_bbox",
         "engine_geotile",
         "engine_geohash",
+        "engine_geo_centroid",
+        "engine_bm25_pinned",
         "engine_next_word",
         "engine_bm25_reindexed",
         "engine_sig_terms",
