@@ -709,6 +709,31 @@ def _engine_date_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_date_pipeline2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second pipeline-agg trio (round 5, plans/hits.py
+    date_histogram_pipeline2): ES serial_diff(lag=2) / moving_percentiles
+    p50 (trailing 3-bucket exact median) / rate per 30 days over the month
+    buckets. Must reproduce the date_pipeline2 SQL exactly."""
+    from pageindex_spark.plans.hits import date_histogram_pipeline2
+
+    index_dir = _engine_index(spark, sf_dir)
+    return date_histogram_pipeline2(
+        spark, index_dir, BM25_QUERIES, _dates_dim(spark, sf_dir), "month"
+    )
+
+
+def _engine_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point agg (round 5, plans/hits.py
+    date_histogram_change_point): strongest step edge in each query's
+    monthly match counts. Must reproduce the change_point SQL exactly."""
+    from pageindex_spark.plans.hits import date_histogram_change_point
+
+    index_dir = _engine_index(spark, sf_dir)
+    return date_histogram_change_point(
+        spark, index_dir, BM25_QUERIES, _dates_dim(spark, sf_dir), "month"
+    )
+
+
 def _engine_auto_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-interval histogram (round 5, plans/hits.py
     auto_date_histogram): per-query interval from the span ladder over the
@@ -930,6 +955,21 @@ def _docs_with_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     return docs.withColumn(
         "url", F.lpad(F.col("doc_id").cast("string"), 10, "0")
+    )
+
+
+def _dates_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, d) DATE dimension from the shared deterministic derivation
+    (DATE_DIM_EPOCH + doc_id % DATE_DIM_MOD days) — the twins compute the
+    same."""
+    from pageindex_spark.driverq import DATE_DIM_EPOCH, DATE_DIM_MOD
+
+    return _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
     )
 
 
@@ -2184,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_match_missing"] = _engine_match_missing  # missing agg
     q["engine_date_histogram"] = _engine_date_histogram  # calendar buckets
     q["engine_date_pipeline"] = _engine_date_pipeline  # pipeline aggs
+    q["engine_date_pipeline2"] = _engine_date_pipeline2  # serial_diff/med/rate
+    q["engine_change_point"] = _engine_change_point  # step-edge detection
     q["engine_histo_normalize"] = _engine_histo_normalize  # percent_of_sum
     q["engine_auto_histogram"] = _engine_auto_histogram  # span-ladder agg
     q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
@@ -2293,6 +2335,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_match_missing"] = o["match_missing"]
     o["engine_date_histogram"] = o["date_histogram"]
     o["engine_date_pipeline"] = o["date_pipeline"]
+    o["engine_date_pipeline2"] = o["date_pipeline2"]
+    o["engine_change_point"] = o["change_point"]
     o["engine_histo_normalize"] = o["histo_normalize"]
     o["engine_auto_histogram"] = o["auto_date_histogram"]
     o["engine_matrix_stats"] = o["matrix_stats"]

@@ -1588,6 +1588,87 @@ from hist
 """
 
 
+def _date_pipeline2_sql(d: _Dialect, lag: int = 2) -> str:
+    """Second pipeline-agg twin (plans/hits.py
+    ``date_histogram_pipeline2``): the remaining ES parent-pipeline trio —
+    ``serial_diff`` (period ``lag``, NULL until the lagged bucket exists),
+    ``moving_percentiles`` p50 over the trailing 3-bucket window (exact
+    small-window median: for 3 ints it is sum-max-min, for 2 it is one
+    double halving, both bit-deterministic), and the ``rate`` agg
+    normalized to 30-day units (count * 30 / days-in-that-month — exact
+    int product, ONE double division). The window arithmetic is fixed to
+    the 3-bucket frame the median identities rely on."""
+    over = "partition by query_id order by bucket"
+    wmov = f"{over} rows between 2 preceding and current row"
+    if d.duck:
+        dim = "date_part('day', last_day(strptime(bucket || '-01', '%Y-%m-%d')))"
+    else:
+        dim = "day(last_day(to_date(concat(bucket, '-01'))))"
+    return f"""{_date_histo_cte(d)}
+, win as (
+  select query_id, bucket, n_docs,
+         cast(n_docs - lag(n_docs, {lag}) over ({over}) as bigint) as sdiff,
+         count(*) over ({wmov}) as wn,
+         sum(n_docs) over ({wmov}) as ws,
+         max(n_docs) over ({wmov}) as wmax,
+         min(n_docs) over ({wmov}) as wmin,
+         cast({dim} as bigint) as dim
+  from hist
+)
+select query_id, bucket, n_docs, sdiff,
+       cast(case when wn = 3 then (ws - wmax - wmin) * 1000000
+                 when wn = 2 then cast(floor(cast(ws as double) / 2.0 * 1000000) as bigint)
+                 else ws * 1000000 end as bigint) as mmed6,
+       cast(floor(cast(n_docs as double) * 30.0 / dim * 1000000) as bigint) as rate30_6
+from win
+"""
+
+
+def _change_point_sql(d: _Dialect) -> str:
+    """Change-point twin (plans/hits.py ``date_histogram_change_point``):
+    the ES ``change_point`` sibling-pipeline agg, deterministic variant —
+    over each query's month histogram, the bucket boundary maximizing
+    |mean(counts up to it) - mean(counts after it)|, i.e. the strongest
+    step edge. ES's own detector is stats-test-based and approximate; an
+    oracle-gated engine needs the exact argmax rule instead (documented,
+    like auto_date_histogram's ladder). All inputs are int64 counts; each
+    mean is one double division, the scores leave floored at 1e6 and ties
+    break to the earliest bucket."""
+    over = "partition by query_id order by bucket"
+    return f"""{_date_histo_cte(d)}
+, ord as (
+  select query_id, bucket, n_docs,
+         row_number() over ({over}) as pos,
+         count(*) over (partition by query_id) as n,
+         sum(n_docs) over (partition by query_id) as total,
+         sum(n_docs) over ({over}
+           rows between unbounded preceding and current row) as lsum
+  from hist
+),
+cand as (
+  select query_id, bucket, pos, n,
+         cast(lsum as double) / pos as lmean,
+         cast(total - lsum as double) / (n - pos) as rmean
+  from ord where pos < n
+),
+scored as (
+  select query_id, bucket,
+         cast(floor(lmean * 1000000) as bigint) as left_mean6,
+         cast(floor(rmean * 1000000) as bigint) as right_mean6,
+         cast(floor(abs(lmean - rmean) * 1000000) as bigint) as delta6
+  from cand
+),
+ranked as (
+  select query_id, bucket, left_mean6, right_mean6, delta6,
+         row_number() over (partition by query_id
+           order by delta6 desc, bucket asc) as rnk
+  from scored
+)
+select query_id, bucket as change_bucket, left_mean6, right_mean6, delta6
+from ranked where rnk = 1
+"""
+
+
 PCT_LIST = (25, 50, 75, 90, 99)
 
 
@@ -3879,6 +3960,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # pipeline aggregations (plans/hits.py date_histogram_pipeline): ES
     # cumulative_sum / derivative / moving_fn over the month buckets.
     pairs["date_pipeline"] = both(_date_histo_pipeline_sql)
+    # serial_diff / moving_percentiles p50 / rate over the same buckets
+    # (plans/hits.py date_histogram_pipeline2).
+    pairs["date_pipeline2"] = both(_date_pipeline2_sql)
+    # change_point sibling agg (plans/hits.py date_histogram_change_point):
+    # the strongest step edge in each query's monthly match counts.
+    pairs["change_point"] = both(_change_point_sql)
     # disjunction max (plans/query.py search_dis_max): best single-term
     # score + tie_breaker * rest — Lucene DisjunctionMaxQuery.
     pairs["dis_max"] = both(_dis_max_sql)

@@ -708,6 +708,130 @@ def date_histogram_pipeline(
     )
 
 
+def date_histogram_pipeline2(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    lag: int = 2,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The remaining ES parent-pipeline trio over the calendar histogram
+    -> (query_id, bucket, n_docs, sdiff, mmed6, rate30_6):
+
+    * ``serial_diff`` (period ``lag``): n_docs minus the count ``lag``
+      observed buckets back, NULL until that bucket exists — ES's
+      seasonality-removal pipeline.
+    * ``moving_percentiles`` p50 over the trailing 3-bucket window: the
+      exact small-window median — sum-max-min for 3 ints, one double
+      halving for 2, the value itself for 1 — every branch
+      bit-deterministic across engines (the frame is fixed at 3 buckets
+      because those identities are what make the median exact).
+    * ``rate`` normalized to 30-day units: count * 30 / days-in-month —
+      exact int product, ONE double division.
+
+    Same plan shape as ``date_histogram_pipeline``: the single-shuffle
+    histogram then ONE O(buckets) window pass; the per-query bucket count
+    is calendar-bounded so the window never skews a task."""
+    from pyspark.sql import Window
+
+    base = date_histogram(
+        spark, index_dir, queries, dates, interval, cell_parts
+    )
+    w_ord = Window.partitionBy("query_id").orderBy("bucket")
+    w_mov = w_ord.rowsBetween(-2, Window.currentRow)
+    wn = F.count("*").over(w_mov)
+    ws = F.sum("n_docs").over(w_mov)
+    wmax = F.max("n_docs").over(w_mov)
+    wmin = F.min("n_docs").over(w_mov)
+    dim = F.dayofmonth(
+        F.last_day(F.to_date(F.concat(F.col("bucket"), F.lit("-01"))))
+    ).cast("long")
+    return base.select(
+        "query_id",
+        "bucket",
+        "n_docs",
+        (F.col("n_docs") - F.lag("n_docs", lag).over(w_ord))
+        .cast("long")
+        .alias("sdiff"),
+        F.when(wn == 3, (ws - wmax - wmin) * 1000000)
+        .when(
+            wn == 2,
+            F.floor(ws.cast("double") / 2.0 * 1000000).cast("long"),
+        )
+        .otherwise(ws * 1000000)
+        .cast("long")
+        .alias("mmed6"),
+        F.floor(F.col("n_docs").cast("double") * 30.0 / dim * 1000000)
+        .cast("long")
+        .alias("rate30_6"),
+    )
+
+
+def date_histogram_change_point(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Change-point detection (the ES ``change_point`` sibling-pipeline
+    agg, deterministic variant) -> (query_id, change_bucket, left_mean6,
+    right_mean6, delta6): over each query's calendar histogram, the bucket
+    boundary maximizing |mean(counts up to it) - mean(counts after it)| —
+    the strongest step edge in the match-count series. ES's detector is
+    stats-test-based and approximate; an oracle-gated engine needs the
+    exact argmax rule instead (documented, like ``auto_date_histogram``'s
+    ladder). Every candidate mean is an exact int64 prefix sum plus one
+    double division, scores leave floored at 1e6, ties break to the
+    earliest bucket. Plan: the single-shuffle histogram then two
+    O(buckets) window passes — the series is calendar-bounded, so this
+    never becomes the expensive part at any corpus size."""
+    from pyspark.sql import Window
+
+    base = date_histogram(
+        spark, index_dir, queries, dates, interval, cell_parts
+    )
+    w_q = Window.partitionBy("query_id")
+    w_ord = w_q.orderBy("bucket")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord_df = base.select(
+        "query_id",
+        "bucket",
+        F.row_number().over(w_ord).alias("pos"),
+        F.count("*").over(w_q).alias("n"),
+        F.sum("n_docs").over(w_q).alias("total"),
+        F.sum("n_docs").over(w_cum).alias("lsum"),
+    ).filter(F.col("pos") < F.col("n"))
+    lmean = F.col("lsum").cast("double") / F.col("pos")
+    rmean = (F.col("total") - F.col("lsum")).cast("double") / (
+        F.col("n") - F.col("pos")
+    )
+    scored = ord_df.select(
+        "query_id",
+        "bucket",
+        F.floor(lmean * 1000000).cast("long").alias("left_mean6"),
+        F.floor(rmean * 1000000).cast("long").alias("right_mean6"),
+        F.floor(F.abs(lmean - rmean) * 1000000).cast("long").alias("delta6"),
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("delta6"), F.asc("bucket")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "query_id",
+            F.col("bucket").alias("change_bucket"),
+            "left_mean6",
+            "right_mean6",
+            "delta6",
+        )
+    )
+
+
 def rare_terms(
     spark: SparkSession,
     index_dir: str,

@@ -110,6 +110,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_match_missing",
         "engine_date_histogram",
         "engine_date_pipeline",
+        "engine_date_pipeline2",
+        "engine_change_point",
         "engine_histo_normalize",
         "engine_auto_histogram",
         "engine_matrix_stats",
