@@ -1258,6 +1258,40 @@ def _engine_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_div_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified sampler (round 5, plans/hits.py
+    diversified_sampler_stats): md5-ordered sample, <= DIV_MAX_PER_KEY
+    docs per source key, capped at DIV_SHARD, child stats over it. Must
+    reproduce the div_sampler SQL exactly."""
+    from pageindex_spark.driverq import DIV_MAX_PER_KEY, DIV_SHARD
+    from pageindex_spark.plans.hits import diversified_sampler_stats
+
+    index_dir = _engine_index(spark, sf_dir)
+    dims = _docs_with_url(spark, sf_dir).select(
+        "url",
+        F.col("source").alias("key"),
+        F.col("n_chars").cast("long").alias("val"),
+    )
+    return diversified_sampler_stats(
+        spark, index_dir, BM25_QUERIES, dims,
+        max_per_key=DIV_MAX_PER_KEY, shard_size=DIV_SHARD,
+    )
+
+
+def _engine_freq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent term pairs (round 5, plans/hits.py frequent_term_pairs):
+    mid-frequency pair mining from the committed index — pushed-down df
+    window on term_stats, per-cell vectorized intersections. Must
+    reproduce the freq_pairs SQL exactly."""
+    from pageindex_spark.driverq import FI_DF_HI, FI_DF_LO, FI_MINSUP
+    from pageindex_spark.plans.hits import frequent_term_pairs
+
+    index_dir = _engine_index(spark, sf_dir)
+    return frequent_term_pairs(
+        spark, index_dir, FI_DF_LO, FI_DF_HI, FI_MINSUP
+    )
+
+
 def _engine_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo-centroid aggregation (round 5, plans/hits.py geo_centroid):
     integer-exact mean coordinate of each query's match set. Must
@@ -2249,6 +2283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
     q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
     q["engine_geo_centroid"] = _engine_geo_centroid  # integer-exact centroid
+    q["engine_div_sampler"] = _engine_div_sampler  # diversified sampler
+    q["engine_freq_pairs"] = _engine_freq_pairs  # frequent term pairs
     q["engine_bm25_pinned"] = _engine_bm25_pinned  # ES pinned query
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_next_word"] = _engine_next_word  # completion from extracts
@@ -2362,6 +2398,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_geotile"] = o["geotile_grid"]
     o["engine_geohash"] = o["geohash_grid"]
     o["engine_geo_centroid"] = o["geo_centroid"]
+    o["engine_div_sampler"] = o["div_sampler"]
+    o["engine_freq_pairs"] = o["freq_pairs"]
     o["engine_bm25_pinned"] = o["bm25_pinned"]
     o["engine_next_word"] = o["next_word_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]

@@ -2641,6 +2641,80 @@ select query_id, term, fg, bg, lift6 from ranked where rk <= {m}
 """
 
 
+# diversified_sampler: at most DIV_MAX_PER_KEY docs per source key enter
+# the sample, then the sample caps at DIV_SHARD docs — both in the
+# deterministic md5(url) order (rand() would not reproduce across engines).
+# 20 source keys x 2 = up to 40 eligible, so the 25-doc shard cap BINDS.
+DIV_MAX_PER_KEY = 2
+DIV_SHARD = 25
+
+
+def _diversified_sampler_sql(d: _Dialect) -> str:
+    """Diversified-sampler twin (plans/hits.py ``diversified_sampler_stats``):
+    the ES ``diversified_sampler`` agg — matched docs enter a sample in
+    deterministic md5(url) order, at most DIV_MAX_PER_KEY per ``source``
+    key (the de-bias step), capped at DIV_SHARD docs; the child agg
+    (count, distinct keys, avg n_chars) runs on the diversified sample.
+    avg is an exact int sum and ONE double division."""
+    url = f"lpad(cast(m.doc_id as {d.str_type()}), 10, '0')"
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, m.doc_id, doc.source,
+         cast(doc.n_chars as bigint) as n_chars,
+         md5({url}) as h
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+perkey as (
+  select query_id, doc_id, source, n_chars, h,
+         row_number() over (
+           partition by query_id, source order by h asc, doc_id asc) as kpos
+  from keyed
+),
+divs as (
+  select query_id, doc_id, source, n_chars,
+         row_number() over (
+           partition by query_id order by h asc, doc_id asc) as spos
+  from perkey where kpos <= {DIV_MAX_PER_KEY}
+)
+select query_id,
+       cast(count(*) as bigint) as n_sample,
+       cast(count(distinct source) as bigint) as n_keys,
+       cast(floor(avg(cast(n_chars as double)) * 1000000) as bigint) as avg_chars6
+from divs where spos <= {DIV_SHARD}
+group by query_id
+"""
+
+
+# frequent_item_sets (pair mining): items are the mid-frequency terms
+# (df in [FI_DF_LO, FI_DF_HI] — the band below the ubiquitous head, where
+# co-occurrence is informative), support counts docs containing BOTH.
+FI_DF_LO = 25
+FI_DF_HI = 380
+FI_MINSUP = 100
+
+
+def _freq_pairs_sql(d: _Dialect) -> str:
+    """Frequent-item-sets twin (plans/hits.py ``frequent_term_pairs``):
+    the ES ``frequent_item_sets`` agg at size=2 over TERM items —
+    unordered mid-frequency term pairs contained together in at least
+    FI_MINSUP docs. The df window is the standard apriori prefilter: it
+    bounds the item set, which bounds every engine cell's pairwise work."""
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+occ as (select doc_id, {d.unnest('terms')} as term from toks),
+dt as (select distinct doc_id, term from occ),
+dfreq as (select term, cast(count(*) as bigint) as df from dt group by term),
+items as (select term from dfreq where df between {FI_DF_LO} and {FI_DF_HI}),
+di as (select dt.doc_id, dt.term from dt join items i on i.term = dt.term),
+pairs as (
+  select a.term as item_a, b.term as item_b, cast(count(*) as bigint) as support
+  from di a join di b on a.doc_id = b.doc_id and a.term < b.term
+  group by a.term, b.term
+)
+select item_a, item_b, support from pairs where support >= {FI_MINSUP}
+"""
+
+
 # Deterministic field_value_factor for the function-score entries: exactly
 # representable quarter steps in [0.5, 2.25] keyed on doc_id, so the
 # engine-side dimension and the SQL twin compute bit-identical doubles and
@@ -3934,6 +4008,12 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # sampler aggregation (ES sampler + significant_terms sub-agg): the
     # deterministic md5-prefix doc sample, fg/n_matched in-sample.
     pairs["sig_terms_sampled"] = both(lambda d: _sig_terms_sql(d, sampled=True))
+    # diversified_sampler (plans/hits.py diversified_sampler_stats):
+    # per-source-capped deterministic sample, child stats over it.
+    pairs["div_sampler"] = both(_diversified_sampler_sql)
+    # frequent_item_sets at size=2 (plans/hits.py frequent_term_pairs):
+    # mid-frequency term pairs with support >= FI_MINSUP.
+    pairs["freq_pairs"] = both(_freq_pairs_sql)
     # function score (plans/query.py search_function_score): BM25 x
     # field_value_factor, boost_mode=multiply — exhaustive re-rank.
     pairs["fn_score"] = both(_function_score_sql)

@@ -708,6 +708,165 @@ def date_histogram_pipeline(
     )
 
 
+def diversified_sampler_stats(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dims: DataFrame,
+    max_per_key: int = 2,
+    shard_size: int = 25,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Diversified sampler (Elasticsearch ``diversified_sampler``) ->
+    (query_id, n_sample, n_keys, avg_chars6): matched docs enter a sample
+    in deterministic md5(url) order, at most ``max_per_key`` per ``key``
+    value (the de-bias step), capped at ``shard_size``; the child stats
+    (count, distinct keys, avg of ``val``) run on the diversified sample.
+    ``dims`` is (url, key, val). ES seeds this with a random hash — an
+    oracle-gated engine uses md5(url), the same deterministic-sample trick
+    as ``significant_terms(sampled=True)``. Plan: the match kernel's url
+    rows join the dimension, then two O(sample-candidates) window passes
+    partitioned by query — the windows run over matched rows, not the
+    corpus, and the per-key cap means the second window's input is
+    <= keys x max_per_key rows per query."""
+    from pyspark.sql import Window
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, n_sample long, n_keys long, avg_chars6 long"
+    )
+    if state is None:
+        return empty
+    keyed = (
+        _matched_urls(spark, se, state)
+        .join(dims.select("url", "key", "val"), "url")
+        .withColumn("h", F.md5(F.col("url")))
+    )
+    w_key = Window.partitionBy("query_id", "key").orderBy(
+        F.asc("h"), F.asc("url")
+    )
+    w_all = Window.partitionBy("query_id").orderBy(F.asc("h"), F.asc("url"))
+    divs = (
+        keyed.withColumn("kpos", F.row_number().over(w_key))
+        .filter(F.col("kpos") <= max_per_key)
+        .withColumn("spos", F.row_number().over(w_all))
+        .filter(F.col("spos") <= shard_size)
+    )
+    return divs.groupBy("query_id").agg(
+        F.count("*").alias("n_sample"),
+        F.countDistinct("key").alias("n_keys"),
+        F.floor(F.avg(F.col("val").cast("double")) * 1000000)
+        .cast("long")
+        .alias("avg_chars6"),
+    )
+
+
+def frequent_term_pairs(
+    spark: SparkSession,
+    index_dir: str,
+    df_lo: int,
+    df_hi: int,
+    min_support: int,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Frequent item sets at size=2 over TERM items (Elasticsearch
+    ``frequent_item_sets``) -> (item_a, item_b, support): unordered
+    mid-frequency term pairs contained together in at least
+    ``min_support`` docs, mined ENTIRELY from the committed index.
+
+    Plan — the pair analogue of the match kernels, and the reason this
+    scales: items come from one column-pruned term_stats scan with the
+    df-window predicate pushed down (the apriori prefilter — it bounds
+    the item set before any postings load); their postings load through
+    the standard bucket-pruned slice path; and because CELLS PARTITION
+    DOCID SPACE, per-cell pair intersections sum to the exact corpus-wide
+    support — the only shuffled rows are per-cell (item_a, item_b,
+    partial) triples, O(items² x cells) worst case and typically far
+    sparser, never O(docs). Tombstones mask pre-count in the kernel (the
+    engine-wide pre-aggregation contract). Per-cell work is
+    C(items, 2) sorted-array intersections, vectorized; the df window is
+    what keeps C small — widening it is an explicit cost decision, the
+    same dial ES documents for frequent_item_sets."""
+    from ..functions.murmur3 import term_bucket
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    ts = spark.read.parquet(se.paths.term_stats)
+    if se.committed_deltas is not None:
+        ts = ts.filter(F.col("delta") == max(se.committed_deltas))
+    cand = sorted(
+        r["term"]
+        for r in ts.filter(
+            (F.col("df") >= df_lo) & (F.col("df") <= df_hi)
+        )
+        .select("term")
+        .distinct()
+        .collect()
+    )
+    empty = spark.createDataFrame(
+        [], "item_a string, item_b string, support long"
+    )
+    if len(cand) < 2:
+        return empty
+    buckets = sorted({term_bucket(t, se.n_buckets) for t in cand})
+    runs = read_index_runs(
+        spark, se.paths.postings, se.n_buckets, se.iceberg_table
+    ).filter(F.col("bucket").isin(buckets) & F.col("term").isin(cand))
+    if se.committed_deltas is not None:
+        runs = runs.filter(F.col("delta").isin(se.committed_deltas))
+    bc_grid = spark.sparkContext.broadcast(se.cell_grid)
+    slices = runs.drop("bucket", "run_id", "n_bytes", "delta").mapInArrow(
+        _slice_mapper(bc_grid), schema=_SLICE_DDL
+    )
+    bc_deleted = (
+        spark.sparkContext.broadcast(se.deleted_ids)
+        if se.deleted_ids is not None and len(se.deleted_ids)
+        else None
+    )
+
+    def pair_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        term_runs = assemble_cell_runs(pdf)
+        deleted = bc_deleted.value if bc_deleted is not None else None
+        docs_by_term = {}
+        for t, r in term_runs.items():
+            docs = decode_run(r)[0].astype(np.int64)
+            if deleted is not None:
+                docs = docs[~np.isin(docs, deleted)]
+            if len(docs):
+                docs_by_term[t] = docs
+        terms = sorted(docs_by_term)
+        a_out, b_out, n_out = [], [], []
+        for i in range(len(terms)):
+            for j in range(i + 1, len(terms)):
+                n = len(
+                    np.intersect1d(
+                        docs_by_term[terms[i]],
+                        docs_by_term[terms[j]],
+                        assume_unique=True,
+                    )
+                )
+                if n:
+                    a_out.append(terms[i])
+                    b_out.append(terms[j])
+                    n_out.append(n)
+        return pd.DataFrame(
+            {
+                "item_a": a_out,
+                "item_b": b_out,
+                "n": np.array(n_out, dtype=np.int64),
+            }
+        )
+
+    partial = slices.groupBy("cell").applyInPandas(
+        pair_cell, schema="item_a string, item_b string, n long"
+    )
+    return (
+        partial.groupBy("item_a", "item_b")
+        .agg(F.sum("n").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
 def date_histogram_pipeline2(
     spark: SparkSession,
     index_dir: str,

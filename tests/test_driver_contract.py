@@ -136,6 +136,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_geotile",
         "engine_geohash",
         "engine_geo_centroid",
+        "engine_div_sampler",
+        "engine_freq_pairs",
         "engine_bm25_pinned",
         "engine_next_word",
         "engine_bm25_reindexed",
