@@ -1099,6 +1099,62 @@ def _engine_title_index(spark: SparkSession, sf_dir: str) -> str:
     return index_dir
 
 
+def _engine_cmb_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (or reuse) the COMBINED-field index for combined_fields:
+    body^1 + title^2 as ONE field — the text concatenated with the title
+    slice repeated twice, so the committed tf is tf_body + 2*tf_title and
+    the committed dl is dl_body + 2*dl_title (integer field weights turn
+    ES combined_fields into plain BM25 over the weighted concatenation;
+    the blended df == body df because the synthetic title is a prefix
+    slice of the body tokens)."""
+    from pageindex_spark import build_index
+    from pageindex_spark.driverq import MM_TITLE_LEN
+    from pageindex_spark.functions.sqlglue import spark_terms
+    from pageindex_spark.plans.build_index import FORMAT_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    index_dir = f"{_INDEX_CACHE_ROOT}_cmb_{tag}"
+    meta_path = os.path.join(index_dir, "meta.json")
+    if os.path.exists(meta_path):
+        import json
+        import shutil
+
+        with open(meta_path) as f:
+            if json.load(f).get("format_version") != FORMAT_VERSION:
+                shutil.rmtree(index_dir)
+    if not os.path.exists(meta_path):
+        title = F.concat_ws(
+            " ", F.slice(F.expr(spark_terms("text")), 1, MM_TITLE_LEN)
+        )
+        combined = _docs_as_corpus(spark, sf_dir).select(
+            "url", F.concat_ws(" ", F.col("text"), title, title).alias("text")
+        )
+        build_index(
+            spark, combined, index_dir,
+            num_partitions=8, n_buckets=8, n_seg_chunks=1, n_bucket_chunks=1,
+        )
+    return index_dir
+
+
+def _engine_combined_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combined_fields query (round 5): plain committed-index BM25 over
+    the weight-repeated field concatenation (_engine_cmb_index) — the
+    BM25F-style blended statistics ES combined_fields computes. Must
+    reproduce the combined_fields SQL exactly."""
+    from pageindex_spark.plans.query import search
+
+    index_dir = _engine_cmb_index(spark, sf_dir)
+    top = search(
+        spark, index_dir, BM25_QUERIES, k=10, mode="bmw", fixed_point=True
+    )
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("long").alias("score6"),
+    )
+
+
 def _engine_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-field best_fields (round 5, plans/query.py
     search_multi_field): body^1 + title^2 over two committed per-field
@@ -2277,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_multi_terms"] = _engine_multi_terms  # compound-key buckets
     q["engine_top_metrics"] = _engine_top_metrics  # metrics of top-sorted
     q["engine_multi_match"] = _engine_multi_match  # best_fields title^2+body
+    q["engine_combined_fields"] = _engine_combined_fields  # BM25F blended stats
     q["engine_index_stats"] = _engine_index_stats  # committed-artifact audit
     q["engine_term_vectors"] = _engine_term_vectors  # per-doc tf + df
     q["engine_geo_distance"] = _engine_geo_distance  # nearest matches
@@ -2391,6 +2448,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_top_metrics"] = o["top_metrics"]
     o["engine_bm25_fuzzy2"] = o["bm25_fuzzy2"]
     o["engine_multi_match"] = o["multi_match"]
+    o["engine_combined_fields"] = o["combined_fields"]
     o["engine_index_stats"] = o["index_stats"]
     o["engine_term_vectors"] = o["term_vectors"]
     o["engine_geo_distance"] = o["geo_distance"]

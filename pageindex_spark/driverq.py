@@ -2232,6 +2232,55 @@ select query_id, rank, doc_id, final6, best6 from ranked where rank <= {k}
 """
 
 
+def _combined_fields_sql(d: _Dialect, k: int = 10) -> str:
+    """Combined-fields twin (the ES ``combined_fields`` query — the
+    principled BM25F-style alternative to best_fields): body^1 + title^2
+    scored as ONE virtual field with blended statistics — tf_c = tf_body
+    + 2*tf_title, dl_c = dl_body + 2*dl_title, df over the combined field
+    (== body df here: the synthetic title is a PREFIX SLICE of the body
+    token array, so title terms are a subset per doc), avgdl over dl_c.
+    Integer field weights make this exactly plain BM25 over the
+    weight-repeated concatenation, which is how the engine runs it: a
+    committed index over text + title + title
+    (``__spark_entry__._engine_cmb_index``). Same contribution formula
+    text as ``_BM25_CONTRIB_CTE`` with the blended stats substituted."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+ctoks as (select doc_id, terms, {d.head_slice('terms', MM_TITLE_LEN)} as tt from toks),
+doc_stats as (
+  select doc_id,
+         cast({d.size('terms')} + 2 * {d.size('tt')} as bigint) as doc_len
+  from ctoks
+),
+corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
+occ_b as (select doc_id, {d.unnest('terms')} as term from ctoks),
+occ_t as (select doc_id, {d.unnest('tt')} as term from ctoks),
+tf_b as (select term, doc_id, cast(count(*) as bigint) as tf from occ_b group by term, doc_id),
+tf_t as (select term, doc_id, cast(count(*) as bigint) as tf from occ_t group by term, doc_id),
+postings as (
+  select b.term, b.doc_id, b.tf + 2 * coalesce(t.tf, 0) as tf
+  from tf_b b left join tf_t t on t.term = b.term and t.doc_id = b.doc_id
+),
+dfreq as (select term, cast(count(*) as bigint) as df from tf_b group by term),
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select query_id, doc_id,
+         cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
 def _index_stats_sql(d: _Dialect) -> str:
     """Index-stats twin (plans/hits.py ``index_stats``): the corpus
     RECOUNT the committed-artifact report must equal — doc count, distinct
@@ -4076,6 +4125,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # multi_match best_fields (plans/query.py search_multi_field): body +
     # first-8-token title, each with its own statistics, dis_max-combined.
     pairs["multi_match"] = both(_multi_match_sql)
+    # combined_fields (BM25F-style blended statistics — the engine runs it
+    # as plain BM25 over the weight-repeated field concatenation).
+    pairs["combined_fields"] = both(_combined_fields_sql)
     # index stats (plans/hits.py index_stats): the corpus recount that the
     # committed-artifact report must reproduce — ES _stats class.
     pairs["index_stats"] = both(_index_stats_sql)

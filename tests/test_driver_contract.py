@@ -129,6 +129,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_multi_terms",
         "engine_top_metrics",
         "engine_multi_match",
+        "engine_combined_fields",
         "engine_index_stats",
         "engine_term_vectors",
         "engine_geo_distance",
