@@ -1372,6 +1372,21 @@ def _engine_bm25_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking Evaluation API (round 5, plans/hits.py rank_eval): the
+    engine's own BMW top-10 scored against deterministic term-coverage
+    judgments from the committed postings — P@10, recall@10, MRR, and
+    fixed-point NDCG (integer gains x NDCG_DISC6 integer discounts, exact
+    int64 DCG sums). Runs the rare-term MSM_QUERIES set so partial-coverage
+    docs actually rank and every metric discriminates. Must reproduce the
+    rank_eval SQL exactly."""
+    from pageindex_spark.driverq import MSM_QUERIES, NDCG_DISC6
+    from pageindex_spark.plans.hits import rank_eval
+
+    index_dir = _engine_index(spark, sf_dir)
+    return rank_eval(spark, index_dir, MSM_QUERIES, NDCG_DISC6, k=10)
+
+
 def _engine_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion suggester from committed artifacts (round 5,
     plans/hits.py suggest_next_word): top next-words per seed by bigram
@@ -2343,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_div_sampler"] = _engine_div_sampler  # diversified sampler
     q["engine_freq_pairs"] = _engine_freq_pairs  # frequent term pairs
     q["engine_bm25_pinned"] = _engine_bm25_pinned  # ES pinned query
+    q["engine_rank_eval"] = _engine_rank_eval  # _rank_eval P@k/MRR/NDCG
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_next_word"] = _engine_next_word  # completion from extracts
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
@@ -2459,6 +2475,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_div_sampler"] = o["div_sampler"]
     o["engine_freq_pairs"] = o["freq_pairs"]
     o["engine_bm25_pinned"] = o["bm25_pinned"]
+    o["engine_rank_eval"] = o["rank_eval"]
     o["engine_next_word"] = o["next_word_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]

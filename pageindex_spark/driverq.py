@@ -2489,6 +2489,113 @@ from (select * from pinned_rows union all select * from organic_rows) u
 """
 
 
+# rank_eval NDCG position discounts, fixed-point: DISC6[r-1] =
+# floor(1e6 / log2(r+1)) for rank r = 1..10. Precomputed so BOTH engines
+# consume identical integer literals — DCG becomes pure int64 arithmetic
+# (gain (2^rating - 1) is integer, discount is integer), immune to libm
+# log2 last-ulp differences between JVM and DuckDB.
+NDCG_DISC6 = tuple(
+    math.floor(1_000_000 / math.log2(r + 1)) for r in range(1, 11)
+)
+
+
+def _rank_eval_sql(d: _Dialect, k: int = 10) -> str:
+    """Ranking-evaluation twin (plans/hits.py ``rank_eval``): the ES
+    ``_rank_eval`` API over the flagship BM25 top-k. Judgments are
+    DETERMINISTIC term-coverage grades — rating(q, d) = number of distinct
+    query terms present in d (the postings join), relevant iff the doc
+    covers ALL the query's distinct tokens (rating = n_q, the conjunctive
+    match set). Metrics per query, every float as a floor(x*1e6) bigint:
+
+    * ``p10_6`` — precision@k: relevant retrieved / retrieved (ES divides
+      by retrieved count, not k, when fewer than k return);
+    * ``recall10_6`` — relevant retrieved / |relevant| (0 when no doc
+      covers every term);
+    * ``mrr6`` — 1 / rank of the first relevant hit (0 when none);
+    * ``dcg6`` / ``ndcg10_6`` — fixed-point DCG with integer gains
+      (2^rating - 1) and the NDCG_DISC6 integer discounts, so the sum is
+      exact int64 in both engines; IDCG re-ranks the FULL rated set by
+      (rating desc, doc_id asc) and takes the top k positions.
+
+    Queries that retrieve nothing emit no row (same convention as every
+    top-k twin). The only floats are four final single divisions of
+    exactly-representable int64 pairs — deterministic across engines.
+
+    Runs the MSM_QUERIES set: it mixes the rare 'dup' with common terms,
+    so BM25's idf ranking tops partial-coverage docs and every metric
+    actually discriminates (the flagship set's dense vocab makes all five
+    queries score P@10 = NDCG = 1.0 — true, but test-blind)."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in MSM_QUERIES)
+    disc = ", ".join(f"({r + 1}, {d6})" for r, d6 in enumerate(NDCG_DISC6[:k]))
+    gain = f"({d.shiftl('1', 'cast(coalesce(ra.rating, 0) as int)')} - 1)"
+    igain = f"({d.shiftl('1', 'cast(i.rating as int)')} - 1)"
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+disc(rank, d6) as (values {disc}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+qn as (select query_id, cast(count(*) as bigint) as n_q from qterms group by query_id),
+{_BM25_CONTRIB_CTE},
+scored as (select query_id, doc_id, sum(w) as s from contrib group by query_id, doc_id),
+top as (
+  select query_id, doc_id, rank from (
+    select query_id, doc_id,
+           row_number() over (partition by query_id
+             order by cast(floor(s * 1000000) as bigint) desc, doc_id asc) as rank
+    from scored) r where rank <= {k}
+),
+ratings as (
+  select q.query_id, p.doc_id, cast(count(*) as bigint) as rating
+  from qterms q join postings p on p.term = q.term
+  group by q.query_id, p.doc_id
+),
+rel as (
+  select r.query_id, r.doc_id
+  from ratings r join qn on qn.query_id = r.query_id
+  where r.rating = qn.n_q
+),
+nrel as (select query_id, cast(count(*) as bigint) as n_rel from rel group by query_id),
+topstats as (
+  select t.query_id,
+         cast(count(*) as bigint) as n_ret,
+         cast(sum(case when rel.doc_id is not null then 1 else 0 end) as bigint) as rel_ret,
+         min(case when rel.doc_id is not null then t.rank end) as first_rel,
+         cast(sum({gain} * disc.d6) as bigint) as dcg6
+  from top t
+  join disc on disc.rank = t.rank
+  left join ratings ra on ra.query_id = t.query_id and ra.doc_id = t.doc_id
+  left join rel on rel.query_id = t.query_id and rel.doc_id = t.doc_id
+  group by t.query_id
+),
+ideal as (
+  select query_id, rating,
+         row_number() over (partition by query_id order by rating desc, doc_id asc) as irank
+  from ratings
+),
+idcg as (
+  select i.query_id, cast(sum({igain} * disc.d6) as bigint) as idcg6
+  from ideal i join disc on disc.rank = i.irank
+  where i.irank <= {k}
+  group by i.query_id
+)
+select qn.query_id,
+       coalesce(nrel.n_rel, cast(0 as bigint)) as n_rel,
+       cast(floor(1000000.0 * ts.rel_ret / ts.n_ret) as bigint) as p10_6,
+       case when coalesce(nrel.n_rel, 0) = 0 then cast(0 as bigint)
+            else cast(floor(1000000.0 * ts.rel_ret / nrel.n_rel) as bigint) end as recall10_6,
+       case when ts.first_rel is null then cast(0 as bigint)
+            else cast(floor(1000000.0 / ts.first_rel) as bigint) end as mrr6,
+       ts.dcg6 as dcg6,
+       case when coalesce(ic.idcg6, 0) = 0 then cast(0 as bigint)
+            else cast(floor(1000000.0 * ts.dcg6 / ic.idcg6) as bigint) end as ndcg10_6
+from qn
+join topstats ts on ts.query_id = qn.query_id
+left join nrel on nrel.query_id = qn.query_id
+left join idcg ic on ic.query_id = qn.query_id
+"""
+
+
 # auto_date_histogram bucket target (the ladder thresholds are target and
 # target*31 days; the 400-day synthetic spans land every flagship query on
 # 'month' here — the e2e pytest exercises all three ladder rungs).
@@ -4145,6 +4252,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # pinned query (plans/hits.py search_pinned): curated ids promoted
     # ahead of organic relevance, ES `pinned` semantics.
     pairs["bm25_pinned"] = both(_bm25_pinned_sql)
+    # rank_eval (plans/hits.py rank_eval): the ES Ranking Evaluation API —
+    # P@k / recall@k / MRR / fixed-point NDCG against deterministic
+    # term-coverage judgments.
+    pairs["rank_eval"] = both(_rank_eval_sql)
     # auto_date_histogram (plans/hits.py): per-query interval from the
     # deterministic span ladder — ES's estimate-based pick made exact.
     pairs["auto_date_histogram"] = both(_auto_date_histo_sql)

@@ -2815,3 +2815,179 @@ def date_histogram_normalize(
         f6(F.col("n_docs").cast("double") / total).alias("pct6"),
         f6(running.cast("double") / total).alias("cum_pct6"),
     )
+
+
+def _rated_coords(spark: SparkSession, se, state) -> DataFrame:
+    """Rating kernel for ``rank_eval``: every matched doc's term-coverage
+    grade as (query_id, part_id, local_pos, rating) rows — rating = number
+    of DISTINCT query terms whose postings contain the doc. Within a cell
+    each term's decoded docID list is already distinct, so the multiplicity
+    of a docID across the query's term lists (one ``np.unique``
+    with counts) IS the grade; cells partition docID space, so no
+    cross-cell merge is needed. Exclusions (tombstones, '-term' negations)
+    mask pre-emission — the engine-wide pre-heap contract. O(matches)
+    rows, the same price ``_matched_urls`` pays."""
+    bc_payload, bc_neg, bc_deleted, slices, _runs = state
+    bc_parts = spark.sparkContext.broadcast(se.grid_parts)
+
+    def rate_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        grid = bc_parts.value
+        term_runs = assemble_cell_runs(pdf)
+        docs_by_term = {
+            t: decode_run(r)[0].astype(np.int64) for t, r in term_runs.items()
+        }
+        deleted = bc_deleted.value if bc_deleted is not None else None
+        negs = bc_neg.value if bc_neg is not None else {}
+        qids, pids, lps, rts = [], [], [], []
+        for qid, terms in bc_payload.value:
+            arrs = [docs_by_term[t] for t in terms if t in docs_by_term]
+            if not arrs:
+                continue
+            u, counts = np.unique(np.concatenate(arrs), return_counts=True)
+            excl = [docs_by_term[t] for t in negs.get(qid, ()) if t in docs_by_term]
+            if deleted is not None:
+                excl.append(deleted)
+            if excl:
+                e = excl[0] if len(excl) == 1 else np.unique(np.concatenate(excl))
+                keep = ~np.isin(u, e)
+                u, counts = u[keep], counts[keep]
+            if not len(u):
+                continue
+            pid = np.searchsorted(grid, u, side="right") - 1
+            qids.append(np.full(len(u), qid, dtype=np.int32))
+            pids.append(pid.astype(np.int32))
+            lps.append(u - grid[pid])
+            rts.append(counts.astype(np.int32))
+        if not qids:
+            return pd.DataFrame(
+                {"query_id": [], "part_id": [], "local_pos": [], "rating": []}
+            ).astype(
+                {
+                    "query_id": "int32",
+                    "part_id": "int32",
+                    "local_pos": "int64",
+                    "rating": "int32",
+                }
+            )
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(qids),
+                "part_id": np.concatenate(pids),
+                "local_pos": np.concatenate(lps),
+                "rating": np.concatenate(rts),
+            }
+        )
+
+    return slices.groupBy("cell").applyInPandas(
+        rate_cell, schema="query_id int, part_id int, local_pos long, rating int"
+    )
+
+
+def rank_eval(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    disc6: tuple[int, ...],
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Ranking Evaluation API (Elasticsearch ``_rank_eval``) ->
+    (query_id, n_rel, p10_6, recall10_6, mrr6, dcg6, ndcg10_6): score the
+    engine's own BM25 top-k against DETERMINISTIC term-coverage judgments
+    — rating(q, d) = distinct query terms present in d (from the committed
+    postings, via ``_rated_coords``), relevant iff the doc covers ALL the
+    query's distinct tokens. ``disc6`` is the fixed-point NDCG discount
+    table (driverq.NDCG_DISC6): integer gains (2^rating - 1) times integer
+    discounts make DCG/IDCG exact int64 sums, so the engine and the SQL
+    twin agree bit-for-bit; the only floats are four final divisions of
+    exactly-representable int64 pairs. IDCG comes from the exact per-grade
+    match histogram (a ``groupBy(rating).count()`` — O(queries * n_terms)
+    rows), never a global sort: grades fill ideal positions highest-first,
+    ties within a grade share the gain so doc order is irrelevant.
+
+    Plan shape: the O(matches) rating rows stay distributed; the driver
+    collects only the grade histogram and the k-row-per-query top-hit
+    ratings (both O(queries * k)-ish). The rating kernel lineage runs once
+    per collect (twice total) — the ``significant_terms`` precedent: re-running
+    the kernel beats persist()-owning a cache a lazy API can't release.
+    Queries that retrieve nothing emit no row (every top-k surface's
+    convention). Must reproduce the rank_eval SQL twin exactly."""
+    import math as _math
+
+    from ..functions.tokenizer import parse_boost_query, parse_query, tokenize
+    from .query import search
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if len(disc6) < k:
+        raise ValueError(f"disc6 has {len(disc6)} entries; k={k} needs that many")
+    out_ddl = (
+        "query_id int, n_rel long, p10_6 long, recall10_6 long, "
+        "mrr6 long, dcg6 long, ndcg10_6 long"
+    )
+    n_q: dict[int, int] = {}
+    for qid, text in queries:
+        txt, _w = parse_boost_query(text)
+        pos, _negs = parse_query(txt)
+        n_q[qid] = len(set(tokenize(pos)))
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    if state is None:
+        return spark.createDataFrame([], out_ddl)
+    ratings = _rated_coords(spark, se, state)
+    grade_rows = ratings.groupBy("query_id", "rating").count().collect()
+    top = search(
+        spark, index_dir, queries, k=k, cell_parts=cell_parts, fixed_point=True
+    )
+    top_rows = top.select("query_id", "rank", "url").collect()
+    top_urls = sorted({r["url"] for r in top_rows})
+    if not top_urls:
+        return spark.createDataFrame([], out_ddl)
+    ext = (
+        spark.read.parquet(se.paths.docs_extracted)
+        .select("part_id", "local_pos", "url")
+        .filter(F.col("url").isin(top_urls))
+    )
+    rated_top = (
+        ratings.join(F.broadcast(ext), ["part_id", "local_pos"])
+        .select("query_id", "url", "rating")
+        .collect()
+    )
+
+    grades: dict[int, dict[int, int]] = {}
+    for r in grade_rows:
+        grades.setdefault(int(r["query_id"]), {})[int(r["rating"])] = int(r["count"])
+    top_rating = {
+        (int(r["query_id"]), r["url"]): int(r["rating"]) for r in rated_top
+    }
+    by_q: dict[int, list[tuple[int, str]]] = {}
+    for r in top_rows:
+        by_q.setdefault(int(r["query_id"]), []).append((int(r["rank"]), r["url"]))
+    rows = []
+    for qid, hits in sorted(by_q.items()):
+        nq = n_q[qid]
+        g = grades.get(qid, {})
+        n_rel = g.get(nq, 0)
+        n_ret = len(hits)
+        rel_ret, first_rel, dcg6 = 0, None, 0
+        for rank, url in sorted(hits):
+            rating = top_rating.get((qid, url), 0)
+            dcg6 += ((1 << rating) - 1) * disc6[rank - 1]
+            if rating == nq:
+                rel_ret += 1
+                if first_rel is None:
+                    first_rel = rank
+        idcg6, pos = 0, 0
+        for rating in sorted(g, reverse=True):
+            m = g[rating]
+            take = min(m, k - pos)
+            idcg6 += ((1 << rating) - 1) * sum(disc6[pos : pos + take])
+            pos += take
+            if pos >= k:
+                break
+        p10_6 = _math.floor(1000000.0 * rel_ret / n_ret)
+        recall6 = _math.floor(1000000.0 * rel_ret / n_rel) if n_rel else 0
+        mrr6 = _math.floor(1000000.0 / first_rel) if first_rel else 0
+        ndcg6 = _math.floor(1000000.0 * dcg6 / idcg6) if idcg6 else 0
+        rows.append((qid, n_rel, p10_6, recall6, mrr6, dcg6, ndcg6))
+    return spark.createDataFrame(rows, out_ddl)

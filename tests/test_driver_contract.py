@@ -140,6 +140,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_div_sampler",
         "engine_freq_pairs",
         "engine_bm25_pinned",
+        "engine_rank_eval",
         "engine_next_word",
         "engine_bm25_reindexed",
         "engine_sig_terms",
