@@ -1358,6 +1358,16 @@ def _engine_geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return geo_centroid(spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir))
 
 
+def _engine_geo_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo-bounds aggregation (round 5, plans/hits.py geo_bounds):
+    integer-exact bounding box of each query's match set. Must reproduce
+    the geo_bounds SQL exactly."""
+    from pageindex_spark.plans.hits import geo_bounds
+
+    index_dir = _engine_index(spark, sf_dir)
+    return geo_bounds(spark, index_dir, BM25_QUERIES, _geo_dim(spark, sf_dir))
+
+
 def _engine_bm25_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned query (round 5, plans/hits.py search_pinned): PINNED_DOC_IDS
     promoted to ranks 1..3 in list order, organic BMW BM25 at ranks 4..13
@@ -2355,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_geo_bbox"] = _engine_geo_bbox  # bounding-box filter count
     q["engine_geotile"] = _engine_geotile  # slippy-tile heatmap buckets
     q["engine_geo_centroid"] = _engine_geo_centroid  # integer-exact centroid
+    q["engine_geo_bounds"] = _engine_geo_bounds  # match-set bounding box
     q["engine_div_sampler"] = _engine_div_sampler  # diversified sampler
     q["engine_freq_pairs"] = _engine_freq_pairs  # frequent term pairs
     q["engine_bm25_pinned"] = _engine_bm25_pinned  # ES pinned query
@@ -2472,6 +2483,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_geotile"] = o["geotile_grid"]
     o["engine_geohash"] = o["geohash_grid"]
     o["engine_geo_centroid"] = o["geo_centroid"]
+    o["engine_geo_bounds"] = o["geo_bounds"]
     o["engine_div_sampler"] = o["div_sampler"]
     o["engine_freq_pairs"] = o["freq_pairs"]
     o["engine_bm25_pinned"] = o["bm25_pinned"]

@@ -2444,6 +2444,30 @@ from pts group by query_id
 """
 
 
+def _geo_bounds_sql(d: _Dialect) -> str:
+    """Geo-bounds twin (plans/hits.py ``geo_bounds``): the ES
+    ``geo_bounds`` aggregation — the tightest bounding box around each
+    query's match set, as top-left (max lat, min lon) / bottom-right
+    (min lat, max lon). Coordinates integerize FIRST (floor(x*1e6)
+    bigints) like geo_centroid, so min/max are pure int64 — bit-identical
+    across engines by construction."""
+    return f"""{_matched_cte(d)}{_geo_keyed_cte(d)},
+pts as (
+  select query_id,
+         cast(floor(lat * 1000000) as bigint) as lat6,
+         cast(floor(lon * 1000000) as bigint) as lon6
+  from keyed
+)
+select query_id,
+       cast(count(*) as bigint) as n_docs,
+       max(lat6) as top6,
+       min(lat6) as bottom6,
+       min(lon6) as left6,
+       max(lon6) as right6
+from pts group by query_id
+"""
+
+
 # pinned query (ES `pinned`): these ids are promoted to the top in list
 # order for EVERY query; organic BM25 results follow with the pinned ids
 # removed. All three exist at every SF (documents is a fixed 500-doc table).
@@ -4249,6 +4273,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # geo_centroid (plans/hits.py geo_centroid): integer-exact mean
     # coordinates of the match set — the map-pin aggregation.
     pairs["geo_centroid"] = both(_geo_centroid_sql)
+    # geo_bounds (plans/hits.py geo_bounds): integer-exact bounding box of
+    # the match set — the map-viewport sibling of geo_centroid.
+    pairs["geo_bounds"] = both(_geo_bounds_sql)
     # pinned query (plans/hits.py search_pinned): curated ids promoted
     # ahead of organic relevance, ES `pinned` semantics.
     pairs["bm25_pinned"] = both(_bm25_pinned_sql)

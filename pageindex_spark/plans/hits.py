@@ -1474,6 +1474,48 @@ def geo_centroid(
     )
 
 
+def geo_bounds(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    geo: DataFrame,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Geo-bounds aggregation (Elasticsearch ``geo_bounds``) ->
+    (query_id, n_docs, top6, bottom6, left6, right6): the tightest
+    bounding box around each query's match set — top-left (max lat, min
+    lon), bottom-right (min lat, max lon) — the map-viewport summary.
+    Coordinates integerize FIRST (floor(x*1e6) int64) so min/max are pure
+    int64, bit-identical to the SQL twin by construction. Same
+    single-shuffle class as ``geo_centroid``: the only O(matches) rows are
+    the kernel's coordinates, the agg is one partial-aggregated groupBy."""
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, n_docs long, top6 long, bottom6 long, "
+        "left6 long, right6 long",
+    )
+    if state is None:
+        return empty
+    pts = (
+        _matched_urls(spark, se, state)
+        .join(geo.select("url", "lat", "lon"), "url")
+        .select(
+            "query_id",
+            F.floor(F.col("lat") * 1000000).cast("long").alias("lat6"),
+            F.floor(F.col("lon") * 1000000).cast("long").alias("lon6"),
+        )
+    )
+    return pts.groupBy("query_id").agg(
+        F.count("*").alias("n_docs"),
+        F.max("lat6").alias("top6"),
+        F.min("lat6").alias("bottom6"),
+        F.min("lon6").alias("left6"),
+        F.max("lon6").alias("right6"),
+    )
+
+
 def search_pinned(
     spark: SparkSession,
     index_dir: str,

@@ -137,6 +137,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_geotile",
         "engine_geohash",
         "engine_geo_centroid",
+        "engine_geo_bounds",
         "engine_div_sampler",
         "engine_freq_pairs",
         "engine_bm25_pinned",
