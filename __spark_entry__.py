@@ -368,6 +368,35 @@ def _engine_bm25_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_bm25_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse with inner hits (round 5, plans/query.py
+    search_collapse_inner): top-5 collapse groups per query, each
+    returning its top-3 member docs with within-group inner_rank — the
+    expandable one-result-per-site SERP shape. Must reproduce the
+    bm25_collapse_inner SQL exactly."""
+    from pageindex_spark import search_collapse_inner
+    from pageindex_spark.driverq import COLLAPSE_INNER_K, INNER_HITS_K
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.col("source").alias("ckey"),
+    )
+    top = search_collapse_inner(
+        spark, index_dir, BM25_QUERIES, dim,
+        k=COLLAPSE_INNER_K, inner_k=INNER_HITS_K, fixed_point=True,
+    )
+    return top.select(
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "ckey",
+        F.col("inner_rank").cast("bigint").alias("inner_rank"),
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_bm25_syn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time synonyms (round 5, plans/query.py search_synonyms): each
     token expands to itself + its SYNONYMS mapping via the shared lockstep
@@ -2370,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_freq_pairs"] = _engine_freq_pairs  # frequent term pairs
     q["engine_bm25_pinned"] = _engine_bm25_pinned  # ES pinned query
     q["engine_rank_eval"] = _engine_rank_eval  # _rank_eval P@k/MRR/NDCG
+    q["engine_bm25_collapse_inner"] = _engine_bm25_collapse_inner  # inner_hits
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_next_word"] = _engine_next_word  # completion from extracts
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
@@ -2488,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_freq_pairs"] = o["freq_pairs"]
     o["engine_bm25_pinned"] = o["bm25_pinned"]
     o["engine_rank_eval"] = o["rank_eval"]
+    o["engine_bm25_collapse_inner"] = o["bm25_collapse_inner"]
     o["engine_next_word"] = o["next_word_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]

@@ -14,6 +14,7 @@ from .plans.query import (  # noqa: F401
     rescore_phrase,
     search,
     search_collapse,
+    search_collapse_inner,
     search_function_score,
     search_fuzzy,
     search_prefix,

@@ -1377,6 +1377,56 @@ select query_id, rank, doc_id, ckey, score6 from ranked where rank <= {k}
 """
 
 
+# collapse.inner_hits shape: top COLLAPSE_INNER_K groups per query, top
+# INNER_HITS_K member docs per group.
+COLLAPSE_INNER_K = 5
+INNER_HITS_K = 3
+
+
+def _bm25_collapse_inner_sql(
+    d: _Dialect, k: int = COLLAPSE_INNER_K, m: int = INNER_HITS_K
+) -> str:
+    """Collapse-with-inner-hits twin (plans/query.py
+    ``search_collapse_inner``): the ES ``collapse.inner_hits`` SERP shape
+    — top-``k`` collapse groups per query, ranked by each group's best doc
+    under (score6 desc, doc_id asc), each group returning its top-``m``
+    member docs with within-group ``inner_rank``. inner_rank 1 is exactly
+    the row plain bm25_collapse returns."""
+    qlist = ", ".join(f"({qid}, '{t}')" for qid, t in BM25_QUERIES)
+    return f"""
+with queries(query_id, query_text) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
+qterms as (select distinct query_id, term from qtok),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+keyed as (
+  select s.query_id, s.doc_id, doc.source as ckey, s.score6
+  from scored s join documents doc on doc.doc_id = s.doc_id
+),
+inner_ranked as (
+  select query_id, doc_id, ckey, score6,
+         row_number() over (partition by query_id, ckey
+                            order by score6 desc, doc_id asc) as inner_rank
+  from keyed
+),
+granked as (
+  select query_id, ckey,
+         row_number() over (partition by query_id
+                            order by score6 desc, doc_id asc) as rank
+  from inner_ranked where inner_rank = 1
+)
+select i.query_id, cast(g.rank as bigint) as rank, i.ckey,
+       cast(i.inner_rank as bigint) as inner_rank, i.doc_id, i.score6
+from inner_ranked i
+join granked g on g.query_id = i.query_id and g.ckey = i.ckey
+where g.rank <= {k} and i.inner_rank <= {m}
+"""
+
+
 def _match_stats_sql(d: _Dialect) -> str:
     """Metric-aggregation twin (plans/hits.py ``match_stats``): stats +
     exact cardinality over the full OR match set's documents.n_chars —
@@ -4167,6 +4217,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # field collapsing (plans/query.py search_collapse): at most one doc
     # per documents.source ranks — each source's best doc, re-ranked 1..10.
     pairs["bm25_collapse"] = both(_bm25_collapse_sql)
+    # collapse.inner_hits (plans/query.py search_collapse_inner): top-k
+    # groups each returning their top-m member docs.
+    pairs["bm25_collapse_inner"] = both(_bm25_collapse_inner_sql)
     # query-time synonyms (plans/query.py search_synonyms): one-hop
     # expansion, each synonym scoring with its own idf (expand=true).
     pairs["bm25_syn"] = both(_bm25_syn_sql)

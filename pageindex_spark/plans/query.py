@@ -1420,6 +1420,99 @@ def search_collapse(
     )
 
 
+def search_collapse_inner(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    collapse_keys: DataFrame,
+    k: int = 5,
+    inner_k: int = 3,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Field collapsing WITH inner hits (Elasticsearch
+    ``collapse.inner_hits``): the top-``k`` collapse GROUPS per query —
+    groups ranked by their best doc under the engine order — each
+    returning its own top-``inner_k`` member docs -> (query_id, rank,
+    ckey, inner_rank, url, score). The "one result per site, expandable"
+    SERP shape: rank is the group's position, inner_rank 1..inner_k the
+    docs within it (inner_rank 1 IS the doc plain ``search_collapse``
+    would return).
+
+    Same exactness argument as ``search_collapse`` (a per-cell top-k could
+    hide a group's global best), so matching runs the exhaustive dense
+    kernel — O(matches) scored rows. Plan shape:
+
+    1. url + ckey join as in ``search_collapse`` (pruned extracts scan).
+    2. group ranking: the argmax-per-key struct max (ONE map-side-combined
+       shuffle), then the two-phase rank (per-(query, hash(ckey) mod 64)
+       top-k, global rank over <= queries x 64 x k survivors) — never a
+       global sort.
+    3. inner hits: row_number per (query_id, ckey) keeps each group's top
+       ``inner_k``; the surviving groups (<= queries x k rows after the
+       rank filter) BROADCAST-join onto them, so the only wide exchange
+       on the O(matches) side is the window's own (query, ckey) shuffle.
+
+    The group-rank lineage and the inner-hits window both read the kernel
+    output (the ``significant_terms`` re-run-over-persist convention).
+    ``fixed_point`` ranks groups AND members over floor(score*1e6) with
+    docID tie-break — the oracle-exact order."""
+    if k < 1 or inner_k < 1:
+        raise ValueError(f"k and inner_k must be >= 1, got k={k}, inner_k={inner_k}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    scored, parts = _search_impl(
+        se, queries, k, "dense", fixed_point, raw_scored=True
+    )
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "url"
+    )
+    if parts is not None and 2 * len(parts) < len(se.grid_parts):
+        ext = ext.filter(F.col("part_id").isin(sorted(parts)))
+    skey = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    keyed = (
+        scored.join(ext, ["part_id", "local_pos"])
+        .join(collapse_keys.select("url", "ckey"), "url")
+        .withColumn("skey", skey)
+    )
+    order = (F.desc("skey"), F.asc("doc_id"))
+    best = (
+        keyed.groupBy("query_id", "ckey")
+        .agg(
+            F.max(
+                F.struct(F.col("skey"), (-F.col("doc_id")).alias("ndoc"))
+            ).alias("b")
+        )
+        .select(
+            "query_id",
+            "ckey",
+            F.col("b.skey").alias("skey"),
+            (-F.col("b.ndoc")).cast("long").alias("doc_id"),
+        )
+    )
+    w_part = Window.partitionBy(
+        "query_id", F.pmod(F.hash("ckey"), F.lit(64))
+    ).orderBy(*order)
+    w_all = Window.partitionBy("query_id").orderBy(*order)
+    groups = (
+        best.withColumn("pr", F.row_number().over(w_part))
+        .filter(F.col("pr") <= k)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "ckey", "rank")
+    )
+    w_inner = Window.partitionBy("query_id", "ckey").orderBy(*order)
+    inner = keyed.withColumn("inner_rank", F.row_number().over(w_inner)).filter(
+        F.col("inner_rank") <= inner_k
+    )
+    return inner.join(F.broadcast(groups), ["query_id", "ckey"]).select(
+        "query_id", "rank", "ckey", "inner_rank", "url", "score"
+    )
+
+
 def search_function_score(
     spark: SparkSession,
     index_dir: str,

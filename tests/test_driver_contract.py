@@ -142,6 +142,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_freq_pairs",
         "engine_bm25_pinned",
         "engine_rank_eval",
+        "engine_bm25_collapse_inner",
         "engine_next_word",
         "engine_bm25_reindexed",
         "engine_sig_terms",
