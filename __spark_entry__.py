@@ -1426,6 +1426,21 @@ def _engine_rank_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank_eval(spark, index_dir, MSM_QUERIES, NDCG_DISC6, k=10)
 
 
+def _engine_phrase_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase suggester (round 5, plans/hits.py suggest_phrase): whole-
+    phrase did-you-mean — per-position 1-edit vocabulary candidates ranked
+    by the fixed-point Laplace bigram conditional over the committed
+    extracts, tombstone-masked. Must reproduce the phrase_suggest SQL
+    exactly."""
+    from pageindex_spark.driverq import PHRASE_SUGGEST_K, PHRASE_SUGGEST_QUERIES
+    from pageindex_spark.plans.hits import suggest_phrase
+
+    index_dir = _engine_index(spark, sf_dir)
+    return suggest_phrase(
+        spark, index_dir, PHRASE_SUGGEST_QUERIES, k=PHRASE_SUGGEST_K
+    )
+
+
 def _engine_next_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Completion suggester from committed artifacts (round 5,
     plans/hits.py suggest_next_word): top next-words per seed by bigram
@@ -2402,6 +2417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_collapse_inner"] = _engine_bm25_collapse_inner  # inner_hits
     q["engine_geohash"] = _engine_geohash  # base32 geohash cell buckets
     q["engine_next_word"] = _engine_next_word  # completion from extracts
+    q["engine_phrase_suggest"] = _engine_phrase_suggest  # phrase did-you-mean
     q["engine_bm25_reindexed"] = _engine_bm25_reindexed  # subset reindex
     q["engine_sig_terms"] = _engine_sig_terms  # significant terms
     q["engine_sig_terms_sampled"] = _engine_sig_terms_sampled  # sampler agg
@@ -2520,6 +2536,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_rank_eval"] = o["rank_eval"]
     o["engine_bm25_collapse_inner"] = o["bm25_collapse_inner"]
     o["engine_next_word"] = o["next_word_suggest"]
+    o["engine_phrase_suggest"] = o["phrase_suggest"]
     o["engine_bm25_reindexed"] = o["bm25_reindexed"]
     o["engine_sig_terms"] = o["sig_terms"]
     o["engine_sig_terms_sampled"] = o["sig_terms_sampled"]

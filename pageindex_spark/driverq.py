@@ -3964,6 +3964,85 @@ select seed, rank, next_term, cnt from ranked where rank <= {NEXT_WORD_K}
 """
 
 
+# Phrase-suggester probes: misspellings of vocabulary words. 'sow' is
+# 1 edit from BOTH 'slow' (delete l) and 'row' (substitute s), so queries
+# 1-2 rank multiple candidate phrases through the bigram LM rather than
+# returning a single trivial row; query 4's 'dup' is a valid word kept as
+# a distance-0 candidate; query 5's first token has NO candidate within
+# the edit budget, so it yields zero rows on both sides.
+PHRASE_SUGGEST_QUERIES = [
+    (1, "sow data"),
+    (2, "fasst sow"),
+    (3, "custmer ordr"),
+    (4, "dup lime"),
+    (5, "zzzzz batch"),
+]
+PHRASE_SUGGEST_K = 3
+
+
+def _suggest_phrase_sql(d: _Dialect, k: int = PHRASE_SUGGEST_K, max_edits: int = 1) -> str:
+    """Phrase-suggester twin (plans/hits.py ``suggest_phrase``): per-position
+    candidates are vocabulary terms within ``max_edits`` Levenshtein edits;
+    candidate phrases rank by the fixed-point Laplace bigram conditional
+    score6 = floor(1e6 * (bigram + 1) / (unigram(c1) + V)), ties
+    (total dist asc, c1 asc, c2 asc). The query tokens ship as two literal
+    columns (the engine tokenizes the same phrase text with the same
+    function driver-side)."""
+    from .functions.tokenizer import tokenize
+
+    qrows = []
+    for qid, text in PHRASE_SUGGEST_QUERIES:
+        ts = tokenize(text)
+        assert len(ts) == 2, (qid, ts)
+        qrows.append(f"({qid}, '{ts[0]}', '{ts[1]}')")
+    qlist = ", ".join(qrows)
+    if d.duck:
+        bg = """select a[i] as w1, a[i + 1] as w2
+  from toks, unnest(generate_series(1, len(a) - 1)) as u(i)
+  where len(a) >= 2"""
+    else:
+        bg = """select a[i] as w1, a[i + 1] as w2
+  from (select a, explode(sequence(0, size(a) - 2)) as i from toks
+        where size(a) >= 2)"""
+    return f"""
+with queries(query_id, t1, t2) as (values {qlist}),
+toks as (select {d.terms('text')} as a from documents),
+ug as (select w, cast(count(*) as bigint) as cnt
+       from (select {d.unnest('a')} as w from toks) o group by w),
+vsz as (select cast(count(*) as bigint) as v from ug),
+cand1 as (
+  select q.query_id, u.w as c1, cast(levenshtein(q.t1, u.w) as bigint) as d1, u.cnt as ug1
+  from queries q join ug u on levenshtein(q.t1, u.w) <= {max_edits}
+),
+cand2 as (
+  select q.query_id, u.w as c2, cast(levenshtein(q.t2, u.w) as bigint) as d2
+  from queries q join ug u on levenshtein(q.t2, u.w) <= {max_edits}
+),
+pairs as (
+  select c1.query_id, c1.c1, c1.ug1, c2.c2, c1.d1 + c2.d2 as dist
+  from cand1 c1 join cand2 c2 on c2.query_id = c1.query_id
+),
+bg as ({bg}),
+bgc as (select w1, w2, cast(count(*) as bigint) as bcnt from bg group by w1, w2),
+scored as (
+  select p.query_id, p.c1, p.c2, p.dist,
+         cast(floor(1000000.0 * (coalesce(b.bcnt, 0) + 1) / (p.ug1 + vsz.v)) as bigint) as score6
+  from pairs p
+  left join bgc b on b.w1 = p.c1 and b.w2 = p.c2
+  cross join vsz
+),
+ranked as (
+  select query_id, c1, c2, dist, score6,
+         row_number() over (partition by query_id
+                            order by score6 desc, dist asc, c1 asc, c2 asc) as rank
+  from scored
+)
+select query_id, cast(rank as bigint) as rank,
+       {d.concat("c1", "' '", "c2")} as suggestion, dist, score6
+from ranked where rank <= {k}
+"""
+
+
 # --- Parent-child queries (ES has_child / has_parent via the join type) -----
 HAS_CHILD_MIN_QTY = 45
 HAS_PARENT_PRIORITY = "1-URGENT"
@@ -4157,6 +4236,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # did-you-mean (plans/query.py suggest_spelling): absent tokens ->
     # 1-edit vocabulary corrections by (dist, df desc, term).
     pairs["spell_suggest"] = both(_suggest_spell_sql)
+    # phrase suggester (plans/hits.py suggest_phrase): whole-phrase
+    # did-you-mean via per-position edit candidates x Laplace bigram LM.
+    pairs["phrase_suggest"] = both(_suggest_phrase_sql)
     pairs["bm25_fuzzy"] = both(_bm25_fuzzy_sql)
     # fuzziness=2 (the ES AUTO tier for terms >= 6 chars): same rewrite,
     # wider dictionary expansion — query 5's far token still matches nothing.

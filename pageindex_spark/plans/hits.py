@@ -3033,3 +3033,151 @@ def rank_eval(
         ndcg6 = _math.floor(1000000.0 * dcg6 / idcg6) if idcg6 else 0
         rows.append((qid, n_rel, p10_6, recall6, mrr6, dcg6, ndcg6))
     return spark.createDataFrame(rows, out_ddl)
+
+
+def suggest_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    k: int = 3,
+    max_edits: int = 1,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Phrase suggester (Elasticsearch ``phrase`` suggester — whole-phrase
+    "did you mean") -> (query_id, rank, suggestion, dist, score6): for a
+    two-term input phrase, candidate corrections per position are the live
+    vocabulary terms within ``max_edits`` Levenshtein edits (the input
+    token itself included at distance 0 when it exists), and candidate
+    PHRASES rank by a Laplace-smoothed bigram language model over the
+    indexed corpus:
+
+        score6 = floor(1e6 * (bigram(c1, c2) + 1) / (unigram(c1) + V))
+
+    — the conditional P(c2 | c1) in fixed point (one division of two
+    exactly-representable int64s; deterministic across engines), ties by
+    (total edit distance asc, c1 asc, c2 asc). A position with no
+    candidate inside the edit budget yields no rows for that query (the
+    suggester cannot rescue an unfixable token).
+
+    Everything derives from COMMITTED artifacts with the LOCKED tokenizer
+    expression, tombstone-masked like ``suggest_next_word`` (a deleted doc
+    must stop feeding both the vocabulary and the counts): unigram counts,
+    vocabulary size V, and bigram counts all come from one extracts
+    tokenize pass. Scale shape: the candidate pass is a vocabulary-class
+    ``levenshtein`` scan joined BROADCAST to the tiny query relation (the
+    ``suggest_spelling`` plan); bigrams are semi-join-filtered to
+    candidate first-terms BEFORE the count groupBy, so non-candidate
+    bigrams never shuffle."""
+    from ..functions.sqlglue import SPARK_TERMS
+    from ..functions.tokenizer import tokenize
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rows = []
+    for qid, text in queries:
+        ts = tokenize(text)
+        if len(ts) != 2:
+            raise ValueError(
+                f"phrase suggester takes two-term phrases; query {qid} "
+                f"tokenized to {ts!r}"
+            )
+        rows.append((qid, ts[0], ts[1]))
+    se = get_searcher(spark, index_dir, cell_parts)
+    qdf = spark.createDataFrame(rows, "query_id int, t1 string, t2 string")
+    ext = spark.read.parquet(se.paths.docs_extracted).select(
+        F.col("part_id").cast("int").alias("part_id"), "local_pos", "text"
+    )
+    if se.deleted_ids is not None and len(se.deleted_ids):
+        starts = spark.createDataFrame(
+            [(int(p), int(s)) for p, s in enumerate(se.grid_parts)],
+            "part_id int, start long",
+        )
+        dels = spark.createDataFrame(
+            [(int(x),) for x in se.deleted_ids], "doc_id long"
+        )
+        ext = (
+            ext.join(F.broadcast(starts), "part_id")
+            .withColumn("doc_id", F.col("start") + F.col("local_pos"))
+            .join(F.broadcast(dels), "doc_id", "left_anti")
+        )
+    toks = ext.select(F.expr(SPARK_TERMS.format(col="text")).alias("a"))
+    ug = (
+        toks.select(F.explode("a").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    vsz = ug.agg(F.count("*").alias("v"))
+    cand1 = ug.join(
+        F.broadcast(qdf.select("query_id", "t1")),
+        F.levenshtein(F.col("w"), F.col("t1")) <= max_edits,
+    ).select(
+        "query_id",
+        F.col("w").alias("c1"),
+        F.levenshtein(F.col("w"), F.col("t1")).alias("d1"),
+        F.col("cnt").alias("ug1"),
+    )
+    cand2 = ug.join(
+        F.broadcast(qdf.select("query_id", "t2")),
+        F.levenshtein(F.col("w"), F.col("t2")) <= max_edits,
+    ).select(
+        "query_id",
+        F.col("w").alias("c2"),
+        F.levenshtein(F.col("w"), F.col("t2")).alias("d2"),
+    )
+    pairs = cand1.join(cand2, "query_id")
+    bg = (
+        toks.filter(F.size("a") >= 2)
+        .select(F.expr("explode(sequence(0, size(a) - 2))").alias("i"), "a")
+        .select(F.expr("a[i]").alias("w1"), F.expr("a[i + 1]").alias("w2"))
+    )
+    bgc = (
+        bg.join(
+            F.broadcast(pairs.select(F.col("c1").alias("w1")).distinct()),
+            "w1",
+            "leftsemi",
+        )
+        .join(
+            F.broadcast(pairs.select(F.col("c2").alias("w2")).distinct()),
+            "w2",
+            "leftsemi",
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("bcnt"))
+    )
+    scored = (
+        pairs.join(
+            bgc,
+            (pairs.c1 == bgc.w1) & (pairs.c2 == bgc.w2),
+            "left",
+        )
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            "query_id",
+            "c1",
+            "c2",
+            (F.col("d1") + F.col("d2")).cast("long").alias("dist"),
+            F.floor(
+                F.lit(1000000.0)
+                * (F.coalesce(F.col("bcnt"), F.lit(0)) + F.lit(1))
+                / (F.col("ug1") + F.col("v"))
+            )
+            .cast("long")
+            .alias("score6"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score6"), F.asc("dist"), F.asc("c1"), F.asc("c2")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.concat_ws(" ", "c1", "c2").alias("suggestion"),
+            "dist",
+            "score6",
+        )
+    )

@@ -144,6 +144,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_rank_eval",
         "engine_bm25_collapse_inner",
         "engine_next_word",
+        "engine_phrase_suggest",
         "engine_bm25_reindexed",
         "engine_sig_terms",
         "engine_sig_terms_sampled",
