@@ -1496,6 +1496,21 @@ def _engine_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_var_width_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-width histogram (round 5, plans/hits.py
+    variable_width_histogram): deterministic largest-gap natural-breaks
+    clustering of the match set's n_chars into 4 buckets. Must reproduce
+    the var_width_histo SQL exactly."""
+    from pageindex_spark.driverq import VWH_BUCKETS
+    from pageindex_spark.plans.hits import variable_width_histogram
+
+    index_dir = _engine_index(spark, sf_dir)
+    return variable_width_histogram(
+        spark, index_dir, BM25_QUERIES, _n_chars_dim(spark, sf_dir),
+        n_buckets=VWH_BUCKETS,
+    )
+
+
 def _engine_match_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation (round 5, plans/hits.py match_mad): exact
     disc-median of |n_chars - median| over the match set. Must reproduce
@@ -2424,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_bm25_fnscore"] = _engine_bm25_fnscore  # function_score
     q["engine_facet_stats"] = _engine_facet_stats  # stats per bucket
     q["engine_match_pcts"] = _engine_match_pcts  # exact percentiles
+    q["engine_var_width_histo"] = _engine_var_width_histo  # natural breaks
     q["engine_boxplot"] = _engine_boxplot  # quartiles + Tukey whiskers
     q["engine_match_mad"] = _engine_match_mad  # median absolute deviation
     q["engine_t_test"] = _engine_t_test  # Welch two-sample t
@@ -2543,6 +2559,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_bm25_fnscore"] = o["fn_score"]
     o["engine_facet_stats"] = o["facet_stats"]
     o["engine_match_pcts"] = o["match_pcts"]
+    o["engine_var_width_histo"] = o["var_width_histo"]
     o["engine_boxplot"] = o["boxplot"]
     o["engine_match_mad"] = o["match_mad"]
     o["engine_t_test"] = o["t_test"]

@@ -970,6 +970,52 @@ matched as (select distinct q.query_id, o.doc_id from qterms q join occ o on o.t
 """
 
 
+# variable_width_histogram bucket count (largest-gap natural breaks).
+VWH_BUCKETS = 4
+
+
+def _var_width_histo_sql(d: _Dialect, nb: int = VWH_BUCKETS) -> str:
+    """Variable-width-histogram twin (plans/hits.py
+    ``variable_width_histogram``): deterministic largest-gap natural
+    breaks over the matched docs' n_chars — split the sorted distinct
+    values at the nb-1 widest gaps (gap desc, boundary value asc ties),
+    cluster id = 1 + boundaries at-or-below the value, then per-cluster
+    count/min/max/mean6 ((sum*1e6)/count floored, one exact division)."""
+    return f"""{_matched_cte(d)}
+, vals as (
+  select m.query_id, cast(doc.n_chars as bigint) as val
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+dv as (select distinct query_id, val from vals),
+gaps as (
+  select query_id, val,
+         val - lag(val) over (partition by query_id order by val asc) as gap
+  from dv
+),
+bset as (
+  select query_id, val from (
+    select query_id, val,
+           row_number() over (partition by query_id
+                              order by gap desc, val asc) as grank
+    from gaps where gap is not null
+  ) g where grank <= {nb - 1}
+),
+cids as (
+  select v.query_id, v.val,
+         1 + sum(case when b.val is not null then 1 else 0 end)
+             over (partition by v.query_id order by v.val asc
+                   rows between unbounded preceding and current row) as cluster
+  from dv v left join bset b on b.query_id = v.query_id and b.val = v.val
+)
+select v.query_id, cast(c.cluster as bigint) as cluster,
+       cast(count(*) as bigint) as n_docs,
+       min(v.val) as vmin, max(v.val) as vmax,
+       cast(floor(cast(sum(v.val) * 1000000 as double) / cast(count(*) as double)) as bigint) as mean6
+from vals v join cids c on c.query_id = v.query_id and c.val = v.val
+group by v.query_id, c.cluster
+"""
+
+
 def _hits_count_sql(d: _Dialect) -> str:
     """Total-hit-count twin (plans/hits.py ``search_count``)."""
     return f"""{_matched_cte(d)}
@@ -4445,6 +4491,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # boxplot (plans/hits.py match_boxplot): quartiles + Tukey whiskers,
     # exact where ES runs t-digest.
     pairs["boxplot"] = both(_boxplot_sql)
+    # variable_width_histogram (plans/hits.py variable_width_histogram):
+    # deterministic largest-gap natural-breaks clustering.
+    pairs["var_width_histo"] = both(_var_width_histo_sql)
     # median absolute deviation (plans/hits.py match_mad): two disc
     # selections, one match-kernel lineage.
     pairs["match_mad"] = both(_mad_sql)

@@ -3181,3 +3181,81 @@ def suggest_phrase(
             "score6",
         )
     )
+
+
+def variable_width_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    values: DataFrame,
+    n_buckets: int = 4,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """Variable-width histogram (Elasticsearch ``variable_width_histogram``,
+    but DETERMINISTIC where ES runs an order-dependent streaming
+    clusterer) -> (query_id, cluster, n_docs, vmin, vmax, mean6): cluster
+    the matched docs' value into at most ``n_buckets`` buckets by
+    LARGEST-GAP natural breaks — sort the distinct values, split at the
+    ``n_buckets - 1`` widest gaps (ties: wider gap first, then lower
+    boundary value), clusters are the contiguous runs between splits.
+    Exact and order-independent, so the engine and the SQL twin agree
+    bit-for-bit; fewer distinct values than buckets simply yield fewer
+    clusters on both sides.
+
+    Scale shape: the O(matches) value rows reduce through ONE map-side-
+    combined groupBy; every window (gap lag, gap ranking, boundary
+    cumsum) runs on the DISTINCT-value relation — facet-cardinality
+    class, never match class. mean6 floors (sum*1e6)/count, a single
+    division of exactly-representable integers."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    ddl = (
+        "query_id int, cluster long, n_docs long, vmin long, vmax long, "
+        "mean6 long"
+    )
+    if state is None:
+        return spark.createDataFrame([], ddl)
+    vals = (
+        _matched_urls(spark, se, state)
+        .join(values.select("url", "val"), "url")
+        .select("query_id", F.col("val").cast("long").alias("val"))
+    )
+    dv = vals.distinct()
+    w_ord = Window.partitionBy("query_id").orderBy(F.asc("val"))
+    gaps = dv.withColumn("gap", F.col("val") - F.lag("val").over(w_ord))
+    w_gap = Window.partitionBy("query_id").orderBy(
+        F.desc("gap"), F.asc("val")
+    )
+    bset = (
+        gaps.filter(F.col("gap").isNotNull())
+        .withColumn("grank", F.row_number().over(w_gap))
+        .filter(F.col("grank") <= n_buckets - 1)
+        .select("query_id", "val", F.lit(1).alias("is_b"))
+    )
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cids = (
+        dv.join(bset, ["query_id", "val"], "left")
+        .withColumn("b", F.coalesce(F.col("is_b"), F.lit(0)))
+        .withColumn("cluster", (F.sum("b").over(w_run) + 1).cast("long"))
+        .select("query_id", "val", "cluster")
+    )
+    n = F.count("*")
+    return (
+        vals.join(cids, ["query_id", "val"])
+        .groupBy("query_id", "cluster")
+        .agg(
+            n.alias("n_docs"),
+            F.min("val").alias("vmin"),
+            F.max("val").alias("vmax"),
+            F.floor(
+                (F.sum("val") * F.lit(1000000)).cast("double")
+                / n.cast("double")
+            )
+            .cast("long")
+            .alias("mean6"),
+        )
+    )

@@ -152,6 +152,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_facet_stats",
         "engine_match_pcts",
         "engine_boxplot",
+        "engine_var_width_histo",
         "engine_match_mad",
         "engine_t_test",
         "engine_top_hits",
