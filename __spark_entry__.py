@@ -1054,6 +1054,47 @@ def _engine_span_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_span_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-not search (round 5, plans/query.py search_span_not): docs
+    with an include-term occurrence carrying no exclude occurrence inside
+    the +-SPAN_NOT_W window, BM25-ranked over the include term. Probes
+    exclude each planted bigram's other half, so the filter genuinely
+    reshuffles rankings. Must reproduce the span_not SQL exactly."""
+    from pageindex_spark.driverq import SPAN_NOT_QUERIES, SPAN_NOT_W
+    from pageindex_spark.plans.query import search_span_not
+
+    index_dir = _engine_index(spark, sf_dir)
+    spans = [(qid, a, b, SPAN_NOT_W) for qid, a, b in SPAN_NOT_QUERIES]
+    top = search_span_not(spark, index_dir, spans, k=10, fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
+def _engine_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intervals search (round 5, plans/query.py search_intervals): the
+    3-term ordered chains with a shared max_gaps budget, BM25-ranked over
+    the chain terms. Must reproduce the intervals SQL exactly."""
+    from pageindex_spark.driverq import INTERVALS_MAX_GAPS, INTERVALS_QUERIES
+    from pageindex_spark.plans.query import search_intervals
+
+    index_dir = _engine_index(spark, sf_dir)
+    chains = [
+        (qid, f"{a} {b} {c}", INTERVALS_MAX_GAPS)
+        for qid, a, b, c in INTERVALS_QUERIES
+    ]
+    top = search_intervals(spark, index_dir, chains, k=10, fixed_point=True)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1_000_000).cast("bigint").alias("score6"),
+    )
+
+
 def _engine_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-terms aggregation (round 5, plans/hits.py multi_terms): the
     match set bucketed by the compound (lang, source) key. Must reproduce
@@ -2414,6 +2455,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_percolate"] = _engine_percolate  # reverse search (batch plan)
     q["engine_percolate_stateless"] = _engine_percolate_stateless
     q["engine_span_first"] = _engine_span_first  # term in the lede
+    q["engine_span_not"] = _engine_span_not  # positional exclusion window
+    q["engine_intervals"] = _engine_intervals  # ordered chain, shared gaps
     q["engine_multi_terms"] = _engine_multi_terms  # compound-key buckets
     q["engine_top_metrics"] = _engine_top_metrics  # metrics of top-sorted
     q["engine_multi_match"] = _engine_multi_match  # best_fields title^2+body
@@ -2533,6 +2576,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_percolate"] = o["percolate"]
     o["engine_percolate_stateless"] = o["percolate"]
     o["engine_span_first"] = o["span_first"]
+    o["engine_span_not"] = o["span_not"]
+    o["engine_intervals"] = o["intervals"]
     o["engine_multi_terms"] = o["multi_terms"]
     o["engine_top_metrics"] = o["top_metrics"]
     o["engine_bm25_fuzzy2"] = o["bm25_fuzzy2"]

@@ -70,13 +70,25 @@ def _canary_ms() -> float:
     """One fixed numpy op; measures the sandbox's CURRENT effective CPU
     speed. This Firecracker microVM has burst/credit CPU throttling — the
     same op was observed at 12ms (full speed) and 4900ms (throttled), a
-    400x swing — so every timed region must be gated and annotated."""
+    400x swing — so every timed region must be gated and annotated.
+
+    Min-of-3 BACK-TO-BACK samples (r5s4 fix): the FIRST sample after any
+    idle period reads 100-370 ms on a full-speed box (frequency scaling /
+    scheduler cold start — measured: post-5s-sleep pairs (365.7, 49.3),
+    (32.4, 28.0) while fresh back-to-back runs read 8-13 ms), and
+    _wait_for_cpu sleeps between polls, so single-sample canaries were
+    cold-biased ~10x and gates timed out on a healthy machine. Genuine
+    credit throttling is SUSTAINED — it slows all three samples — so the
+    min removes the cold bias without letting a throttled box pass."""
     import numpy as np
 
     x = np.arange(2_000_000, dtype=np.float64)
-    t0 = time.time()
-    float((x / (x + 1.7)).sum())
-    return (time.time() - t0) * 1000
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        float((x / (x + 1.7)).sum())
+        best = min(best, (time.time() - t0) * 1000)
+    return best
 
 
 def _wait_for_cpu(threshold_ms: float = 100.0, timeout_s: float = 600.0) -> float:
@@ -265,9 +277,19 @@ def _run_scaling(out: dict) -> None:
     # started gated, the min is taken over gated repeats only.
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "1"))
     bench_dir = ensure_scale(scale_name)
+    # Scan-split sizing (r5s3 flatline fix): the extract stage's MAP side
+    # (source scan + range-shuffle write) parallelizes only as far as the
+    # input SPLITS, and the sandbox corpus is one/few parquet files — at
+    # the default 128 MB maxPartitionBytes every cell scanned 2-6-way and
+    # the walls flatlined across 2/8/32 cores while the task bodies
+    # themselves scale at 0.82-0.95 (probe artifacts). 8 MB makes splits
+    # track cores on the ~150 MB corpus; a real cluster gets this for free
+    # from its thousands-of-files input layout.
+    max_part = os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "8m")
     scaling = {}
     for cores in cells:
         spark = _fresh_session(cores)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", max_part)
         mid = spark.read.parquet(
             os.path.join(bench_dir, "documents.parquet")
         ).select("url", "text")
@@ -300,6 +322,19 @@ def _run_scaling(out: dict) -> None:
                     # before-only check recorded two mid-run-throttled builds
                     # as gated and produced a false valid_2_to_8 artifact.
                     "gated": canary < 60.0 and after < 4 * canary + 100,
+                    # ADDITIVE diagnostic, does NOT relax `gated`: did the
+                    # box's speed hold steady across the run (after-canary
+                    # within noise of before)? On the burst-credit host,
+                    # steady+ungated never happens (loaded runs crash the
+                    # canary to seconds). The end-r5 session's rebooted host
+                    # shows a DIFFERENT regime: constant ~90-130 ms canary,
+                    # no crash under 32-core load, instant recovery (probe
+                    # in BENCH.md) — i.e. a uniformly ~8x-slower machine,
+                    # not a throttled one. There the N->4N RATIO stays
+                    # valid (a constant per-core factor cancels), which
+                    # `steady` on both cells evidences while `gated`
+                    # honestly stays false.
+                    "steady": after < 1.5 * canary + 50,
                 }
             )
         gated_tries = [t for t in tries if t["gated"]] or tries
@@ -311,6 +346,7 @@ def _run_scaling(out: dict) -> None:
             "cpu_canary_ms": best["cpu_canary_ms"],
             "cpu_canary_after_ms": best["cpu_canary_after_ms"],
             "gated": best["gated"],
+            "steady": best["steady"],
             "repeats": tries,
         }
     # Ratios are guarded per cell pair (ADVICE r4 low: SPARK_GRAFT_SCALE_CELLS
@@ -325,6 +361,12 @@ def _run_scaling(out: dict) -> None:
         # at ~0.67 before Spark runs — see module docstring).
         scaling["valid_2_to_8"] = bool(
             scaling["local2"]["gated"] and scaling["local8"]["gated"]
+        )
+        # Steady-host companion verdict (see the `steady` field note): on a
+        # constant-speed machine the ratio is trustworthy even though the
+        # absolute walls carry the machine's uniform slowdown.
+        scaling["steady_2_to_8"] = bool(
+            scaling["local2"]["steady"] and scaling["local8"]["steady"]
         )
     if 8 in cells and 32 in cells:
         scaling["efficiency_8_to_32"] = round(

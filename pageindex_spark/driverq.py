@@ -2233,6 +2233,260 @@ select query_id, rank, doc_id, score6 from ranked where rank <= {k}
 """
 
 
+# span_not probes: include/exclude pairs drawn from the PLANTED bigrams
+# ("data spark", "merge sort", ...) with a +-SPAN_NOT_W window — docs
+# carrying the planted collocation have the exclude term adjacent to the
+# include term, so the span test genuinely reshuffles each ranking vs the
+# unconstrained single-term query.
+SPAN_NOT_W = 2
+SPAN_NOT_QUERIES = [
+    (1, "data", "spark"),
+    (2, "merge", "sort"),
+    (3, "fast", "slow"),
+    (4, "join", "filter"),
+    (5, "stream", "batch"),
+]
+
+
+def _span_not_sql(d: _Dialect, k: int = 10, w: int = SPAN_NOT_W) -> str:
+    """Span-not twin (plans/query.py ``search_span_not``): docs with an
+    include-term occurrence whose +-``w`` token window contains NO exclude
+    occurrence, ranked by the include term's BM25 (the span test filters,
+    never boosts — the span_first convention)."""
+    qlist = ", ".join(f"({qid}, '{a}', '{b}')" for qid, a, b in SPAN_NOT_QUERIES)
+    if d.duck:
+        pred = (
+            "len(list_filter(generate_series(1, len(t.terms)), "
+            "i -> t.terms[i] = q.a and "
+            f"len(list_filter(generate_series(greatest(1, i - {w}), "
+            f"least(i + {w}, len(t.terms))), "
+            "j -> t.terms[j] = q.b)) = 0)) > 0"
+        )
+    else:
+        pred = (
+            "exists(sequence(0, size(t.terms) - 1), "
+            "i -> t.terms[i] = q.a and not "
+            f"exists(sequence(greatest(0, i - {w}), "
+            f"least(i + {w}, size(t.terms) - 1)), "
+            "j -> t.terms[j] = q.b))"
+        )
+    return f"""
+with spanq(query_id, a, b) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qterms as (select query_id, a as term from spanq),
+{_BM25_CONTRIB_CTE},
+matched as (
+  select q.query_id, t.doc_id
+  from spanq q join toks t on {pred}
+),
+scored as (
+  select m.query_id, m.doc_id, cast(floor(sum(c.w) * 1000000) as bigint) as score6
+  from matched m join contrib c on c.query_id = m.query_id and c.doc_id = m.doc_id
+  group by m.query_id, m.doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+# intervals probes: 3-term ordered chains over the common vocab with a
+# SHARED max_gaps budget — t1 then t2 then t3 in order, total positions
+# skipped between the matched occurrences <= INTERVALS_MAX_GAPS (the ES
+# `intervals` match rule with ordered:true). Distinct from bm25_near's
+# per-pair slop: the budget telescopes across the whole chain, so the
+# constraint is p3 - p1 - 2 <= G with strictly increasing matches. All
+# five chains verified non-vacuous and non-total at sf0.01 (10-19 chain
+# matches vs 260-283 docs containing all three terms).
+INTERVALS_MAX_GAPS = 4
+INTERVALS_QUERIES = [
+    (1, "data", "spark", "join"),
+    (2, "merge", "sort", "row"),
+    (3, "join", "filter", "scan"),
+    (4, "stream", "batch", "hash"),
+    (5, "fast", "slow", "column"),
+]
+
+
+def _intervals_sql(d: _Dialect, k: int = 10, g: int = INTERVALS_MAX_GAPS) -> str:
+    """Intervals twin (plans/query.py ``search_intervals``): docs where the
+    three terms appear as an ORDERED chain spending at most ``g`` total gap
+    positions across the whole chain, BM25-ranked over the chain's terms
+    (the conjunctive-candidates scoring — a chain match implies all three
+    terms present). The intermediate window for term r is bounded by
+    p_1 + r + g (later gaps are >= 0, so any match must keep every prefix
+    within the budget) — existential nesting, no greedy/DP subtlety."""
+    qlist = ", ".join(
+        f"({qid}, '{a}', '{b}', '{c}')" for qid, a, b, c in INTERVALS_QUERIES
+    )
+    if d.duck:
+        pred = (
+            "len(list_filter(generate_series(1, len(t.terms)), "
+            "i -> t.terms[i] = q.t1 and "
+            f"len(list_filter(generate_series(i + 1, least(i + 1 + {g}, len(t.terms))), "
+            "j -> t.terms[j] = q.t2 and "
+            f"len(list_filter(generate_series(j + 1, least(i + 2 + {g}, len(t.terms))), "
+            "l -> t.terms[l] = q.t3)) > 0)) > 0)) > 0"
+        )
+    else:
+        pred = (
+            "case when size(t.terms) >= 3 then "
+            "exists(sequence(0, size(t.terms) - 1), i -> t.terms[i] = q.t1 and "
+            f"(case when i + 1 <= least(i + 1 + {g}, size(t.terms) - 1) then "
+            f"exists(sequence(i + 1, least(i + 1 + {g}, size(t.terms) - 1)), "
+            "j -> t.terms[j] = q.t2 and "
+            f"(case when j + 1 <= least(i + 2 + {g}, size(t.terms) - 1) then "
+            f"exists(sequence(j + 1, least(i + 2 + {g}, size(t.terms) - 1)), "
+            "l -> t.terms[l] = q.t3) else false end)) else false end)) "
+            "else false end"
+        )
+    return f"""
+with chains(query_id, t1, t2, t3) as (values {qlist}),
+{_bm25_corpus_cte(d)},
+qterms as (
+  select distinct query_id, t1 as term from chains
+  union select distinct query_id, t2 from chains
+  union select distinct query_id, t3 from chains
+),
+{_BM25_CONTRIB_CTE},
+matched as (
+  select q.query_id, t.doc_id
+  from chains q join toks t on {pred}
+),
+scored as (
+  select m.query_id, m.doc_id, cast(floor(sum(c.w) * 1000000) as bigint) as score6
+  from matched m join contrib c on c.query_id = m.query_id and c.doc_id = m.doc_id
+  group by m.query_id, m.doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
+GOPHER_TOP = 50
+
+
+def _gopher_repetition_sql(d: _Dialect, top: int = GOPHER_TOP) -> str:
+    """Gopher-style repetition signals (Rae et al. 2021 quality filters):
+    per-doc duplicate 2-gram and 3-gram fractions — the fraction of token
+    n-gram slots occupied by a repeated n-gram — for the training-data
+    "remove degenerately repetitive documents" filter. Top ``top`` docs by
+    (dup2 desc, doc_id asc); fixed-point 1e6 bigints. Docs with no bigram
+    (fewer than 2 tokens) are excluded — the filter has no signal there."""
+    if d.duck:
+        big = "list_transform(generate_series(1, len(terms) - 1), i -> terms[i] || ' ' || terms[i+1])"
+        dis = "len(list_distinct({a}))"
+    else:
+        big = (
+            "case when size(terms) >= 2 then "
+            "transform(sequence(0, size(terms) - 2), "
+            "i -> concat(terms[i], ' ', terms[i+1])) else array() end"
+        )
+        dis = "size(array_distinct({a}))"
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+sh as (select doc_id, {big} as g2, {d.shingles('terms')} as g3 from toks),
+m as (
+  select doc_id,
+         cast({d.size('g2')} as bigint) as n2, cast({dis.format(a='g2')} as bigint) as d2,
+         cast({d.size('g3')} as bigint) as n3, cast({dis.format(a='g3')} as bigint) as d3
+  from sh where {d.size('g2')} > 0
+),
+scored as (
+  select doc_id, n2 as n_bigrams,
+         cast(floor((1.0 - cast(d2 as double) / n2) * 1000000) as bigint) as dup2_6,
+         case when n3 > 0
+              then cast(floor((1.0 - cast(d3 as double) / n3) * 1000000) as bigint)
+              else cast(0 as bigint) end as dup3_6
+  from m
+),
+ranked as (
+  select doc_id, n_bigrams, dup2_6, dup3_6,
+         row_number() over (order by dup2_6 desc, doc_id asc) as rank
+  from scored
+)
+select rank, doc_id, n_bigrams, dup2_6, dup3_6 from ranked where rank <= {top}
+"""
+
+
+# filters-agg buckets: NAMED query-defined buckets (ES `filters` agg), not
+# field-value buckets (that's facet_counts) — a doc lands in EVERY bucket
+# whose term it contains, plus the ES other_bucket for docs matching none.
+FILTERS_AGG_BUCKETS = [
+    ("spark_docs", "spark"),
+    ("merge_docs", "merge"),
+    ("batch_docs", "batch"),
+]
+
+
+def _filters_agg_sql(d: _Dialect) -> str:
+    """Filters-agg twin: per named term-filter bucket, the doc count and
+    mean token length (fixed-point 1e6) of its members; multi-membership
+    (ES filters semantics), '_other_' collects docs matching no bucket."""
+    blist = ", ".join(f"('{name}', '{t}')" for name, t in FILTERS_AGG_BUCKETS)
+    return f"""
+with buckets(bucket, term) as (values {blist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+hit as (
+  select b.bucket, t.doc_id, cast({d.size('t.terms')} as bigint) as doc_len
+  from buckets b join toks t on {d.arr_contains('t.terms', 'b.term')}
+),
+other as (
+  select '_other_' as bucket, t.doc_id, cast({d.size('t.terms')} as bigint) as doc_len
+  from toks t
+  where not exists (
+    select 1 from buckets b where {d.arr_contains('t.terms', 'b.term')}
+  )
+),
+allb as (select * from hit union all select * from other)
+select bucket, cast(count(*) as bigint) as doc_count,
+       cast(floor(avg(cast(doc_len as double)) * 1000000) as bigint) as avg_len6
+from allb group by bucket
+"""
+
+
+# terms-lookup query: the term set is FETCHED from another document at
+# query time (ES terms-lookup: index/id/path) — here the alphabetically
+# first TERMS_LOOKUP_K distinct terms of doc TERMS_LOOKUP_DOC, then a
+# disjunctive BM25 over that fetched set.
+TERMS_LOOKUP_DOC = 7
+TERMS_LOOKUP_K = 5
+
+
+def _terms_lookup_sql(d: _Dialect, k: int = 10) -> str:
+    """Terms-lookup twin: load the lookup doc's first ``TERMS_LOOKUP_K``
+    distinct terms (alphabetical — deterministic without positions), score
+    every doc containing any of them by summed BM25, top-``k``. The seed
+    doc itself is NOT excluded (ES doesn't either)."""
+    return f"""
+with {_bm25_corpus_cte(d)},
+lookup as (
+  select term from (
+    select distinct term from occ where doc_id = {TERMS_LOOKUP_DOC}
+  ) t order by term limit {TERMS_LOOKUP_K}
+),
+qterms as (select 1 as query_id, term from lookup),
+{_BM25_CONTRIB_CTE},
+scored as (
+  select query_id, doc_id, cast(floor(sum(w) * 1000000) as bigint) as score6
+  from contrib group by query_id, doc_id
+),
+ranked as (
+  select query_id, doc_id, score6,
+         row_number() over (partition by query_id order by score6 desc, doc_id asc) as rank
+  from scored
+)
+select query_id, rank, doc_id, score6 from ranked where rank <= {k}
+"""
+
+
 def _multi_terms_sql(d: _Dialect) -> str:
     """Multi-terms twin (plans/hits.py ``multi_terms``): the match set
     bucketed by the COMPOUND (lang, source) key with doc counts."""
@@ -4428,6 +4682,18 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # span_first (plans/query.py search_span_first): term within the first
     # N token positions, BM25-ranked — Lucene SpanFirstQuery.
     pairs["span_first"] = both(_span_first_sql)
+    # span_not (plans/query.py search_span_not): include-term occurrence
+    # with no exclude occurrence inside the +-w window.
+    pairs["span_not"] = both(_span_not_sql)
+    # intervals (plans/query.py search_intervals): 3-term ordered chain
+    # with a shared max_gaps budget — ES intervals, ordered:true.
+    pairs["intervals"] = both(_intervals_sql)
+    # Gopher repetition filters: per-doc duplicate 2-/3-gram fractions.
+    pairs["gopher_repetition"] = both(_gopher_repetition_sql)
+    # ES filters agg: named query-defined buckets + other_bucket.
+    pairs["filters_agg"] = both(_filters_agg_sql)
+    # ES terms-lookup: term set fetched from another doc at query time.
+    pairs["terms_lookup"] = both(_terms_lookup_sql)
     # multi_terms (plans/hits.py multi_terms): compound-key (lang, source)
     # buckets over the match set — ES multi_terms aggregation.
     pairs["multi_terms"] = both(_multi_terms_sql)

@@ -662,6 +662,180 @@ def search_span_first(
     )
 
 
+def search_span_not(
+    spark: SparkSession,
+    index_dir: str,
+    spans: list[tuple[int, str, str, int]],
+    k: int = 10,
+    cand_cap: int = 1000,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Span-not search (Lucene ``SpanNotQuery`` / ES ``span_not``): docs
+    where the INCLUDE term occurs at least once with NO occurrence of the
+    EXCLUDE term within ``w`` token positions — "data, but not the 'data
+    spark' collocation" -> (query_id, rank, url, score). ``spans`` rows
+    are (query_id, include_text, exclude_text, w); both texts must
+    tokenize to exactly ONE term each (multi-term spans compose through
+    ``search_phrase``'s machinery, the ``search_span_first`` convention).
+    Ranked by BM25 over the include term — the span test is a FILTER, not
+    a boost (scores comparable with the unconstrained query; the same
+    deliberate deviation from Lucene's surviving-span sloppy-freq that
+    ``span_first`` documents).
+
+    Plan: stage 1 pulls candidates containing the include term through the
+    standard pruned-postings search (``cand_cap`` exactness bound, the
+    ``search_phrase`` contract); stage 2 is a codegen'd positional verify
+    over the candidates' text — EXISTS over include positions whose
+    +-``w`` token window contains no exclude occurrence (nested
+    higher-order ``exists``, no Python). The bag-of-words index stores no
+    positions, so position tests verify against text — the positions
+    sidecar (plans/positions.py) is the committed-artifact scale-up.
+    Exclusion contract (tombstones, deletes, '-term') applies pre-heap in
+    stage 1 as always."""
+    from ..functions.sqlglue import spark_terms
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    qinfo: dict[int, tuple[str, str, int]] = {}
+    for qid, inc_text, exc_text, w in spans:
+        inc, exc = tokenize(inc_text), tokenize(exc_text)
+        if len(inc) != 1 or len(exc) != 1:
+            raise ValueError(
+                f"query {qid}: span_not wraps exactly one include and one "
+                f"exclude term, got {inc!r} / {exc!r}"
+            )
+        if w < 1:
+            raise ValueError(f"query {qid}: w must be >= 1, got {w}")
+        if inc[0] == exc[0]:
+            raise ValueError(
+                f"query {qid}: include and exclude terms must differ"
+            )
+        qinfo[qid] = (inc[0], exc[0], w)
+    cand = se.search(
+        [(qid, a) for qid, (a, _b, _w) in qinfo.items()],
+        k=cand_cap,
+        mode="conjunctive",
+        fixed_point=fixed_point,
+        with_text=True,
+    )
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, (a, b, w) in qinfo.items():
+        pred = (
+            f"exists(sequence(0, size(tk) - 1), i -> tk[i] = '{a}' and not "
+            f"exists(sequence(greatest(0, i - {w}), "
+            f"least(i + {w}, size(tk) - 1)), j -> tk[j] = '{b}'))"
+        )
+        cond = F.when(F.col("query_id") == qid, F.expr(pred)).otherwise(cond)
+    matched = cand.withColumn("tk", toks).filter(cond).drop("tk", "rank")
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(order_key), F.asc("url")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score")
+    )
+
+
+def search_intervals(
+    spark: SparkSession,
+    index_dir: str,
+    chains: list[tuple[int, str, int]],
+    k: int = 10,
+    cand_cap: int = 1000,
+    cell_parts: int = 4,
+    fixed_point: bool = False,
+) -> DataFrame:
+    """Intervals search (ES ``intervals`` query, ``match`` rule with
+    ``ordered: true`` and ``max_gaps``): docs where the query's terms
+    appear as an ORDERED chain p_1 < ... < p_m spending at most ``g``
+    TOTAL gap positions (p_m - p_1 - (m-1) <= g — the budget is shared
+    across the chain, unlike ``search_phrase``'s per-window slop) ->
+    (query_id, rank, url, score). ``chains`` rows are (query_id, text, g);
+    ``text`` must tokenize to >= 2 DISTINCT terms (conjunctive stage-1
+    scoring sums each term once; a repeated term would double-count).
+    Ranked by BM25 over the chain's terms — a chain match contains all of
+    them, so scores equal the conjunctive query's.
+
+    Plan: stage 1 pulls conjunctive candidates from the committed index
+    (same pruned postings scan as BM25; ``cand_cap`` exactness bound, the
+    ``search_phrase`` contract), stage 2 verifies the chain with nested
+    codegen'd ``exists`` over token positions — the window for term r is
+    (p_{r-1}+1 .. p_1 + r + g): later gaps are >= 0, so every prefix must
+    stay inside the budget, and the telescoped total-gap constraint needs
+    no greedy/DP search, just existential nesting. The bag-of-words index
+    stores no positions, so verification reads candidate text — the
+    positions sidecar (plans/positions.py) is the committed-artifact
+    scale-up. Exclusion contract applies pre-heap in stage 1 as always."""
+    from ..functions.sqlglue import spark_terms
+
+    se = get_searcher(spark, index_dir, cell_parts)
+    qinfo: dict[int, tuple[list[str], int]] = {}
+    for qid, text, g in chains:
+        terms = tokenize(text)
+        if len(terms) < 2:
+            raise ValueError(
+                f"query {qid}: intervals needs >= 2 terms, got {terms!r}"
+            )
+        if len(set(terms)) != len(terms):
+            raise ValueError(
+                f"query {qid}: intervals terms must be distinct, got {terms!r}"
+            )
+        if g < 0:
+            raise ValueError(f"query {qid}: max_gaps must be >= 0, got {g}")
+        qinfo[qid] = (terms, g)
+    cand = se.search(
+        [(qid, " ".join(ts)) for qid, (ts, _g) in qinfo.items()],
+        k=cand_cap,
+        mode="conjunctive",
+        fixed_point=fixed_point,
+        with_text=True,
+    )
+
+    def _nest(terms: list[str], g: int, r: int) -> str:
+        # window for term r (0-based): lo = i{r-1}+1, hi = i0 + r + g
+        hi = f"least(i0 + {r} + {g}, size(tk) - 1)"
+        lo = f"i{r - 1} + 1"
+        inner = (
+            f" and {_nest(terms, g, r + 1)}" if r + 1 < len(terms) else ""
+        )
+        return (
+            f"(case when {lo} <= {hi} then exists(sequence({lo}, {hi}), "
+            f"i{r} -> tk[i{r}] = '{terms[r]}'{inner}) else false end)"
+        )
+
+    toks = F.expr(spark_terms("text"))
+    cond = F.lit(False)
+    for qid, (terms, g) in qinfo.items():
+        pred = (
+            f"case when size(tk) >= {len(terms)} then "
+            f"exists(sequence(0, size(tk) - 1), "
+            f"i0 -> tk[i0] = '{terms[0]}' and {_nest(terms, g, 1)}) "
+            "else false end"
+        )
+        cond = F.when(F.col("query_id") == qid, F.expr(pred)).otherwise(cond)
+    matched = cand.withColumn("tk", toks).filter(cond).drop("tk", "rank")
+    order_key = (
+        F.floor(F.col("score") * 1_000_000).cast("long")
+        if fixed_point
+        else F.col("score")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc(order_key), F.asc("url")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "url", "score")
+    )
+
+
 def search_multi_field(
     spark: SparkSession,
     fields: list[tuple[str, float]],

@@ -50,7 +50,19 @@ SCALES = {
     "sf-small": 10_000,
     "sf-mid": 50_000,
     "sf-bench": 200_000,
+    # Multi-file variants for the N->4N scaling cells: a single 145 MB
+    # parquet FILE caps Spark's scan at len/maxPartitionBytes splits (and
+    # row groups bound it further), so the extract stage's MAP side ran
+    # 2-6-way at every core count — the wall-clock flatline the r5s3
+    # breakdown exposed. Real Common-Crawl inputs are thousands of files;
+    # these variants write documents.parquet as a DIRECTORY of N parts so
+    # the scan parallelism actually follows the cell's cores.
+    "sf-mid16": 50_000,
+    "sf-bench32": 200_000,
 }
+
+# documents.parquet file count per scale (1 = single file, the default).
+SCALE_FILES = {"sf-mid16": 16, "sf-bench32": 32}
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
@@ -213,8 +225,14 @@ def make_queries(seed: int = SEED) -> list[tuple[int, str]]:
     return qs
 
 
-def write_corpus(out_dir: str, n_docs: int, seed: int = SEED) -> str:
-    """Materialize documents.parquet + queries.parquet under out_dir; idempotent."""
+def write_corpus(
+    out_dir: str, n_docs: int, seed: int = SEED, n_files: int = 1
+) -> str:
+    """Materialize documents.parquet + queries.parquet under out_dir;
+    idempotent. ``n_files > 1`` writes documents.parquet as a DIRECTORY of
+    that many part files (same rows, same order — part boundaries are
+    contiguous url-order slices), the shape real web-scale inputs have;
+    Spark and pyarrow read either layout identically."""
     os.makedirs(out_dir, exist_ok=True)
     doc_path = os.path.join(out_dir, "documents.parquet")
     q_path = os.path.join(out_dir, "queries.parquet")
@@ -223,7 +241,23 @@ def write_corpus(out_dir: str, n_docs: int, seed: int = SEED) -> str:
         # Invariant check at generation time: extractor reproduces text.
         for i in (0, len(corpus.text) // 2, len(corpus.text) - 1):
             assert extract_text(corpus.html[i]) == corpus.text[i]
-        pq.write_table(corpus.to_arrow(), doc_path, row_group_size=8192)
+        tbl = corpus.to_arrow()
+        if n_files <= 1:
+            pq.write_table(tbl, doc_path, row_group_size=8192)
+        else:
+            tmp = doc_path + ".tmp"
+            os.makedirs(tmp, exist_ok=True)
+            per = (tbl.num_rows + n_files - 1) // n_files
+            for f in range(n_files):
+                part = tbl.slice(f * per, per)
+                if part.num_rows == 0:
+                    break
+                pq.write_table(
+                    part,
+                    os.path.join(tmp, f"part-{f:05d}.parquet"),
+                    row_group_size=8192,
+                )
+            os.rename(tmp, doc_path)  # directory move = the commit point
     if not os.path.exists(q_path):
         qs = make_queries(seed)
         tbl = pa.table(
@@ -240,4 +274,4 @@ def ensure_scale(name: str, base_dir: str = "/root/repo/data") -> str:
     """Materialize one of the fixed scales under base_dir/<name>; returns dir."""
     n = SCALES[name]
     out = os.path.join(base_dir, name)
-    return write_corpus(out, n)
+    return write_corpus(out, n, n_files=SCALE_FILES.get(name, 1))

@@ -126,6 +126,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_percolate",
         "engine_percolate_stateless",
         "engine_span_first",
+        "engine_span_not",
+        "engine_intervals",
         "engine_multi_terms",
         "engine_top_metrics",
         "engine_multi_match",

@@ -2329,6 +2329,190 @@ def test_span_first_matches_python(spark, built_index, sf_unit_dir):
         search_span_first(spark, built_index, [(1, toks0[0], 0)])
 
 
+def test_span_not_matches_python(spark, built_index, sf_unit_dir):
+    """search_span_not vs brute force: docs with an include-term occurrence
+    carrying no exclude occurrence inside the +-w window, BM25-ranked over
+    the include term. The exclusion must be non-vacuous (fewer matches than
+    the unconstrained query) and non-total (some docs survive), and the
+    multi-term / w / same-term guards raise."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_span_not
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    doc_toks = {u: tokenize(t) for u, t in rows}
+    toks0 = tokenize(rows[0][1])
+    w = 2
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+
+    def brute(inc: str, exc: str, win: int) -> list:
+        scored = []
+        for d, s in oi.score_all(inc).items():
+            u = oi.urls[d]
+            tk = doc_toks[u]
+            ok = any(
+                tk[i] == inc
+                and all(
+                    tk[j] != exc
+                    for j in range(max(0, i - win), min(i + win, len(tk) - 1) + 1)
+                )
+                for i in range(len(tk))
+            )
+            if ok:
+                scored.append((f6(s), u))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored
+
+    # Pick (a, b) so the window test is BOTH non-vacuous (some doc fully
+    # excluded) and non-total (some doc survives). A doc is excluded by b
+    # iff EVERY `a` position has b inside its +-w window; b works iff it
+    # excludes some-but-not-all docs containing `a`. Hand-picked neighbors
+    # fail both ways: planted collocations exclude everything, rare terms
+    # (df=1) can only be all-or-nothing.
+    def _excluders(tk: list, inc: str, win: int) -> set:
+        exc = None
+        for i, t in enumerate(tk):
+            if t == inc:
+                wnd = set(tk[max(0, i - win) : i + win + 1]) - {inc}
+                exc = wnd if exc is None else exc & wnd
+        return exc or set()
+
+    a = b = None
+    for cand_a in dict.fromkeys(toks0):
+        docs_a = [tk for tk in doc_toks.values() if cand_a in tk]
+        if len(docs_a) < 2:
+            continue
+        per_doc = [_excluders(tk, cand_a, w) for tk in docs_a]
+        partial = set().union(*per_doc) - set.intersection(*per_doc)
+        if partial:
+            a, b = cand_a, sorted(partial)[0]
+            break
+    assert a is not None, "no (a, b) pair yields a partial exclusion"
+    spans = [(1, a, b, w), (2, b, a, w)]
+
+    want: dict[int, list] = {}
+    n_all: dict[int, int] = {}
+    n_kept: dict[int, int] = {}
+    for qid, inc, exc, win in spans:
+        scored = brute(inc, exc, win)
+        n_all[qid] = len(oi.score_all(inc))
+        n_kept[qid] = len(scored)
+        want[qid] = [(r + 1, u, s6) for r, (s6, u) in enumerate(scored[:10])]
+    got: dict[int, list] = {}
+    res = search_span_not(
+        spark, built_index, spans, k=10, fixed_point=True
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], f6(r["score"]))
+        )
+    assert got == {q: ww for q, ww in want.items() if ww}
+    assert n_kept[1] < n_all[1], "exclusion vacuous — adjacent pair not planted"
+    assert n_kept[1] > 0, "exclusion total — nothing survives"
+    with pytest.raises(ValueError):
+        search_span_not(spark, built_index, [(1, "two words", b, w)])
+    with pytest.raises(ValueError):
+        search_span_not(spark, built_index, [(1, a, b, 0)])
+    with pytest.raises(ValueError):
+        search_span_not(spark, built_index, [(1, a, a, w)])
+
+
+def test_intervals_matches_python(spark, built_index, sf_unit_dir):
+    """search_intervals vs brute force: 3-term ordered chain with a SHARED
+    max_gaps budget (p3 - p1 - 2 <= g), BM25-summed over the chain terms.
+    The chain must be non-vacuous (fewer matches than the all-three
+    conjunction) and non-total; the <2-terms / repeated-term / negative-g
+    guards raise."""
+    import math
+
+    from pageindex_spark.functions.tokenizer import tokenize
+    from pageindex_spark.oracle.bm25 import OracleIndex
+    from pageindex_spark.plans.query import search_intervals
+
+    tbl = pq.read_table(
+        os.path.join(sf_unit_dir, "documents.parquet"), columns=["url", "text"]
+    )
+    rows = list(zip(tbl["url"].to_pylist(), tbl["text"].to_pylist()))
+    oi = OracleIndex(rows)
+    doc_toks = {u: tokenize(t) for u, t in rows}
+    f6 = lambda x: math.floor(x * 1_000_000)  # noqa: E731
+
+    def chain_ok(tk: list, a: str, b: str, c: str, g: int) -> bool:
+        return any(
+            tk[i] == a and tk[j] == b and tk[l] == c
+            for i in range(len(tk))
+            for j in range(i + 1, min(i + 2 + g, len(tk)))
+            for l in range(j + 1, min(i + 3 + g, len(tk)))
+        )
+
+    # Discover a (a, b, c, g) whose chain test is non-vacuous and
+    # non-total: walk doc0 for an in-order distinct triple within the
+    # budget (guaranteeing >= 1 match), then check some all-three doc
+    # fails the chain.
+    g = 3
+    found = None
+    tk0 = next(iter(doc_toks.values()))
+    for i in range(len(tk0)):
+        if found:
+            break
+        for j in range(i + 1, min(i + 2 + g, len(tk0))):
+            if found:
+                break
+            for l in range(j + 1, min(i + 3 + g, len(tk0))):
+                a, b, c = tk0[i], tk0[j], tk0[l]
+                if len({a, b, c}) != 3:
+                    continue
+                have3 = [
+                    tk for tk in doc_toks.values()
+                    if a in tk and b in tk and c in tk
+                ]
+                n_chain = sum(chain_ok(tk, a, b, c, g) for tk in have3)
+                if 0 < n_chain < len(have3):
+                    found = (a, b, c)
+                    break
+    assert found, "no discriminating chain found in doc0"
+    a, b, c = found
+
+    def brute(t1: str, t2: str, t3: str, gg: int) -> list:
+        scored = []
+        for d, s in oi.score_all(f"{t1} {t2} {t3}").items():
+            u = oi.urls[d]
+            if chain_ok(doc_toks[u], t1, t2, t3, gg):
+                scored.append((f6(s), u))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored
+
+    chains = [(1, f"{a} {b} {c}", g), (2, f"{c} {b} {a}", g)]
+    want: dict[int, list] = {}
+    for qid, text, gg in chains:
+        t1, t2, t3 = text.split()
+        want[qid] = [
+            (r + 1, u, s6) for r, (s6, u) in enumerate(brute(t1, t2, t3, gg)[:10])
+        ]
+    got: dict[int, list] = {}
+    res = search_intervals(
+        spark, built_index, chains, k=10, fixed_point=True
+    ).collect()
+    for r in sorted(res, key=lambda r: (r["query_id"], r["rank"])):
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["url"], f6(r["score"]))
+        )
+    assert got == {q: ww for q, ww in want.items() if ww}
+    assert want[1], "chain vacuous — discovery failed"
+    with pytest.raises(ValueError):
+        search_intervals(spark, built_index, [(1, a, g)])
+    with pytest.raises(ValueError):
+        search_intervals(spark, built_index, [(1, f"{a} {a}", g)])
+    with pytest.raises(ValueError):
+        search_intervals(spark, built_index, [(1, f"{a} {b}", -1)])
+
+
 def test_multi_terms_matches_python(spark, built_index, sf_unit_dir):
     """multi_terms vs brute force: compound (len%3, len%2) buckets over the
     OR match set, plus the top_n collapse (tail rewritten to the sentinel
