@@ -261,7 +261,10 @@ def _run_scaling(out: dict) -> None:
     # sf-small (10k docs, ~15-25 s at full speed) to fit a build inside
     # one window; the canary gate then ensures each timed run starts at
     # full speed AND can finish before credits drain.
-    scale_name = os.environ.get("SPARK_GRAFT_SCALE_NAME", "sf-mid")
+    # Default scale: the MULTI-FILE 50k corpus (sf-mid16) — a single-file
+    # input caps the scan at len/maxPartitionBytes splits and flatlines the
+    # cells regardless of engine scaling (r5 session-3 finding).
+    scale_name = os.environ.get("SPARK_GRAFT_SCALE_NAME", "sf-mid16")
     # "2,8" runs just the north rule's N -> 4N pair — the local[32] cell
     # costs a third warm+timed build's worth of burst credits and the rule
     # doesn't need it (8->32 is hardware-capped at ~0.67 on this box).

@@ -19,17 +19,32 @@ from __future__ import annotations
 from .tokenizer import ASCII_SEP_PATTERN, TOKEN_SPLIT_PATTERN
 
 # -- tokenize a text column -> array of non-empty lowercase tokens ----------
-# Order of operations is load-bearing (tokenizer.py docstring): strip to the
-# ASCII alphabet FIRST (codepoint class match — engine-independent), THEN
-# lowercase (only ever sees ASCII, where all engines agree), then split.
-# array_remove (not a filter lambda) keeps the path in whole-stage codegen.
+# Order of operations is load-bearing (tokenizer.py docstring): tokens are
+# the maximal ASCII-alphanumeric runs of the raw text, lowercased — non-ASCII
+# letters are separators by definition, so lowercasing only ever sees ASCII,
+# where every engine agrees.
+#
+# The Spark side EXTRACTS the positive token class instead of replace+
+# lower+split on the negated class (r5 flatline hunt, jobs/diag_regex.py +
+# BENCH.md §scaling): JDK 17's java.util.regex evaluates a NEGATED char
+# class through a CharPredicate.negate() lambda whose per-char indirect
+# dispatch is both ~6x slower per byte AND collapses under thread
+# concurrency on the bench VM (2->8 threads measured 0.87x — slower walls
+# at 4x the cores — vs 3.26x = 0.815 efficiency for the extract form;
+# identical token arrays on all 50k bench docs and the adversarial-Unicode
+# lockstep suite). ASCII-only case folding makes lower() distribute over
+# the extraction, so extract-then-lower == strip-then-lower-then-split.
+# Same token identity, ~6-23x faster, and it actually scales with cores.
+_TOKEN_RUN_PATTERN = "[A-Za-z0-9]+"
 SPARK_TERMS = (
-    "array_remove(split(lower(regexp_replace({col}, '"
-    + ASCII_SEP_PATTERN
-    + "', ' ')), '"
-    + TOKEN_SPLIT_PATTERN
-    + "'), '')"
+    "transform(regexp_extract_all({col}, '"
+    + _TOKEN_RUN_PATTERN
+    + "', 0), _t -> lower(_t))"
 )
+# Token COUNT without materializing the array: a read-only scan with zero
+# per-token allocation (the extract stage's doc_len hot path — at 100 TB
+# this touches every input byte, so the allocation-free form matters).
+SPARK_TERM_COUNT = "regexp_count({col}, '" + _TOKEN_RUN_PATTERN + "')"
 DUCK_TERMS = (
     "list_filter(regexp_split_to_array(lower(regexp_replace({col}, '"
     + ASCII_SEP_PATTERN
@@ -39,8 +54,13 @@ DUCK_TERMS = (
 )
 
 # -- fingerprint normalization: same ASCII-first discipline -----------------
+# Spark side re-expressed through the positive token class (same reasoning
+# and equivalence as SPARK_TERMS above): collapsing separator runs to one
+# space and trimming is exactly joining the token runs with single spaces.
 SPARK_FP_NORM = (
-    "trim(lower(regexp_replace({col}, '" + ASCII_SEP_PATTERN + "', ' ')))"
+    "lower(array_join(regexp_extract_all({col}, '"
+    + _TOKEN_RUN_PATTERN
+    + "', 0), ' '))"
 )
 DUCK_FP_NORM = (
     "trim(lower(regexp_replace({col}, '" + ASCII_SEP_PATTERN + "', ' ', 'g')))"
@@ -161,6 +181,10 @@ B = "0.75"
 
 def spark_terms(col: str) -> str:
     return SPARK_TERMS.format(col=col)
+
+
+def spark_term_count(col: str) -> str:
+    return SPARK_TERM_COUNT.format(col=col)
 
 
 def duck_terms(col: str) -> str:

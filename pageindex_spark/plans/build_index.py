@@ -52,7 +52,7 @@ from ..operators.docids import (
     offsets_from_counts,
     partition_counts,
 )
-from ..functions.sqlglue import spark_terms
+from ..functions.sqlglue import spark_term_count
 from ..operators.extract import with_extracted_text
 from ..operators.spimi import build_segments
 from ..sources.tables import (
@@ -174,9 +174,14 @@ def build_index(
         # ONE job range-shuffles, assigns (part_id, local_pos) and writes —
         # boundaries are sampled exactly once and frozen in committed files
         # (see operators/docids.py for the re-execution hazard this avoids).
+        # doc_len via the allocation-free count form (sqlglue.SPARK_TERM_COUNT
+        # — equal to size(terms) by construction, pinned by the lockstep
+        # test): this expression touches every input byte of the corpus, and
+        # the count form is both ~9x faster per core and actually scales
+        # with cores (see SPARK_TERMS docstring / BENCH.md scaling section).
         positioned = add_partition_pos(src, num_partitions).withColumn(
             "doc_len",
-            F.size(F.expr(spark_terms("text"))).cast("long"),
+            F.expr(spark_term_count("text")).cast("long"),
         )
         (
             positioned.write.mode("overwrite")

@@ -56,18 +56,15 @@ def warm_up(spark: SparkSession) -> None:
     """
     from pyspark.sql import functions as F
 
-    from .functions.tokenizer import TOKEN_SPLIT_PATTERN
+    from .functions.sqlglue import spark_term_count, spark_terms
 
     (
         spark.range(3000)
+        .select(F.repeat(F.lit("ab cd9 "), 400).alias("text"))
         .select(
-            F.size(
-                F.array_remove(
-                    F.split(F.lower(F.repeat(F.lit("ab cd9 "), 400)), TOKEN_SPLIT_PATTERN),
-                    "",
-                )
-            ).alias("l")
+            F.size(F.expr(spark_terms("text"))).alias("l"),
+            F.expr(spark_term_count("text")).alias("c"),
         )
-        .agg(F.avg("l"))
+        .agg(F.avg("l"), F.avg("c"))
         .collect()
     )

@@ -66,13 +66,13 @@ def stream_extract(
     schema: str = "url string, warc_ts timestamp, html binary, lang string",
 ):
     """html stream -> extracted text stream (parquet sink, exactly-once)."""
-    from ..functions.sqlglue import spark_terms
+    from ..functions.sqlglue import spark_term_count
 
     raw = spark.readStream.schema(schema).parquet(input_dir)
     extracted = with_extracted_text(raw).select(
         "url",
         "text",
-        F.size(F.expr(spark_terms("text"))).cast("long").alias("doc_len"),
+        F.expr(spark_term_count("text")).cast("long").alias("doc_len"),
     )
     return (
         extracted.writeStream.format("parquet")
@@ -211,12 +211,14 @@ def segment_batch(
     num_partitions = _resolve_num_partitions(
         committed_batches(state_dir), num_partitions, spark
     )
-    from ..functions.sqlglue import spark_terms
+    from ..functions.sqlglue import spark_term_count
 
     rows = batch_df.select("url", "text")
     staged = _staged_extract_dir(state_dir, batch_id)
+    # Allocation-free doc_len (sqlglue.SPARK_TERM_COUNT == size(terms),
+    # lockstep-pinned) — same hot-path swap as the batch build's extract.
     pos = add_partition_pos(rows, num_partitions).withColumn(
-        "doc_len", F.size(F.expr(spark_terms("text"))).cast("long")
+        "doc_len", F.expr(spark_term_count("text")).cast("long")
     )
     pos.write.mode("overwrite").partitionBy("part_id").parquet(staged)
 

@@ -86,3 +86,33 @@ def test_four_way_tokenizer_lockstep(spark):
         con.sql(f"select i, {DUCK_TERMS.format(col='text')} from t").fetchall()
     )
     assert got_duck == {i: p for i, p in enumerate(py)}
+
+    # Spark count form (the extract stage's allocation-free doc_len) and
+    # fingerprint normalizer: both re-expressed through the POSITIVE token
+    # class in r5 (sqlglue docstring) — pin them to the Python tokenizer and
+    # the unchanged DuckDB normalizer on the same adversarial inputs.
+    from pageindex_spark.functions.sqlglue import (
+        DUCK_FP_NORM,
+        SPARK_FP_NORM,
+        SPARK_TERM_COUNT,
+    )
+
+    got_counts = {
+        r["i"]: r["c"]
+        for r in df.selectExpr(
+            "i", f"{SPARK_TERM_COUNT.format(col='text')} as c"
+        ).collect()
+    }
+    assert got_counts == {i: len(p) for i, p in enumerate(py)}
+
+    got_fp = {
+        r["i"]: r["n"]
+        for r in df.selectExpr(
+            "i", f"{SPARK_FP_NORM.format(col='text')} as n"
+        ).collect()
+    }
+    duck_fp = dict(
+        con.sql(f"select i, {DUCK_FP_NORM.format(col='text')} from t").fetchall()
+    )
+    assert got_fp == duck_fp
+    assert got_fp == {i: " ".join(p) for i, p in enumerate(py)}
