@@ -59,10 +59,11 @@ SCALES = {
     # the scan parallelism actually follows the cell's cores.
     "sf-mid16": 50_000,
     "sf-bench32": 200_000,
+    "sf-huge64": 800_000,
 }
 
 # documents.parquet file count per scale (1 = single file, the default).
-SCALE_FILES = {"sf-mid16": 16, "sf-bench32": 32}
+SCALE_FILES = {"sf-mid16": 16, "sf-bench32": 32, "sf-huge64": 64}
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
