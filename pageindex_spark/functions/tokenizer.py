@@ -13,6 +13,12 @@ identically in three places:
   blobs and block-max bounds.
 
 The FOUR MUST stay in lockstep — rank identity of BM25 scores depends on it.
+(Round 5: the Spark SQL side now EXTRACTS the positive class
+`[A-Za-z0-9]+` then lowercases — equivalent by construction since ASCII
+case folding commutes with extraction, and 6-23x faster because JDK 17's
+negated-char-class predicate lambda anti-scales with executor threads; see
+``sqlglue.SPARK_TERMS``. The count-only ``SPARK_TERM_COUNT`` form is a
+fifth lockstep-pinned expression used for doc_len.)
 
 Lockstep is NOT just a shared regex: the engines' lowercase implementations
 (Python str.lower / JVM Lower / Arrow utf8proc / DuckDB) disagree on exotic

@@ -60,10 +60,11 @@ SCALES = {
     "sf-mid16": 50_000,
     "sf-bench32": 200_000,
     "sf-huge64": 800_000,
+    "sf-giant96": 1_600_000,
 }
 
 # documents.parquet file count per scale (1 = single file, the default).
-SCALE_FILES = {"sf-mid16": 16, "sf-bench32": 32, "sf-huge64": 64}
+SCALE_FILES = {"sf-mid16": 16, "sf-bench32": 32, "sf-huge64": 64, "sf-giant96": 96}
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "je", "ki", "lo", "mu",
