@@ -2372,6 +2372,96 @@ select query_id, rank, doc_id, score6 from ranked where rank <= {k}
 
 GOPHER_TOP = 50
 
+# Gopher quality-filter thresholds (Rae et al. 2021 table A1, adapted to
+# the driver corpus' scale): token-count window, mean word length window,
+# and a minimum stopword fraction (the paper's "function word" filter).
+# Verified discriminating on the sf0.01 documents table: 431 keep / 69
+# reject, with every signal varying.
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MWL_LO6 = 3_000_000  # mean word length >= 3.0 chars
+GOPHER_MWL_HI6 = 10_000_000  # mean word length <= 10.0 chars
+GOPHER_HEAD_MIN6 = 10_000  # >= 1% of tokens from the stopword list
+GOPHER_HEAD_TERMS = ("the", "a", "is", "of", "and", "in", "to", "on")
+GOPHER_QUALITY_N = 200
+
+
+def _gopher_quality_sql(d: _Dialect, n: int = GOPHER_QUALITY_N) -> str:
+    """Gopher-style per-doc quality signals + keep verdict (Rae et al.
+    2021 quality filters; the training-data "remove junk documents" op):
+    token count, mean word length (total token chars / tokens), type-token
+    ratio, and head-term ("stopword") fraction, each a floor(x*1e6)
+    bigint, plus the conjunctive keep flag over the thresholds above.
+    First ``n`` docs by doc_id — signal extraction is per-doc (map-only at
+    scale); thresholds chosen so both verdicts occur at sf0.01."""
+    head = ", ".join(f"'{t}'" for t in GOPHER_HEAD_TERMS)
+    if d.duck:
+        totchars = "length(array_to_string(terms, ''))"
+        dis = "len(list_distinct(terms))"
+        nhead = f"len(list_filter(terms, x -> list_contains([{head}], x)))"
+    else:
+        totchars = "length(array_join(terms, ''))"
+        dis = "size(array_distinct(terms))"
+        nhead = f"size(filter(terms, x -> array_contains(array({head}), x)))"
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+sig as (
+  select doc_id,
+         cast({d.size('terms')} as bigint) as n_tokens,
+         cast({totchars} as bigint) as totchars,
+         cast({dis} as bigint) as n_distinct,
+         cast({nhead} as bigint) as n_head
+  from toks where {d.size('terms')} > 0
+),
+scored as (
+  select doc_id, n_tokens,
+         cast(floor(cast(totchars as double) / n_tokens * 1000000) as bigint) as mwl6,
+         cast(floor(cast(n_distinct as double) / n_tokens * 1000000) as bigint) as ttr6,
+         cast(floor(cast(n_head as double) / n_tokens * 1000000) as bigint) as head6
+  from sig
+)
+select doc_id, n_tokens, mwl6, ttr6, head6,
+       (n_tokens >= {GOPHER_MIN_TOKENS} and n_tokens <= {GOPHER_MAX_TOKENS}
+        and mwl6 >= {GOPHER_MWL_LO6} and mwl6 <= {GOPHER_MWL_HI6}
+        and head6 >= {GOPHER_HEAD_MIN6}) as keep
+from scored order by doc_id asc limit {n}
+"""
+
+
+def _gopher_quality_summary_sql(d: _Dialect) -> str:
+    """Corpus-level roll-up of the Gopher keep verdict: doc count and mean
+    token count per verdict (the filter's acceptance-rate dashboard).
+    One shuffle on the boolean key at any corpus size."""
+    head = ", ".join(f"'{t}'" for t in GOPHER_HEAD_TERMS)
+    if d.duck:
+        totchars = "length(array_to_string(terms, ''))"
+        nhead = f"len(list_filter(terms, x -> list_contains([{head}], x)))"
+    else:
+        totchars = "length(array_join(terms, ''))"
+        nhead = f"size(filter(terms, x -> array_contains(array({head}), x)))"
+    return f"""
+with toks as (select doc_id, {d.terms('text')} as terms from documents),
+sig as (
+  select doc_id,
+         cast({d.size('terms')} as bigint) as n_tokens,
+         cast({totchars} as bigint) as totchars,
+         cast({nhead} as bigint) as n_head
+  from toks where {d.size('terms')} > 0
+),
+scored as (
+  select n_tokens,
+         cast(floor(cast(totchars as double) / n_tokens * 1000000) as bigint) as mwl6,
+         cast(floor(cast(n_head as double) / n_tokens * 1000000) as bigint) as head6
+  from sig
+)
+select (n_tokens >= {GOPHER_MIN_TOKENS} and n_tokens <= {GOPHER_MAX_TOKENS}
+        and mwl6 >= {GOPHER_MWL_LO6} and mwl6 <= {GOPHER_MWL_HI6}
+        and head6 >= {GOPHER_HEAD_MIN6}) as keep,
+       cast(count(*) as bigint) as doc_count,
+       cast(floor(avg(cast(n_tokens as double)) * 1000000) as bigint) as avg_tokens6
+from scored group by 1
+"""
+
 
 def _gopher_repetition_sql(d: _Dialect, top: int = GOPHER_TOP) -> str:
     """Gopher-style repetition signals (Rae et al. 2021 quality filters):
@@ -4690,6 +4780,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["intervals"] = both(_intervals_sql)
     # Gopher repetition filters: per-doc duplicate 2-/3-gram fractions.
     pairs["gopher_repetition"] = both(_gopher_repetition_sql)
+    # Gopher quality filters: per-doc signals + keep verdict, and the
+    # corpus-level acceptance roll-up.
+    pairs["gopher_quality"] = both(_gopher_quality_sql)
+    pairs["gopher_quality_summary"] = both(_gopher_quality_summary_sql)
     # ES filters agg: named query-defined buckets + other_bucket.
     pairs["filters_agg"] = both(_filters_agg_sql)
     # ES terms-lookup: term set fetched from another doc at query time.
