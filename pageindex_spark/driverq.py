@@ -2463,6 +2463,64 @@ from scored group by 1
 """
 
 
+# Decontamination probes: benchmark phrases whose EXACT token span must
+# not appear in training documents (Lee et al. 2021 / GPT-3 appendix C
+# eval-set decontamination). Probes are 3-token spans planted-by-selection
+# from the corpus with known mid-range df (non-vacuous and non-total at
+# sf0.001 AND sf0.01 — verified at add time: df 1-4 / 3-4 respectively).
+DECONTAM_PROBES = [
+    (1, "a agg group"),
+    (2, "a batch big"),
+    (3, "a column stream"),
+    (4, "a fast hash"),
+    (5, "a key column"),
+]
+
+
+def _decontamination_sql(d: _Dialect) -> str:
+    """Decontamination audit (training-data pipeline op): every document
+    containing a benchmark probe's exact 3-token CONTIGUOUS span —
+    shingle membership, not bag-of-words ("a fast hash" must appear in
+    order, adjacent. One tokenize + shingle pass over the corpus scans all
+    probes at once (the probe set broadcasts; at 100 TB this is one
+    map-only pass + a tiny hit shuffle). Rows: (probe_id, doc_id) for
+    every contaminated doc, both columns ascending."""
+    plist = ", ".join(f"({pid}, '{p}')" for pid, p in DECONTAM_PROBES)
+    return f"""
+with probes(probe_id, phrase) as (values {plist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+sh as (select doc_id, {d.shingles('terms')} as g3 from toks),
+hit as (
+  select p.probe_id, s.doc_id
+  from probes p join sh s on {d.arr_contains('s.g3', 'p.phrase')}
+)
+select probe_id, doc_id from hit order by probe_id asc, doc_id asc
+"""
+
+
+def _decontamination_summary_sql(d: _Dialect) -> str:
+    """Per-probe contamination dashboard: contaminated-doc count and the
+    contamination rate over the corpus (floor(x*1e6) bigint). LEFT join
+    from the probe list so a clean probe still reports 0."""
+    plist = ", ".join(f"({pid}, '{p}')" for pid, p in DECONTAM_PROBES)
+    return f"""
+with probes(probe_id, phrase) as (values {plist}),
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+n as (select cast(count(*) as double) as total from toks),
+sh as (select doc_id, {d.shingles('terms')} as g3 from toks),
+hit as (
+  select p.probe_id, count(*) as c
+  from probes p join sh s on {d.arr_contains('s.g3', 'p.phrase')}
+  group by p.probe_id
+)
+select p.probe_id, p.phrase,
+       cast(coalesce(h.c, 0) as bigint) as contaminated_docs,
+       cast(floor(cast(coalesce(h.c, 0) as double) / (select total from n) * 1000000) as bigint) as rate6
+from probes p left join hit h on h.probe_id = p.probe_id
+order by p.probe_id asc
+"""
+
+
 def _gopher_repetition_sql(d: _Dialect, top: int = GOPHER_TOP) -> str:
     """Gopher-style repetition signals (Rae et al. 2021 quality filters):
     per-doc duplicate 2-gram and 3-gram fractions — the fraction of token
@@ -4784,6 +4842,9 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # corpus-level acceptance roll-up.
     pairs["gopher_quality"] = both(_gopher_quality_sql)
     pairs["gopher_quality_summary"] = both(_gopher_quality_summary_sql)
+    # Eval-set decontamination: exact contiguous-span probe audit + rates.
+    pairs["decontamination"] = both(_decontamination_sql)
+    pairs["decontamination_summary"] = both(_decontamination_summary_sql)
     # ES filters agg: named query-defined buckets + other_bucket.
     pairs["filters_agg"] = both(_filters_agg_sql)
     # ES terms-lookup: term set fetched from another doc at query time.
