@@ -1095,6 +1095,33 @@ def _engine_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _engine_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination audit served from the COMMITTED index (round 5):
+    each benchmark probe runs as an exact contiguous-span phrase query
+    (conjunctive candidates from the pruned postings scan + codegen'd
+    adjacency verify — plans/query.py search_phrase, slop=0), returning
+    EVERY contaminated doc rather than a top-k. At 100 TB this is the
+    point of the entry: the audit reads the inverted index, not the raw
+    corpus (the SQL twin re-tokenizes the whole table). k is set above
+    any probe's possible match count (probes verified df <= 40 at add
+    time; conjunctive candidates bounded by the rarest term's df, far
+    under cand_cap). Must reproduce the decontamination SQL exactly."""
+    from pageindex_spark.driverq import DECONTAM_PROBES
+    from pageindex_spark.plans.query import search_phrase
+
+    index_dir = _engine_index(spark, sf_dir)
+    hits = search_phrase(
+        spark, index_dir, list(DECONTAM_PROBES), k=200, fixed_point=True
+    )
+    return (
+        hits.select(
+            F.col("query_id").alias("probe_id"),
+            F.col("url").cast("bigint").alias("doc_id"),
+        )
+        .orderBy("probe_id", "doc_id")
+    )
+
+
 def _engine_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-terms aggregation (round 5, plans/hits.py multi_terms): the
     match set bucketed by the compound (lang, source) key. Must reproduce
@@ -2457,6 +2484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_span_first"] = _engine_span_first  # term in the lede
     q["engine_span_not"] = _engine_span_not  # positional exclusion window
     q["engine_intervals"] = _engine_intervals  # ordered chain, shared gaps
+    q["engine_decontamination"] = _engine_decontamination  # span audit off the index
     q["engine_multi_terms"] = _engine_multi_terms  # compound-key buckets
     q["engine_top_metrics"] = _engine_top_metrics  # metrics of top-sorted
     q["engine_multi_match"] = _engine_multi_match  # best_fields title^2+body
@@ -2578,6 +2606,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_span_first"] = o["span_first"]
     o["engine_span_not"] = o["span_not"]
     o["engine_intervals"] = o["intervals"]
+    o["engine_decontamination"] = o["decontamination"]
     o["engine_multi_terms"] = o["multi_terms"]
     o["engine_top_metrics"] = o["top_metrics"]
     o["engine_bm25_fuzzy2"] = o["bm25_fuzzy2"]

@@ -128,6 +128,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_span_first",
         "engine_span_not",
         "engine_intervals",
+        "engine_decontamination",
         "engine_multi_terms",
         "engine_top_metrics",
         "engine_multi_match",
