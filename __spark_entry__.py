@@ -804,6 +804,58 @@ def _engine_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_matrix_stats(spark, index_dir, BM25_QUERIES, dim)
 
 
+def _engine_histo_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_sort pipeline agg (round 5, plans/hits.py
+    date_histogram_bucket_sort): month buckets reordered by doc count with
+    ES from/size paging after the sort. Must reproduce the
+    histo_bucket_sort SQL exactly."""
+    from pageindex_spark.driverq import (
+        DATE_DIM_EPOCH,
+        DATE_DIM_MOD,
+        HISTO_SORT_FROM,
+        HISTO_SORT_SIZE,
+    )
+    from pageindex_spark.plans.hits import date_histogram_bucket_sort
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    dim = docs.select(
+        F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url"),
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    return date_histogram_bucket_sort(
+        spark, index_dir, BM25_QUERIES, dim, "month",
+        frm=HISTO_SORT_FROM, size=HISTO_SORT_SIZE,
+    )
+
+
+def _engine_histo_bucket_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucket_script pipeline agg (round 5, plans/hits.py
+    date_histogram_bucket_script): mean n_chars per matched doc per month
+    bucket — two sibling metrics out of one groupBy, one scripted
+    division. Must reproduce the histo_bucket_script SQL exactly."""
+    from pageindex_spark.driverq import DATE_DIM_EPOCH, DATE_DIM_MOD
+    from pageindex_spark.plans.hits import date_histogram_bucket_script
+
+    index_dir = _engine_index(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    url = F.lpad(F.col("doc_id").cast("string"), 10, "0").alias("url")
+    dim = docs.select(
+        url,
+        F.date_add(
+            F.lit(DATE_DIM_EPOCH).cast("date"),
+            (F.col("doc_id") % DATE_DIM_MOD).cast("int"),
+        ).alias("d"),
+    )
+    vals = docs.select(url, F.col("n_chars").cast("long").alias("v"))
+    return date_histogram_bucket_script(
+        spark, index_dir, BM25_QUERIES, dim, vals, "month"
+    )
+
+
 def _engine_histo_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sibling pipeline aggs (round 5, plans/hits.py
     date_histogram_bucket_stats): avg/min/max/sum_bucket +
@@ -2473,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
     q["engine_string_stats"] = _engine_string_stats  # lengths + entropy
     q["engine_histo_bucket_stats"] = _engine_histo_bucket_stats  # siblings
+    q["engine_histo_bucket_sort"] = _engine_histo_bucket_sort  # sorted page
+    q["engine_histo_bucket_script"] = _engine_histo_bucket_script  # scripted
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
     q["engine_dis_max"] = _engine_dis_max  # disjunction max
     q["engine_boosting"] = _engine_boosting  # negative-match demotion
@@ -2595,6 +2649,8 @@ def oracle_sql() -> dict[str, str]:
     o["engine_matrix_stats"] = o["matrix_stats"]
     o["engine_string_stats"] = o["string_stats"]
     o["engine_histo_bucket_stats"] = o["histo_bucket_stats"]
+    o["engine_histo_bucket_sort"] = o["histo_bucket_sort"]
+    o["engine_histo_bucket_script"] = o["histo_bucket_script"]
     o["engine_fn_decay"] = o["fn_decay"]
     o["engine_dis_max"] = o["dis_max"]
     o["engine_boosting"] = o["boosting"]

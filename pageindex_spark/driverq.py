@@ -3167,6 +3167,57 @@ group by 1, 2, 3
 # bucket_selector threshold for the histogram sibling-pipeline entry.
 HISTO_SEL_MIN = 5
 
+# bucket_sort paging (ES from/size semantics: skip FROM buckets, keep SIZE).
+HISTO_SORT_FROM = 1
+HISTO_SORT_SIZE = 3
+
+
+def _histo_bucket_sort_sql(
+    d: _Dialect, frm: int = HISTO_SORT_FROM, size: int = HISTO_SORT_SIZE
+) -> str:
+    """bucket_sort twin (plans/hits.py ``date_histogram_bucket_sort``):
+    the ES ``bucket_sort`` pipeline agg — parent month-histogram buckets
+    reordered by a metric (doc count desc, bucket asc tie-break) with
+    from/size paging applied AFTER the sort (skip ``frm``, keep ``size``
+    — ES's from/size rule). Rank rides along so the page is
+    self-describing. One window pass over O(buckets) rows."""
+    return f"""{_date_histo_cte(d)}
+, ranked as (
+  select query_id, bucket, n_docs,
+         row_number() over (
+           partition by query_id order by n_docs desc, bucket asc) as rank
+  from hist
+)
+select query_id, rank, bucket, n_docs
+from ranked where rank > {frm} and rank <= {frm} + {size}
+"""
+
+
+def _histo_bucket_script_sql(d: _Dialect) -> str:
+    """bucket_script twin (plans/hits.py ``date_histogram_bucket_script``):
+    the ES ``bucket_script`` pipeline agg — a per-bucket arithmetic over
+    TWO sibling metrics (params.chars = sum of matched docs' n_chars,
+    params.docs = bucket doc count; script = params.chars / params.docs),
+    i.e. mean chars per matched doc per month, floored at 1e6. Both
+    sibling metrics come out of the SAME single-shuffle groupBy; the
+    script itself is one identically-rounded double division."""
+    return f"""{_matched_cte(d)}
+, keyed as (
+  select m.query_id, {_date_bucket_expr(d)} as bucket,
+         cast(doc.n_chars as bigint) as v
+  from matched m join documents doc on doc.doc_id = m.doc_id
+),
+hist as (
+  select query_id, bucket,
+         cast(count(*) as bigint) as n_docs,
+         cast(sum(v) as bigint) as sum_chars
+  from keyed group by query_id, bucket
+)
+select query_id, bucket, n_docs, sum_chars,
+       cast(floor(cast(sum_chars as double) / n_docs * 1000000) as bigint) as chars_per_doc6
+from hist
+"""
+
 
 def _matrix_stats_sql(d: _Dialect) -> str:
     """Matrix-stats twin (plans/hits.py ``match_matrix_stats``): exact
@@ -4894,6 +4945,10 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # sibling pipeline aggs (plans/hits.py date_histogram_bucket_stats):
     # avg/min/max/sum_bucket + bucket_selector over the month histogram.
     pairs["histo_bucket_stats"] = both(_histo_bucket_stats_sql)
+    # ES bucket_sort: metric-ordered buckets with from/size paging.
+    pairs["histo_bucket_sort"] = both(_histo_bucket_sort_sql)
+    # ES bucket_script: per-bucket arithmetic over two sibling metrics.
+    pairs["histo_bucket_script"] = both(_histo_bucket_script_sql)
     # string_stats (plans/hits.py match_string_stats): lengths + the
     # order-pinned character-entropy fold.
     pairs["string_stats"] = both(_string_stats_sql)

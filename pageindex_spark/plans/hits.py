@@ -2859,6 +2859,92 @@ def date_histogram_normalize(
     )
 
 
+def date_histogram_bucket_sort(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    interval: str = "month",
+    frm: int = 1,
+    size: int = 3,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``bucket_sort`` pipeline agg -> (query_id, rank, bucket,
+    n_docs): parent histogram buckets reordered by doc count (desc,
+    bucket asc tie-break) with from/size paging applied AFTER the sort —
+    skip ``frm`` buckets, keep ``size`` (the ES from/size rule). Pipeline
+    execution model: one window pass over ``date_histogram``'s O(buckets)
+    rows; the match set is never touched again. Rank rides along so a
+    page is self-describing."""
+    from pyspark.sql import Window
+
+    if frm < 0 or size < 1:
+        raise ValueError(f"need frm >= 0 and size >= 1, got {frm}/{size}")
+    hist = date_histogram(spark, index_dir, queries, dates, interval, cell_parts)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_docs"), F.asc("bucket")
+    )
+    return (
+        hist.withColumn("rank", F.row_number().over(w))
+        .filter((F.col("rank") > frm) & (F.col("rank") <= frm + size))
+        .select("query_id", "rank", "bucket", "n_docs")
+    )
+
+
+def date_histogram_bucket_script(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    dates: DataFrame,
+    values: DataFrame,
+    interval: str = "month",
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``bucket_script`` pipeline agg -> (query_id, bucket, n_docs,
+    sum_chars, chars_per_doc6): a per-bucket arithmetic over TWO sibling
+    metrics (params.chars = sum of the matched docs' ``values`` dimension,
+    params.docs = the bucket count; script = chars / docs, floored at
+    1e6). ``values`` is a (url, v bigint) dimension joined alongside the
+    date dimension — both sibling metrics come out of ONE map-side-
+    combined groupBy over the ``_matched_urls`` tail (never a second pass
+    over the match set), and the script is one identically-rounded double
+    division over O(buckets) rows."""
+    fmt = _DATE_HISTO_FMT.get(interval)
+    if fmt is None:
+        raise ValueError(
+            f"interval must be one of {sorted(_DATE_HISTO_FMT)}, got "
+            f"{interval!r}"
+        )
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [],
+        "query_id int, bucket string, n_docs long, sum_chars long, "
+        "chars_per_doc6 long",
+    )
+    if state is None:
+        return empty
+    return (
+        _matched_urls(spark, se, state)
+        .join(dates.select("url", "d"), "url")
+        .join(values.select("url", "v"), "url")
+        .withColumn("bucket", F.date_format("d", fmt))
+        .groupBy("query_id", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("v").cast("long").alias("sum_chars"),
+        )
+        .withColumn(
+            "chars_per_doc6",
+            F.floor(
+                F.col("sum_chars").cast("double")
+                / F.col("n_docs")
+                * 1_000_000
+            ).cast("long"),
+        )
+    )
+
+
 def _rated_coords(spark: SparkSession, se, state) -> DataFrame:
     """Rating kernel for ``rank_eval``: every matched doc's term-coverage
     grade as (query_id, part_id, local_pos, rating) rows — rating = number

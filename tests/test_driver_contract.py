@@ -117,6 +117,8 @@ def test_pair_matches(name, sviews, duck):
         "engine_matrix_stats",
         "engine_string_stats",
         "engine_histo_bucket_stats",
+        "engine_histo_bucket_sort",
+        "engine_histo_bucket_script",
         "engine_fn_decay",
         "engine_dis_max",
         "engine_boosting",
