@@ -804,6 +804,25 @@ def _engine_matrix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return match_matrix_stats(spark, index_dir, BM25_QUERIES, dim)
 
 
+def _engine_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """constant_score query (round 5, plans/hits.py constant_score):
+    filter-context retrieval — every matching doc scores exactly CS_BOOST,
+    docID asc is the ranking, and the plan provably skips norms/BM25 (it
+    rides the count/facet match kernel). Must reproduce the
+    constant_score SQL exactly."""
+    from pageindex_spark.driverq import CS_BOOST
+    from pageindex_spark.plans.hits import constant_score
+
+    index_dir = _engine_index(spark, sf_dir)
+    top = constant_score(spark, index_dir, BM25_QUERIES, boost=CS_BOOST, k=10)
+    return top.select(
+        "query_id",
+        "rank",
+        F.col("url").cast("bigint").alias("doc_id"),
+        "score6",
+    )
+
+
 def _engine_histo_bucket_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bucket_sort pipeline agg (round 5, plans/hits.py
     date_histogram_bucket_sort): month buckets reordered by doc count with
@@ -2525,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["engine_matrix_stats"] = _engine_matrix_stats  # cov + correlation
     q["engine_string_stats"] = _engine_string_stats  # lengths + entropy
     q["engine_histo_bucket_stats"] = _engine_histo_bucket_stats  # siblings
+    q["engine_constant_score"] = _engine_constant_score  # filter context
     q["engine_histo_bucket_sort"] = _engine_histo_bucket_sort  # sorted page
     q["engine_histo_bucket_script"] = _engine_histo_bucket_script  # scripted
     q["engine_fn_decay"] = _engine_fn_decay  # linear decay scoring
@@ -2649,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
     o["engine_matrix_stats"] = o["matrix_stats"]
     o["engine_string_stats"] = o["string_stats"]
     o["engine_histo_bucket_stats"] = o["histo_bucket_stats"]
+    o["engine_constant_score"] = o["constant_score"]
     o["engine_histo_bucket_sort"] = o["histo_bucket_sort"]
     o["engine_histo_bucket_script"] = o["histo_bucket_script"]
     o["engine_fn_decay"] = o["fn_decay"]

@@ -970,6 +970,26 @@ matched as (select distinct q.query_id, o.doc_id from qterms q join occ o on o.t
 """
 
 
+# constant_score boost (the filter-context score every match receives).
+CS_BOOST = 1.5
+
+
+def _constant_score_sql(d: _Dialect, k: int = 10) -> str:
+    """constant_score twin (plans/hits.py ``constant_score``): every doc
+    matching the OR filter scores exactly CS_BOOST; with all scores equal,
+    doc_id asc is the ranking. Top-``k`` per query."""
+    s6 = int(CS_BOOST * 1_000_000)
+    return f"""{_matched_cte(d)}
+, ranked as (
+  select query_id, doc_id,
+         row_number() over (partition by query_id order by doc_id asc) as rank
+  from matched
+)
+select query_id, rank, doc_id, cast({s6} as bigint) as score6
+from ranked where rank <= {k}
+"""
+
+
 # variable_width_histogram bucket count (largest-gap natural breaks).
 VWH_BUCKETS = 4
 
@@ -4949,6 +4969,8 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["histo_bucket_sort"] = both(_histo_bucket_sort_sql)
     # ES bucket_script: per-bucket arithmetic over two sibling metrics.
     pairs["histo_bucket_script"] = both(_histo_bucket_script_sql)
+    # ES constant_score: filter-context scoring, docID-asc ranking.
+    pairs["constant_score"] = both(_constant_score_sql)
     # string_stats (plans/hits.py match_string_stats): lengths + the
     # order-pinned character-entropy fold.
     pairs["string_stats"] = both(_string_stats_sql)

@@ -30,6 +30,8 @@ scoring); a dedicated doc-only slice schema would halve count shuffle bytes
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -2941,6 +2943,54 @@ def date_histogram_bucket_script(
                 / F.col("n_docs")
                 * 1_000_000
             ).cast("long"),
+        )
+    )
+
+
+def constant_score(
+    spark: SparkSession,
+    index_dir: str,
+    queries: list[tuple[int, str]],
+    boost: float = 1.5,
+    k: int = 10,
+    cell_parts: int = 4,
+) -> DataFrame:
+    """The ES ``constant_score`` query -> (query_id, rank, url, score6):
+    filter-context retrieval — every doc matching the wrapped filter (the
+    engine's OR match set, full exclusion contract) scores exactly
+    ``boost``; with all scores equal, docID(url) asc IS the ranking (the
+    deterministic tie-break). The point of the surface is what it SKIPS:
+    the plan rides the count/facet match kernel — no norms read, no
+    block-max payloads, no BM25 arithmetic — which is exactly why ES
+    users wrap filters in constant_score (filter context: no scoring
+    cost, cacheable). Two-phase top-k like every ranked surface: per-
+    (query, partition) window first, global rank over the <= queries x
+    parts x k survivors — never a global sort of the match set."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    se = get_searcher(spark, index_dir, cell_parts)
+    state = _match_state(se, queries)
+    empty = spark.createDataFrame(
+        [], "query_id int, rank int, url string, score6 long"
+    )
+    if state is None:
+        return empty
+    score6 = int(math.floor(boost * 1_000_000))
+    wpart = Window.partitionBy("query_id", "part_id").orderBy(F.asc("url"))
+    wq = Window.partitionBy("query_id").orderBy(F.asc("url"))
+    return (
+        _matched_urls(spark, se, state)
+        .withColumn("_pr", F.row_number().over(wpart))
+        .filter(F.col("_pr") <= k)
+        .withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "url",
+            F.lit(score6).cast("long").alias("score6"),
         )
     )
 

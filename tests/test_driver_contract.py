@@ -117,6 +117,7 @@ def test_pair_matches(name, sviews, duck):
         "engine_matrix_stats",
         "engine_string_stats",
         "engine_histo_bucket_stats",
+        "engine_constant_score",
         "engine_histo_bucket_sort",
         "engine_histo_bucket_script",
         "engine_fn_decay",
