@@ -292,6 +292,29 @@ def _bm25_sql(
     have no cursor and return nothing, mirroring the engine entry."""
     qlist = ", ".join(f"({qid}, '{t}')" for qid, t in (queries or BM25_QUERIES))
     corpus_where = f" where {corpus_pred}" if corpus_pred else ""
+    # Spark-side-only occurrence prefilter (guide §2.3 "shuffle fewer
+    # bytes"): contrib/dfreq only ever consult postings rows whose term is
+    # one of the queries' tokens, so the exploded occurrence stream is cut
+    # to those terms BEFORE the (term, doc_id) partial aggregation and its
+    # exchange — the shuffle carries a few query terms' occurrences instead
+    # of the whole corpus token stream. The literal IN-list comes from the
+    # SAME lockstep tokenizer the SQL expression implements (pinned by
+    # tests/test_tokenizer_lockstep.py), so it is a superset-by-construction
+    # of the SQL-side qterms and results are identical. The DuckDB oracle
+    # text below is untouched (occ_filter is empty for the duck dialect).
+    occ_line = f"occ as (select doc_id, {d.unnest('terms')} as term from toks),"
+    if not d.duck:
+        from .functions.tokenizer import tokenize
+
+        qtoks = sorted(
+            {t for _qid, txt in (queries or BM25_QUERIES) for t in tokenize(txt)}
+        )
+        if qtoks:
+            inlist = ", ".join(f"'{t}'" for t in qtoks)
+            occ_line = (
+                "occ as (select * from (select doc_id, "
+                f"{d.unnest('terms')} as term from toks) where term in ({inlist})),"
+            )
     boost_cte, boost_join, boost_mul = "", "", ""
     if boosts:
         bvals = ", ".join(f"({q}, '{t}', {w!r})" for q, t, w in boosts)
@@ -319,7 +342,7 @@ doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from t
 corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
-occ as (select doc_id, {d.unnest('terms')} as term from toks),
+{occ_line}
 postings as (select term, doc_id, cast(count(*) as bigint) as tf from occ group by term, doc_id),
 dfreq as (select term, cast(count(*) as bigint) as df from postings group by term),
 contrib as (
@@ -4082,8 +4105,22 @@ def _quality_sql(d: _Dialect) -> str:
         if d.duck
         else "length(array_join(terms, ''))"
     )
-    # ASCII-alnum count needs no lowercase at all (case-safe cross-engine)
-    alpha = f"length({d.re_replace('text', '[^A-Za-z0-9]', '')})"
+    # ASCII-alnum count needs no lowercase at all (case-safe cross-engine).
+    # Spark side (r6): counted as len(text) - len(text with alnum RUNS
+    # removed) — the POSITIVE char class. JDK 17 evaluates a negated char
+    # class via a per-char predicate lambda that is ~6x slower and
+    # anti-scales with threads (the r5 tokenizer flatline root cause —
+    # sqlglue.SPARK_TERMS docstring); identical count by construction.
+    # DuckDB (RE2) keeps the original negated-class strip — oracle text
+    # frozen, and RE2 has no such pathology.
+    if d.duck:
+        alpha = f"length({d.re_replace('text', '[^A-Za-z0-9]', '')})"
+    else:
+        alpha = (
+            "(length(text) - length("
+            + d.re_replace("text", "[A-Za-z0-9]+", "")
+            + "))"
+        )
     return f"""
 with toks as (select doc_id, text, {d.terms('text')} as terms from documents)
 select doc_id,
@@ -5242,11 +5279,53 @@ where g.f < m.nf
 """
 
 
+# CPU-heavy tables whose scan must not be serial: every tokenize / shingle /
+# md5 / dot-product query computes its projections IN the scan stage, and the
+# driver's testdata ships each table as ONE parquet file with a SINGLE row
+# group — Spark cannot split a row group, so without intervention the whole
+# 25M-token tokenize+hash pass runs on one task while 31 cores idle (guide
+# §2.5 "input skew: one huge unsplittable file ... repartition immediately
+# after the read"; measured: minhash_signatures 13.2 s single-task vs ~1 s
+# fanned out at sf1.0/local[32]). The fix is one cheap exchange of the raw
+# (id, text/embedding) rows BEFORE any expression work: hash-partitioned on
+# the unique id column (deterministic under task retry — no round-robin, no
+# sort-before-repartition pass) into a core-scaled partition count.
+#
+# Scale honesty: the fan-out only fires when the file layout gives the scan
+# fewer natural splits than cores (a real 100-TB corpus arrives as thousands
+# of files and skips this path entirely); the count derives from the live
+# session's core count, never a constant. SPARK_GRAFT_VIEW_FANOUT=0 disables,
+# an integer forces a specific partition count.
+_FANOUT_TABLES = {"documents": "doc_id", "embeddings": "vec_id"}
+
+
+def _scan_fanout(spark: SparkSession, path: str) -> int:
+    """Partitions to fan a CPU-heavy view out to (0 = leave the scan alone)."""
+    env = os.environ.get("SPARK_GRAFT_VIEW_FANOUT")
+    if env is not None:
+        return max(0, int(env))
+    cores = spark.sparkContext.defaultParallelism
+    if os.path.isdir(path):
+        import glob
+
+        n_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    else:
+        n_files = 1
+    # multi-file layouts already parallelize the scan; leave them alone
+    return 2 * cores if n_files < cores else 0
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
-            spark.read.parquet(p).createOrReplaceTempView(t)
+            df = spark.read.parquet(p)
+            key = _FANOUT_TABLES.get(t)
+            if key is not None:
+                n = _scan_fanout(spark, p)
+                if n:
+                    df = df.repartition(n, df[key])
+            df.createOrReplaceTempView(t)
 
 
 def spark_sql_query(name: str):

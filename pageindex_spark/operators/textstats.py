@@ -74,8 +74,13 @@ def quality_score(docs: DataFrame, key: str = "doc_id", text_col: str = "text") 
     n_tok = F.size(terms)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(terms, lambda t: F.array_contains(stop_arr, t)))
-    # ASCII-alnum count: no lowercase involved -> engine-independent
-    alpha_chars = F.length(F.regexp_replace(text_col, "[^A-Za-z0-9]", ""))
+    # ASCII-alnum count: no lowercase involved -> engine-independent.
+    # Counted via the POSITIVE char class (len - len(alnum runs removed)):
+    # JDK 17's negated-class path is ~6x slower per byte and anti-scales
+    # with threads (r5 tokenizer root cause — sqlglue.SPARK_TERMS).
+    alpha_chars = F.length(text_col) - F.length(
+        F.regexp_replace(text_col, "[A-Za-z0-9]+", "")
+    )
     total_chars = F.length(text_col)
     fix6 = lambda c: F.floor(c * 1_000_000).cast("long")  # noqa: E731
     return docs.select(

@@ -50,7 +50,6 @@ from ..operators.docids import (
     add_partition_pos,
     attach_doc_ids,
     offsets_from_counts,
-    partition_counts,
 )
 from ..functions.sqlglue import spark_term_count
 from ..operators.extract import with_extracted_text
@@ -192,8 +191,23 @@ def build_index(
         _t = _time.time()
 
         ext = spark.read.parquet(paths.docs_extracted)
-        offsets = offsets_from_counts(partition_counts(ext), num_partitions)
-        n_docs, avgdl = _corpus_stats(ext)
+        # ONE metadata job replaces three (r6, guide §1.2: fewer passes —
+        # partition_counts + _corpus_stats + the per-part lineage agg all
+        # derive from the same (part_id -> docs, terms) groupBy): offsets,
+        # n_docs, total tokens and avgdl are exact integer arithmetic over
+        # the collected per-partition rows. avgdl == Spark's avg(doc_len)
+        # bit-for-bit: both are (exact int64 token sum as double) / (doc
+        # count as double) — integer-valued double partial sums below 2^53
+        # are exact in any addition order.
+        per_part = (
+            ext.groupBy("part_id")
+            .agg(F.count("*").alias("docs"), F.sum("doc_len").alias("terms"))
+            .collect()
+        )
+        counts = {int(r["part_id"]): int(r["docs"]) for r in per_part}
+        offsets = offsets_from_counts(counts, num_partitions)
+        n_docs = sum(counts.values())
+        avgdl = float(sum(int(r["terms"] or 0) for r in per_part)) / float(n_docs)
         write_norms(ext, offsets, paths.norms)
         _mark("norms_and_stats", _t)
         _t = _time.time()
@@ -217,11 +231,6 @@ def build_index(
                 ),
                 "iceberg_table": iceberg_table,
             },
-        )
-        per_part = (
-            ext.groupBy("part_id")
-            .agg(F.count("*").alias("docs"), F.sum("doc_len").alias("terms"))
-            .collect()
         )
         append_lineage(
             spark,
@@ -347,29 +356,44 @@ def build_index(
             _t = _time.time()
             # Post-write stats read through the SAME storage branch the
             # chunk was written with (ADVICE r2: iceberg builds never wrote
-            # the parquet path this used to read).
-            written = read_index_runs(
-                spark, paths.postings, n_buckets, iceberg_table
-            ).filter(F.col("bucket") % n_bucket_chunks == chunk)
+            # the parquet path this used to read). r6: the run totals ride
+            # the term_stats job as observed metrics instead of a second
+            # full scan job, and the distinct-term count (== the number of
+            # term_stats groups this chunk wrote) comes from the committed
+            # term_stats parquet footers — same values, one job + a
+            # metadata-only footer read instead of two jobs (guide §1.2).
+            from pyspark.sql import Observation
+
+            obs = Observation(f"fold_runs_{chunk}")
+            written = (
+                read_index_runs(spark, paths.postings, n_buckets, iceberg_table)
+                .filter(F.col("bucket") % n_bucket_chunks == chunk)
+                .observe(
+                    obs,
+                    F.sum("n_bytes").alias("bytes"),
+                    F.count(F.lit(1)).alias("runs"),  # row count = run count
+                )
+            )
             ts = with_term_bucket(
                 term_stats_from_runs(written.drop("bucket")), n_buckets
             )
             ts.write.mode("overwrite").partitionBy("bucket").parquet(paths.term_stats)
-            m = (
-                written
-                .agg(
-                    F.countDistinct("term").alias("terms"),
-                    F.sum("n_bytes").alias("bytes"),
-                    F.count("*").alias("docs"),  # row count = run count here
-                )
-                .collect()[0]
+            mvals = obs.get
+            n_terms_chunk = _parquet_partition_rows(
+                paths.term_stats,
+                lambda b: b % n_bucket_chunks == chunk,
             )
             _mark(f"fold_meta{chunk}", _t)
             append_lineage(
                 spark,
                 index_dir,
                 "fold",
-                [(chunk, int(m["docs"] or 0), int(m["bytes"] or 0), int(m["terms"] or 0))],
+                [(
+                    chunk,
+                    int(mvals["runs"] or 0),
+                    int(mvals["bytes"] or 0),
+                    int(n_terms_chunk),
+                )],
             )
             if stop_after == ("fold", chunk):
                 raise SimulatedKill(f"stopped after fold chunk {chunk}")
@@ -517,6 +541,25 @@ def write_norms(ext: DataFrame, offsets: list[int], out_path: str) -> None:
     # #1). Many small files are fine: the relation is read once per
     # Searcher construction and cached.
     norms.write.mode("overwrite").parquet(out_path)
+
+
+def _parquet_partition_rows(root: str, bucket_pred) -> int:
+    """Total row count over ``root``'s ``bucket=N`` partition dirs whose N
+    passes ``bucket_pred`` — parquet FOOTER metadata only, no Spark job and
+    no data read (row counts are exact in the footer at any scale)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(root):
+        if not name.startswith("bucket="):
+            continue
+        if not bucket_pred(int(name.split("=", 1)[1])):
+            continue
+        sub = os.path.join(root, name)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                total += pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+    return total
 
 
 def _corpus_stats(ext: DataFrame) -> tuple[int, float]:
