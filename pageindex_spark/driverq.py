@@ -155,8 +155,11 @@ class _Dialect:
         self.duck = name == "duck"
 
     def terms(self, col: str) -> str:
-        # single source of truth: sqlglue (ASCII-strip -> lower -> split;
-        # array_remove keeps the Spark path inside whole-stage codegen)
+        # single source of truth: sqlglue. The Spark side EXTRACTS the
+        # positive token class then lowers (equivalent by construction;
+        # JDK 17's negated-class path is ~6x slower and anti-scales with
+        # threads — see the SPARK_TERMS docstring); the DuckDB side keeps
+        # strip -> lower -> split. Never rewrite either back.
         from .functions.sqlglue import DUCK_TERMS, SPARK_TERMS
 
         return (DUCK_TERMS if self.duck else SPARK_TERMS).format(col=col)
@@ -334,11 +337,30 @@ def _bm25_sql(
             f"and {d.arr_contains('t.terms', 'n.neg_term')})"
         )
     mask_where = f" where {' and '.join(conds)}" if conds else ""
+    # Spark-side doc_len via the allocation-free count form
+    # (sqlglue.SPARK_TERM_COUNT == size(SPARK_TERMS) by construction,
+    # lockstep-pinned): the doc_stats branch then never materializes the
+    # token arrays — one regexp scan instead of extract+transform+lower,
+    # the same swap the engine's extract stage made in r5 (guide §1.2
+    # per-task work). The duck text keeps the original toks-based form.
+    if d.duck:
+        doc_stats_line = (
+            "doc_stats as (select doc_id, "
+            f"cast({d.size('terms')} as bigint) as doc_len from toks),"
+        )
+    else:
+        from .functions.sqlglue import SPARK_TERM_COUNT
+
+        doc_stats_line = (
+            "doc_stats as (select doc_id, "
+            f"cast({SPARK_TERM_COUNT.format(col='text')} as bigint) as doc_len "
+            f"from documents{corpus_where}),"
+        )
     return f"""
 with queries(query_id, query_text) as (values {qlist}),
 {neg_cte}{boost_cte}
 toks as (select doc_id, {d.terms('text')} as terms from documents{corpus_where}),
-doc_stats as (select doc_id, cast({d.size('terms')} as bigint) as doc_len from toks),
+{doc_stats_line}
 corpus as (select cast(count(*) as double) as n, avg(cast(doc_len as double)) as avgdl from doc_stats),
 qtok as (select query_id, {d.unnest(d.terms('query_text'))} as term from queries),
 qterms as (select distinct query_id, term from qtok),
@@ -4002,8 +4024,24 @@ from pairs p join wide wa on wa.doc_id = p.a join wide wb on wb.doc_id = p.b
 
 
 def _minhash_core(d: _Dialect, n_hashes: int = 4) -> str:
+    if d.duck:
+        mins = ", ".join(
+            f"{d.arr_min(f'''list_transform(sh, s -> md5('{j}|' || s))''')} as mh_{j}"
+            for j in range(n_hashes)
+        )
+        return f"""
+toks as (select doc_id, {d.terms('text')} as terms from documents),
+shj as (select doc_id, {d.shingles('terms')} as sh from toks where {d.size('terms')} >= 3),
+sig as (select doc_id, {mins} from shj)"""
+    # Spark side: stays the per-doc HOF form. An explode + groupBy(doc_id)
+    # min() rewrite was tried (r6) to move the md5s into whole-stage
+    # codegen, but Spark plans min(string) as a SortAggregate (string
+    # buffers are hash-agg-ineligible), which SORTS the ~25M exploded
+    # shingle rows per pass — measured strictly slower than the interpreted
+    # lambdas. With the scan fan-out (register_views) the HOF form
+    # parallelizes across cores and is the faster of the two.
     mins = ", ".join(
-        f"{d.arr_min(f'''list_transform(sh, s -> md5('{j}|' || s))''' if d.duck else f'''transform(sh, s -> md5(concat('{j}|', s)))''')} as mh_{j}"
+        f"array_min(transform(sh, s -> md5(concat('{j}|', s)))) as mh_{j}"
         for j in range(n_hashes)
     )
     return f"""
@@ -4019,13 +4057,28 @@ def _minhash_sql(d: _Dialect) -> str:
 def _lsh_bands_sql(d: _Dialect) -> str:
     b0 = d.concat("mh_0", "'|'", "mh_1")
     b1 = d.concat("mh_2", "'|'", "mh_3")
-    return f"""
-with {_minhash_core(d)},
-bands as (
+    if d.duck:
+        bands = f"""bands as (
   select doc_id, 0 as band_id, md5({b0}) as band_hash from sig
   union all
   select doc_id, 1 as band_id, md5({b1}) as band_hash from sig
-)
+)"""
+    else:
+        # Spark inlines (duplicates) a CTE per reference, so the union-all
+        # form evaluates `sig` — and its 4 x md5-per-shingle MinHash pass —
+        # TWICE (guide §7.2 duplicated subtrees; measured ~2x
+        # minhash_signatures). Exploding both band structs out of ONE sig
+        # row evaluates the signature pass once; same rows, same types.
+        # The DuckDB oracle text (union-all branch above) is frozen.
+        bands = f"""bands as (
+  select doc_id, x.band_id as band_id, x.band_hash as band_hash
+  from (select doc_id, explode(array(
+    named_struct('band_id', 0, 'band_hash', md5({b0})),
+    named_struct('band_id', 1, 'band_hash', md5({b1})))) as x from sig)
+)"""
+    return f"""
+with {_minhash_core(d)},
+{bands}
 select band_id, band_hash, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
 from bands group by band_id, band_hash having count(*) > 1
 """
@@ -4136,6 +4189,33 @@ def _ann_sql(d: _Dialect, qpred: str = "vec_id < 5") -> str:
     dot = d.dot("q.qe", "c.ce")
     nq = f"sqrt({d.dot('q.qe', 'q.qe')})"
     nc = f"sqrt({d.dot('c.ce', 'c.ce')})"
+    if not d.duck:
+        # Spark side (r6): the planner broadcast the CORPUS side of this
+        # non-equi join and streamed the |q| query rows, capping the
+        # 250k-dot-product Project at |q| tasks; it also re-evaluated both
+        # norms per PAIR. Broadcast the tiny query side instead (guide
+        # §3.1: broadcast the side that fits — q is a handful of rows) so
+        # the corpus streams across all partitions, and hoist each side's
+        # norm into its own projection so sqrt(dot(v,v)) is computed once
+        # per VECTOR, not once per pair. Same expressions, same IEEE
+        # arithmetic, identical cos6. DuckDB oracle text frozen below.
+        return f"""
+with q as (select vec_id as query_id, embedding as qe,
+           sqrt({d.dot('embedding', 'embedding')}) as nq from embeddings where {qpred}),
+c as (select vec_id, embedding as ce,
+      sqrt({d.dot('embedding', 'embedding')}) as nc from embeddings),
+scored as (
+  select /*+ BROADCAST(q) */ q.query_id, c.vec_id,
+         cast(floor(({dot}) / ((q.nq) * (c.nc)) * 1000000) as bigint) as cos6
+  from q join c on q.query_id <> c.vec_id
+),
+ranked as (
+  select query_id, vec_id, cos6,
+         row_number() over (partition by query_id order by cos6 desc, vec_id asc) as rank
+  from scored
+)
+select query_id, rank, vec_id, cos6 from ranked where rank <= 10
+"""
     return f"""
 with q as (select vec_id as query_id, embedding as qe from embeddings where {qpred}),
 c as (select vec_id, embedding as ce from embeddings),
@@ -4724,12 +4804,22 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     def same(sql: str) -> tuple[str, str]:
         return sql, sql
 
+    def _term_count(d: _Dialect) -> str:
+        # Spark side: the allocation-free count form (== size(terms) by
+        # lockstep-pinned construction — sqlglue.SPARK_TERM_COUNT); the
+        # DuckDB oracle keeps the original array-size text, frozen.
+        if d.duck:
+            return d.size(d.terms("text"))
+        from .functions.sqlglue import SPARK_TERM_COUNT
+
+        return SPARK_TERM_COUNT.format(col="text")
+
     pairs["doc_stats"] = both(
-        lambda d: f"select doc_id, cast({d.size(d.terms('text'))} as bigint) as doc_len from documents"
+        lambda d: f"select doc_id, cast({_term_count(d)} as bigint) as doc_len from documents"
     )
     pairs["corpus_stats"] = both(
         lambda d: f"""select cast(count(*) as bigint) as n_docs,
-        cast(floor(avg(cast({d.size(d.terms('text'))} as double)) * 1000000) as bigint) as avgdl6
+        cast(floor(avg(cast({_term_count(d)} as double)) * 1000000) as bigint) as avgdl6
         from documents"""
     )
     pairs["postings"] = both(
@@ -5228,7 +5318,7 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     # reproduce across engines); analogue of verify_toc's sampled accuracy
     pairs["sampled_verification"] = both(
         lambda d: f"""select cast(count(*) as bigint) as n_sampled,
-        cast(floor(avg(cast({d.size(d.terms('text'))} as double)) * 100) as bigint) as avg_len2
+        cast(floor(avg(cast({_term_count(d)} as double)) * 100) as bigint) as avg_len2
         from documents where substr(md5(cast(doc_id as {d.str_type()})), 1, 1) in ('0', '1', '2')"""
     )
     # #35/36 hierarchical aggregation (tree levels as ROLLUP; parent rows =
@@ -5316,6 +5406,17 @@ def _scan_fanout(spark: SparkSession, path: str) -> int:
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    # Defensive runtime mirror of session.get_spark's exclusion (the driver
+    # may build its own session): without it, the filter inferred from
+    # explode(tokenize(text)) is pushed below the fan-out exchange and the
+    # corpus is tokenized twice on the serial scan tasks (see get_spark).
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+    except Exception:
+        pass
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

@@ -199,16 +199,39 @@ def build_index(
         # bit-for-bit: both are (exact int64 token sum as double) / (doc
         # count as double) — integer-valued double partial sums below 2^53
         # are exact in any addition order.
-        per_part = (
-            ext.groupBy("part_id")
-            .agg(F.count("*").alias("docs"), F.sum("doc_len").alias("terms"))
-            .collect()
-        )
-        counts = {int(r["part_id"]): int(r["docs"]) for r in per_part}
+        #
+        # The docID grid itself comes from the COMMITTED extract parquet
+        # FOOTERS (exact row counts per part_id dir, no job — the grid was
+        # always defined by the committed files, this just reads them
+        # directly), which breaks the offsets->norms dependency so the
+        # per-part stats job and the norms write run CONCURRENTLY (guide
+        # §2.6 "overlap independent jobs": both only read committed
+        # extracts). The footer counts are cross-checked against the
+        # grouped counts before anything downstream consumes them.
+        counts = _extract_part_counts(paths.docs_extracted)
         offsets = offsets_from_counts(counts, num_partitions)
+
+        def _per_part_stats():
+            return (
+                ext.groupBy("part_id")
+                .agg(F.count("*").alias("docs"), F.sum("doc_len").alias("terms"))
+                .collect()
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as _pool:
+            _fut = _pool.submit(_per_part_stats)
+            write_norms(ext, offsets, paths.norms)
+            per_part = _fut.result()
+        grouped = {int(r["part_id"]): int(r["docs"]) for r in per_part}
+        if grouped != counts:  # footer/groupBy mismatch = corrupt extract
+            raise ValueError(
+                f"extract partition counts disagree: footers={counts} "
+                f"grouped={grouped}"
+            )
         n_docs = sum(counts.values())
         avgdl = float(sum(int(r["terms"] or 0) for r in per_part)) / float(n_docs)
-        write_norms(ext, offsets, paths.norms)
         _mark("norms_and_stats", _t)
         _t = _time.time()
 
@@ -541,6 +564,27 @@ def write_norms(ext: DataFrame, offsets: list[int], out_path: str) -> None:
     # #1). Many small files are fine: the relation is read once per
     # Searcher construction and cached.
     norms.write.mode("overwrite").parquet(out_path)
+
+
+def _extract_part_counts(root: str) -> dict[int, int]:
+    """Rows per part_id dir of a committed extract — parquet footer
+    metadata only (exact at any scale; no Spark job). Matches
+    ``docids.partition_counts`` by construction: both count rows of the
+    same committed files."""
+    import pyarrow.parquet as pq
+
+    counts: dict[int, int] = {}
+    for name in os.listdir(root):
+        if not name.startswith("part_id="):
+            continue
+        pid = int(name.split("=", 1)[1])
+        sub = os.path.join(root, name)
+        n = 0
+        for f in os.listdir(sub):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                n += pq.ParquetFile(os.path.join(sub, f)).metadata.num_rows
+        counts[pid] = n
+    return counts
 
 
 def _parquet_partition_rows(root: str, bucket_pred) -> int:

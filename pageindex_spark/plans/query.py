@@ -2836,8 +2836,19 @@ def _search_impl(
     if raw_scored:
         return scored, raw_parts
     return _rank_and_lookup(
-        se, scored, k, fixed_point, with_text, empty, offset=offset
+        se, scored, k, fixed_point, with_text, empty, offset=offset,
+        max_candidate_rows=len(cell_grid) * cell_k * len(payload),
     )
+
+
+# Candidate-row bound under which the global rank runs DRIVER-SIDE over the
+# collected per-cell candidates instead of through a Spark window (one fewer
+# exchange + stage per query, ~0.3-0.4 s of fixed overhead here). The bound
+# is cells x per-cell-k x queries — known BEFORE execution, so the choice is
+# plan-time and scale-adaptive: a 10^12-doc index (millions of cells) always
+# takes the window path. Ordering semantics are identical by construction
+# (same (key desc, doc_id asc) total order, same floor fixed-point key).
+DRIVER_RANK_MAX_ROWS = 131_072
 
 
 def _rank_and_lookup(
@@ -2848,24 +2859,59 @@ def _rank_and_lookup(
     with_text: bool,
     empty: DataFrame,
     offset: int = 0,
+    max_candidate_rows: int | None = None,
 ) -> DataFrame:
     """Shared tail of every retrieval path ((query_id, doc_id, score) ->
     ranked winners with urls): global rank over the candidate rows, then a
     url lookup that reads ONLY the winners' partitions."""
     spark, paths = se.spark, se.paths
     out_schema = empty.schema
-    if fixed_point:
-        # Rank over the FLOORED score (CLAUDE.md invariant: the DuckDB oracle
-        # ranks floor(score*1e6) with doc_id tie-break).
-        order_key = F.floor(F.col("score") * 1_000_000).cast("long")
+    if (
+        max_candidate_rows is not None
+        and max_candidate_rows <= DRIVER_RANK_MAX_ROWS
+    ):
+        # driver-side rank over the (provably small) candidate set: same
+        # row_number() over (order_key desc, doc_id asc) per query_id.
+        import math as _math
+
+        cand = scored.collect()
+        by_q: dict[int, list] = {}
+        for r in cand:
+            by_q.setdefault(int(r["query_id"]), []).append(r)
+        top_rows = []
+        for qid in by_q:
+            if fixed_point:
+                keyf = lambda r: (  # noqa: E731
+                    -_math.floor(r["score"] * 1_000_000),
+                    int(r["doc_id"]),
+                )
+            else:
+                keyf = lambda r: (-r["score"], int(r["doc_id"]))  # noqa: E731
+            ranked = sorted(by_q[qid], key=keyf)
+            for rank0, r in enumerate(ranked[offset : offset + k]):
+                top_rows.append(
+                    {
+                        "query_id": qid,
+                        "doc_id": int(r["doc_id"]),
+                        "score": r["score"],
+                        "rank": offset + rank0 + 1,
+                    }
+                )
     else:
-        order_key = F.col("score")
-    w = Window.partitionBy("query_id").orderBy(F.desc(order_key), F.asc("doc_id"))
-    top_rows = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
-        .collect()
-    )
+        if fixed_point:
+            # Rank over the FLOORED score (CLAUDE.md invariant: the DuckDB
+            # oracle ranks floor(score*1e6) with doc_id tie-break).
+            order_key = F.floor(F.col("score") * 1_000_000).cast("long")
+        else:
+            order_key = F.col("score")
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(order_key), F.asc("doc_id")
+        )
+        top_rows = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter((F.col("rank") > offset) & (F.col("rank") <= offset + k))
+            .collect()
+        )
     if not top_rows:
         return empty
 
