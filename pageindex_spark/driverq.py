@@ -4044,9 +4044,17 @@ sig as (select doc_id, {mins} from shj)"""
         f"array_min(transform(sh, s -> md5(concat('{j}|', s)))) as mh_{j}"
         for j in range(n_hashes)
     )
+    # The >= 3 guard is wrapped in size(shuffle(terms)) — size-invariant
+    # (shuffle permutes, never drops), so the kept-row set is identical,
+    # but the nondeterministic shuffle() stops predicate pushdown from
+    # sinking the filter (and with it a FULL tokenize pass) below the
+    # fan-out exchange onto the serial scan task (observed in the plan:
+    # Filter(size(tokenize(text)) >= 3) under Exchange). Post-exchange the
+    # filter reuses the projected terms column — tokenize runs exactly
+    # once, in parallel.
     return f"""
 toks as (select doc_id, {d.terms('text')} as terms from documents),
-shj as (select doc_id, {d.shingles('terms')} as sh from toks where {d.size('terms')} >= 3),
+shj as (select doc_id, {d.shingles('terms')} as sh from toks where size(shuffle(terms)) >= 3),
 sig as (select doc_id, {mins} from shj)"""
 
 
