@@ -5191,12 +5191,18 @@ def paired_sql() -> dict[str, tuple[str, str]]:
     pairs["token_count"] = both(_token_count_sql)
     pairs["quality_score"] = both(_quality_sql)
     pairs["lang_id"] = both(_lang_sql)
+    # fingerprint family reads the UN-fanned view on the Spark side (see
+    # register_views: one md5 per doc is cheaper than shuffling the text);
+    # the DuckDB oracle text keeps `documents` and is frozen.
+    def _docsrc(d: _Dialect) -> str:
+        return "documents" if d.duck else "documents_seq"
+
     pairs["fingerprint"] = both(
-        lambda d: f"select doc_id, {_fingerprint_expr(d)} as fp from documents"
+        lambda d: f"select doc_id, {_fingerprint_expr(d)} as fp from {_docsrc(d)}"
     )
     pairs["dedup_exact"] = both(
         lambda d: f"""select fp, cast(count(*) as bigint) as n_docs, min(doc_id) as keep_id
-        from (select doc_id, {_fingerprint_expr(d)} as fp from documents) t
+        from (select doc_id, {_fingerprint_expr(d)} as fp from {_docsrc(d)}) t
         group by fp"""
     )
     pairs["minhash_signatures"] = both(_minhash_sql)
@@ -5435,6 +5441,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
                 if n:
                     df = df.repartition(n, df[key])
             df.createOrReplaceTempView(t)
+    # Un-fanned companion view for the few Spark-side queries whose per-row
+    # compute (a single md5 of the text) is on par with the exchange cost
+    # of the fan-out — for those, shipping the text through a shuffle costs
+    # more than the serial scan it parallelizes (measured: fingerprint
+    # one-shot 1.47 s fanned vs 1.05 s serial at sf1.0). Tokenize-heavy
+    # queries keep the fanned `documents` view.
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(p):
+        spark.read.parquet(p).createOrReplaceTempView("documents_seq")
 
 
 def spark_sql_query(name: str):

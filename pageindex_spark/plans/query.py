@@ -188,6 +188,19 @@ class Searcher:
         # Entries are per-queried-term, so the cache stays O(distinct terms
         # asked), never O(vocabulary).
         self._idf_cache: dict[str, float | None] = {}
+        # Per-call constants cached per Searcher (r6): the cell-grid
+        # broadcast and the empty-result DataFrames were rebuilt on every
+        # search() call (~0.1-0.2 s of py4j/broadcast overhead per query in
+        # this sandbox). Both are immutable for the life of a Searcher —
+        # the grid is pinned to the index version, and an empty DataFrame
+        # is just a reusable plan object.
+        self._bc_grid = spark.sparkContext.broadcast(self.cell_grid)
+        self._empty_cache: dict[str, DataFrame] = {}
+
+    def _empty_df(self, schema: str) -> DataFrame:
+        if schema not in self._empty_cache:
+            self._empty_cache[schema] = self.spark.createDataFrame([], schema)
+        return self._empty_cache[schema]
 
     def search(
         self,
@@ -2532,9 +2545,9 @@ def _search_impl(
     )
     _RAW_DDL = "query_id int, doc_id long, part_id int, local_pos long, score double"
     if raw_scored:
-        empty = (spark.createDataFrame([], _RAW_DDL), None)
+        empty = (se._empty_df(_RAW_DDL), None)
     else:
-        empty = spark.createDataFrame([], out_schema)
+        empty = se._empty_df(out_schema)
 
     # Filtered search (Lucene filter context): the allowed docID set masks
     # candidates pre-heap as an INCLUSION — the mirror of the tombstone /
@@ -2621,7 +2634,7 @@ def _search_impl(
     if not payload:
         return empty
     bc_payload = spark.sparkContext.broadcast(payload)
-    bc_grid = spark.sparkContext.broadcast(cell_grid)
+    bc_grid = se._bc_grid  # per-Searcher constant, broadcast once
     # Negated terms PRESENT in the index (an absent neg term excludes
     # nothing). Their postings ride the same pruned scan as scoring terms —
     # `terms`/`idf` above already include them — but never enter the
