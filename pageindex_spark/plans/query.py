@@ -196,11 +196,34 @@ class Searcher:
         # is just a reusable plan object.
         self._bc_grid = spark.sparkContext.broadcast(self.cell_grid)
         self._empty_cache: dict[str, DataFrame] = {}
+        # local-fast-path caches (immutable per Searcher, which is pinned
+        # to one index version): norms on-disk size and, once the fast
+        # path actually fires (i.e. the index is small by construction),
+        # the norms relation as a pandas frame.
+        self._norms_disk_bytes: int | None = None
+        self._norms_pdf = None
 
     def _empty_df(self, schema: str) -> DataFrame:
         if schema not in self._empty_cache:
             self._empty_cache[schema] = self.spark.createDataFrame([], schema)
         return self._empty_cache[schema]
+
+    def _local_norms_pdf(self):
+        """norms as pandas with the cell column — the driver-side mirror of
+        ``self.norms`` (only materialized on the byte-guarded fast path)."""
+        if self._norms_pdf is None:
+            import pyarrow.parquet as pq
+
+            t = pa.concat_tables(
+                pq.read_table(
+                    f, columns=["part_id", "first_doc", "n_docs", "dl_blob"]
+                )
+                for f in _norms_files(self)
+            )
+            pdf = t.to_pandas()
+            pdf["cell"] = (pdf["part_id"] // self.cell_parts).astype("int32")
+            self._norms_pdf = pdf
+        return self._norms_pdf
 
     def search(
         self,
@@ -2274,6 +2297,133 @@ def _slice_mapper(bc_grid):
     return slice_runs
 
 
+# Local scoring fast path (r6): when a query's PRUNED inputs — the term
+# buckets' postings files plus the norms relation — total under this many
+# bytes on disk, the scoring runs driver-side through the IDENTICAL cell
+# kernels (same _slice_mapper, same score_cell closure) instead of paying a
+# Spark job's fixed overhead (~0.7-1.2 s here: two Python stages + two
+# exchanges) to move a few MB. This is the ES/Lucene observation that a
+# small searchable segment does not need a cluster pass; the decision is a
+# per-query metadata check (os.stat over <= |buckets| dirs), the threshold
+# is parameterised, and any index over the bound — every real-scale index —
+# takes the distributed cogroup exactly as before. No results are cached:
+# every call re-reads the committed parquet.
+LOCAL_QUERY_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_QUERY_MAX_BYTES", str(64 * 1024 * 1024))
+)
+
+_RUN_COLS = [
+    "term", "first_doc", "last_doc", "n_docs", "doc_blob", "tf_blob",
+    "bm_last", "bm_maxq", "bm_doc_off", "bm_tf_off", "bm_ndocs",
+]
+
+
+class _LocalVal:
+    """Driver-local stand-in for a Broadcast (same ``.value`` contract) so
+    the scoring closures are byte-identical between the two paths."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+
+def _dir_parquet_bytes(path: str) -> int:
+    total = 0
+    for f in os.listdir(path):
+        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+            total += os.stat(os.path.join(path, f)).st_size
+    return total
+
+
+def _postings_bucket_dirs(se: Searcher, buckets: list[int]) -> list[str]:
+    prefixes = (
+        [""]
+        if se.committed_deltas is None
+        else [f"delta={g}/" for g in se.committed_deltas]
+    )
+    return [f"{p}bucket={b}" for p in prefixes for b in buckets]
+
+
+def _norms_files(se: Searcher) -> list[str]:
+    roots = (
+        [se.paths.norms]
+        if se.committed_deltas is None
+        else [
+            os.path.join(se.paths.norms, f"delta={g}")
+            for g in se.committed_deltas
+        ]
+    )
+    files: list[str] = []
+    for r in roots:
+        if not os.path.isdir(r):
+            raise FileNotFoundError(r)
+        files.extend(
+            os.path.join(r, f)
+            for f in sorted(os.listdir(r))
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    return files
+
+
+def _local_query_bytes(se: Searcher, buckets: list[int]) -> int | None:
+    """On-disk bytes of the query's pruned inputs, or None when the layout
+    is not local parquet (caller then takes the distributed path)."""
+    try:
+        if se._norms_disk_bytes is None:
+            se._norms_disk_bytes = sum(
+                os.stat(f).st_size for f in _norms_files(se)
+            )
+        total = se._norms_disk_bytes
+        for d in _postings_bucket_dirs(se, buckets):
+            sub = os.path.join(se.paths.postings, d)
+            if os.path.isdir(sub):
+                total += _dir_parquet_bytes(sub)
+        return total
+    except OSError:
+        return None
+
+
+def _score_local(se: Searcher, buckets: list[int], present: list[str], score_cell):
+    """Driver-side mirror of the slices/norms cell cogroup: read the pruned
+    runs, slice with the SAME mapper, score each cell with the SAME closure.
+    Returns the scored candidate rows as plain dicts."""
+    import pyarrow.parquet as pq
+
+    tables = []
+    for d in _postings_bucket_dirs(se, buckets):
+        sub = os.path.join(se.paths.postings, d)
+        if not os.path.isdir(sub):
+            continue
+        for f in sorted(os.listdir(sub)):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                tables.append(
+                    pq.read_table(
+                        os.path.join(sub, f),
+                        columns=_RUN_COLS,
+                        filters=[("term", "in", present)],
+                    )
+                )
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return []
+    runs_t = pa.concat_tables(tables)
+    mapper = _slice_mapper(_LocalVal(se.cell_grid))
+    slice_batches = list(mapper(iter(runs_t.to_batches())))
+    if not slice_batches:
+        return []
+    slices_pdf = pa.Table.from_batches(slice_batches).to_pandas()
+    norms_pdf = se._local_norms_pdf()
+    out = []
+    for cell, s_pdf in slices_pdf.groupby("cell"):
+        res = score_cell(s_pdf, norms_pdf[norms_pdf["cell"] == cell])
+        if len(res):
+            out.append(res)
+    if not out:
+        return []
+    return pd.concat(out, ignore_index=True).to_dict("records")
+
+
 def _parts_for_runs(
     ranges: list[tuple[int, int]],
     cell_grid,
@@ -2633,7 +2783,27 @@ def _search_impl(
         ]
     if not payload:
         return empty
-    bc_payload = spark.sparkContext.broadcast(payload)
+    # Scan prunes to PRESENT terms only (absent terms would widen the
+    # bucket IN-list for directories that can't contribute runs).
+    present = sorted(idf)
+    buckets = sorted({term_bucket(t, n_buckets) for t in present})
+    # Local fast path eligibility (see LOCAL_QUERY_MAX_BYTES): a per-query
+    # metadata check over the pruned inputs' on-disk bytes. raw_scored
+    # consumers expect a DataFrame and Iceberg has no local files — both
+    # always go distributed.
+    local_bytes = (
+        _local_query_bytes(se, buckets)
+        if (not raw_scored and se.iceberg_table is None)
+        else None
+    )
+    local_mode = local_bytes is not None and local_bytes <= LOCAL_QUERY_MAX_BYTES
+
+    def _bc(v):
+        # identical .value contract either way; in local mode the scoring
+        # closure runs on the driver, so no broadcast RPC is needed.
+        return _LocalVal(v) if local_mode else spark.sparkContext.broadcast(v)
+
+    bc_payload = _bc(payload)
     bc_grid = se._bc_grid  # per-Searcher constant, broadcast once
     # Negated terms PRESENT in the index (an absent neg term excludes
     # nothing). Their postings ride the same pruned scan as scoring terms —
@@ -2644,31 +2814,28 @@ def _search_impl(
         for qid, ns in qneg.items()
     }
     neg_payload = {qid: ns for qid, ns in neg_payload.items() if ns}
-    bc_neg = (
-        spark.sparkContext.broadcast(neg_payload) if neg_payload else None
-    )
+    bc_neg = _bc(neg_payload) if neg_payload else None
 
-    # Scan prunes to PRESENT terms only (absent terms would widen the
-    # bucket IN-list for directories that can't contribute runs).
-    present = sorted(idf)
-    buckets = sorted({term_bucket(t, n_buckets) for t in present})
-    runs = read_index_runs(
-        spark, paths.postings, n_buckets, se.iceberg_table
-    ).filter(F.col("bucket").isin(buckets) & F.col("term").isin(present))
-    if se.committed_deltas is not None:
-        # streamed: uncommitted delta dirs (crashed refresh) are invisible.
-        runs = runs.filter(F.col("delta").isin(se.committed_deltas))
+    runs = None
+    if not local_mode:
+        runs = read_index_runs(
+            spark, paths.postings, n_buckets, se.iceberg_table
+        ).filter(F.col("bucket").isin(buckets) & F.col("term").isin(present))
+        if se.committed_deltas is not None:
+            # streamed: uncommitted delta dirs (crashed refresh) invisible.
+            runs = runs.filter(F.col("delta").isin(se.committed_deltas))
 
-    # "delta" exists only on incrementally-refreshed streamed indexes (one
-    # partition per refresh group); drop() is lenient so batch indexes pass
-    # through unchanged. Runs across deltas stay docID-disjoint per term.
-    slices = runs.drop("bucket", "run_id", "n_bytes", "delta").mapInArrow(
-        _slice_mapper(bc_grid), schema=_SLICE_DDL
-    )
+        # "delta" exists only on incrementally-refreshed streamed indexes
+        # (one partition per refresh group); drop() is lenient so batch
+        # indexes pass through unchanged. Runs across deltas stay
+        # docID-disjoint per term.
+        slices = runs.drop("bucket", "run_id", "n_bytes", "delta").mapInArrow(
+            _slice_mapper(bc_grid), schema=_SLICE_DDL
+        )
 
     norms = se.norms
     raw_parts: list[int] | None = None
-    if prune_norms or raw_scored:
+    if not local_mode and (prune_norms or raw_scored):
         # One metadata-only job (blobs column-pruned away) + a driver map
         # from run docID ranges to grid cells -> the norms cogroup side
         # shuffles only the partitions the query can actually touch (and
@@ -2686,9 +2853,9 @@ def _search_impl(
             norms = norms.filter(F.col("part_id").isin(parts))
     use_dense = mode in ("dense", "conjunctive", "msm")
     conjunctive = mode == "conjunctive"
-    bc_msm = spark.sparkContext.broadcast(msm_by_qid) if msm_by_qid else None
+    bc_msm = _bc(msm_by_qid) if msm_by_qid else None
     bc_deleted = (
-        spark.sparkContext.broadcast(se.deleted_ids)
+        _bc(se.deleted_ids)
         if se.deleted_ids is not None and len(se.deleted_ids)
         else None
     )
@@ -2840,11 +3007,17 @@ def _search_impl(
     cell_schema = "query_id int, doc_id long, score double" + (
         ", part_id int, local_pos long" if raw_scored else ""
     )
-    scored = (
-        slices.groupBy("cell")
-        .cogroup(norms.groupBy("cell"))
-        .applyInPandas(score_cell, schema=cell_schema)
-    )
+    if local_mode:
+        # zero Spark jobs: same mapper, same score_cell closure, same
+        # per-cell inputs — identity pinned by
+        # tests/test_r06_optimizations.py::test_local_fast_path_equals_cogroup.
+        scored = _score_local(se, buckets, present, score_cell)
+    else:
+        scored = (
+            slices.groupBy("cell")
+            .cogroup(norms.groupBy("cell"))
+            .applyInPandas(score_cell, schema=cell_schema)
+        )
 
     if raw_scored:
         return scored, raw_parts
@@ -2879,15 +3052,17 @@ def _rank_and_lookup(
     url lookup that reads ONLY the winners' partitions."""
     spark, paths = se.spark, se.paths
     out_schema = empty.schema
-    if (
+    if isinstance(scored, list) or (
         max_candidate_rows is not None
         and max_candidate_rows <= DRIVER_RANK_MAX_ROWS
     ):
         # driver-side rank over the (provably small) candidate set: same
         # row_number() over (order_key desc, doc_id asc) per query_id.
+        # `scored` arrives as plain rows from the local fast path, or is
+        # collected from the cogroup output when the bound is small.
         import math as _math
 
-        cand = scored.collect()
+        cand = scored if isinstance(scored, list) else scored.collect()
         by_q: dict[int, list] = {}
         for r in cand:
             by_q.setdefault(int(r["query_id"]), []).append(r)

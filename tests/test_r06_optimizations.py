@@ -81,6 +81,42 @@ def test_extract_footer_counts_match_grouped(spark, r06_index):
     assert _extract_part_counts(paths.docs_extracted) == partition_counts(ext)
 
 
+def test_local_fast_path_equals_cogroup(spark, r06_index):
+    """The byte-guarded local scoring path must be row-identical to the
+    distributed cogroup across modes (it shares the mapper and the cell
+    kernel closures; this pins the plumbing around them)."""
+    import pageindex_spark.plans.query as Q
+    from pageindex_spark.sources.corpus import make_queries
+
+    queries = make_queries()
+    cases = [
+        dict(mode="bmw"),
+        dict(mode="bmw", fixed_point=True),
+        dict(mode="dense"),
+        dict(mode="conjunctive"),
+        dict(mode="msm", min_match=2),
+        dict(mode="bmw", with_text=True),
+    ]
+    orig = Q.LOCAL_QUERY_MAX_BYTES
+    for kw in cases:
+        Q.LOCAL_QUERY_MAX_BYTES = orig  # local path (index is tiny)
+        fast = sorted(
+            tuple(r)
+            for r in Q.search(spark, r06_index, queries, k=10, **kw).collect()
+        )
+        try:
+            Q.LOCAL_QUERY_MAX_BYTES = -1  # force the distributed cogroup
+            slow = sorted(
+                tuple(r)
+                for r in Q.search(
+                    spark, r06_index, queries, k=10, **kw
+                ).collect()
+            )
+        finally:
+            Q.LOCAL_QUERY_MAX_BYTES = orig
+        assert fast == slow, f"fast path diverged for {kw}"
+
+
 def test_driver_rank_equals_window_rank(spark, r06_index):
     """Force the Spark-window path (DRIVER_RANK_MAX_ROWS=0) and compare to
     the default driver-side rank — byte-identical result rows."""
